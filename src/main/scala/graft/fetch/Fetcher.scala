@@ -1,0 +1,111 @@
+package graft.fetch
+
+import graft.model.{Document, Span}
+
+/**
+ * Pluggable page fetcher. The engine never performs real network I/O in
+ * this sandbox (zero egress); production would implement this trait over
+ * an HTTP client. Fetchers must be cheap to serialize — they are shipped
+ * into `mapPartitions` tasks.
+ */
+trait Fetcher extends Serializable {
+  /** Returns (status, document). 404s are data, not failures (reference
+    * treats them so: /root/reference/crawler/spiders/vrsdd_member_spider.py:28-29). */
+  def fetch(url: String): (Int, Option[Document])
+}
+
+/** Fetcher over an in-memory page map (small test fixtures). */
+final class MapFetcher(pages: Map[String, Document]) extends Fetcher {
+  def fetch(url: String): (Int, Option[Document]) =
+    pages.get(url) match {
+      case Some(d) => (200, Some(d))
+      case None => (404, None)
+    }
+}
+
+/**
+ * Deterministic synthetic web site — pure function url → page, so fetching
+ * is embarrassingly parallel with zero data shipped to tasks. Used for the
+ * frontier oracle tests and the 10^10-shaped throughput bench (the site is
+ * never materialized; pages are computed on demand).
+ *
+ * Topology (all derived from (host k, page i, seed)):
+ *  - hosts h0.example.jp … h{nHosts-1}.example.jp
+ *  - host k has `pagesOf(k)` pages /p0 … ; host 0 is the "hot host" with
+ *    `hotFactor`× the pages — the skew case (SURVEY.md §3.3: all ~465
+ *    member pages on one host).
+ *  - page (k,i) links to its `branching` children (i*branching+1 …) on the
+ *    same host, one cross-host link, and a duplicate back-link to /p0
+ *    (exercises the dedup path on every page).
+ */
+final case class SyntheticSite(
+    nHosts: Int,
+    basePagesPerHost: Int,
+    branching: Int = 3,
+    hotFactor: Int = 8,
+    seed: Long = 42L) extends Fetcher {
+
+  def pagesOf(host: Int): Int = if (host == 0) basePagesPerHost * hotFactor else basePagesPerHost
+
+  def hostName(k: Int): String = s"h$k.example.jp"
+  def pageUrl(k: Int, i: Int): String = s"https://${hostName(k)}/p$i"
+
+  /** Total reachable pages (for bench bookkeeping). */
+  def totalPages: Long = (0 until nHosts).map(pagesOf(_).toLong).sum
+
+  private def mix(x: Long): Long = {
+    var z = x + seed * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val WordBank = Vector(
+    "法律案", "委員会", "質疑", "採決", "議事日程", "提出", "内閣", "承認", "調査", "予算",
+    "報告", "審議", "可決", "附則", "理由", "国会", "議員", "会議録", "発言", "請願")
+
+  def parseUrl(url: String): Option[(Int, Int)] = {
+    val re = "https://h(\\d+)\\.example\\.jp/p(\\d+)".r
+    url match {
+      case re(k, i) => Some((k.toInt, i.toInt))
+      case _ => None
+    }
+  }
+
+  def fetch(url: String): (Int, Option[Document]) = parseUrl(url) match {
+    case Some((k, i)) if k < nHosts && i < pagesOf(k) => (200, Some(page(k, i)))
+    case Some(_) => (404, None)
+    case None => (404, None)
+  }
+
+  /** Deterministic child links of page (k, i): same-host tree children, one
+    * cross-host link, one duplicate back-link. */
+  def links(k: Int, i: Int): Seq[String] = {
+    val n = pagesOf(k)
+    val children = (1 to branching).map(b => i * branching + b).filter(_ < n)
+      .map(c => s"/p$c") // relative — exercises the resolver
+    val cross = {
+      val ck = ((mix(k * 1000003L + i) % nHosts + nHosts) % nHosts).toInt
+      val ci = ((mix(i * 7919L + k) % pagesOf(ck) + pagesOf(ck)) % pagesOf(ck)).toInt
+      Seq(pageUrl(ck, ci))
+    }
+    val dup = if (i > 0) Seq(s"https://${hostName(k)}/p0") else Nil
+    children ++ cross ++ dup
+  }
+
+  def page(k: Int, i: Int): Document = {
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    def add(kind: String, text: String, ref: String): Unit = { spans += Span(kind, text, ref, off); off += 1 }
+    add("title", s"第${(i % 204) + 1}回ページ ${hostName(k)} p$i", "")
+    val nText = 2 + (mix(k * 31L + i) & 3).toInt
+    for (t <- 0 until nText) {
+      val w1 = WordBank((mix(k + i * 131L + t) % WordBank.size).toInt.abs)
+      val w2 = WordBank((mix(t + i * 17L + k) % WordBank.size).toInt.abs)
+      add("text", s"${w1}の${w2}に関する第${t + 1}項", "")
+    }
+    for (l <- links(k, i)) add("link", s"リンク$l", l)
+    if ((i & 7) == 0) add("media", "", s"https://${hostName(k)}/img$i.png")
+    Document(pageUrl(k, i), spans.toSeq)
+  }
+}

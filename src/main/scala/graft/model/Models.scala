@@ -1,0 +1,210 @@
+package graft.model
+
+/**
+ * Core data model of the engine.
+ *
+ * The canonical input/fetched-page representation is the interleaved
+ * text+media span document (per BASELINE.json `input_hint`):
+ * `documents(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)`.
+ *
+ * This is the Spark-native encoding of what a Scrapy `response` + XPath
+ * selectors provide in the reference (see SURVEY.md §1.3): text nodes in
+ * document order, `<a>` text+href pairs, `<img src>`, table cells, embedded
+ * JSON blocks. The per-row oracle invariant versus the reference is
+ * span-sequence equality on (kind, text, media_ref, order).
+ */
+final case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+object SpanKind {
+  val Text = "text"
+  val Link = "link"
+  val Media = "media"
+  val TableCell = "table_cell"
+  val Title = "title"
+  val Json = "json"
+  val Caption = "caption" // table caption / h2-h4 section headers
+}
+
+final case class Document(doc_id: String, spans: Seq[Span])
+
+/**
+ * A frontier row: one pending (or fetched) crawl request.
+ *
+ * Mirrors what the reference carries per Scrapy Request: url, callback
+ * (`parse_fn`), meta dict, priority (always 0 in the reference — see
+ * /root/reference/crawler/settings.py which never sets priority).
+ *
+ *  - `canonical` / `url_hash`: RFC-3986-normalized form and its xxhash64,
+ *    the dedup key (Scrapy's request fingerprint analogue).
+ *  - `host_bucket`: hash-partitioning bucket of the host; all politeness
+ *    accounting for a host happens within one bucket/partition.
+ *  - `is_seed`: start-request flag. Scrapy consumes start requests lazily,
+ *    in listed order, only when the scheduler queue is drained; follow-ups
+ *    go through a LIFO queue. We reproduce that in `reference-order` mode.
+ *  - `wave`: the engine iteration in which the row was enqueued.
+ *  - `seq`: global monotonically increasing discovery sequence (ties broken
+ *    by it: LIFO pops max seq).
+ */
+final case class UrlRecord(
+    url: String,
+    canonical: String,
+    url_hash: Long,
+    host: String,
+    host_bucket: Int,
+    parse_fn: String,
+    meta: Map[String, String],
+    priority: Int,
+    is_seed: Boolean,
+    wave: Int,
+    seq: Long)
+
+/** Result of fetching one frontier row. `doc` is None on HTTP error. */
+final case class FetchResult(
+    url: String,
+    canonical: String,
+    url_hash: Long,
+    host: String,
+    host_bucket: Int,
+    parse_fn: String,
+    meta: Map[String, String],
+    wave: Int,
+    seq: Long,
+    status: Int,
+    from_cache: Boolean,
+    fetched_at_ms: Long,
+    slot: Int, // politeness slot within (host, wave): per-host fetch order
+    partition_id: Int, // executing partition — per-partition lineage
+    doc_id: String,
+    spans: Seq[Span]) {
+  def document: Document = Document(doc_id, spans)
+  def ok: Boolean = status >= 200 && status < 300
+}
+
+/** A follow-up emission from a parse callback (reference: `response.follow`,
+  * e.g. /root/reference/crawler/spiders/shugiin_spider.py:46-49). */
+final case class FollowUp(
+    url: String,
+    parse_fn: String,
+    meta: Map[String, String] = Map.empty,
+    priority: Int = 0)
+
+/** Per-partition crawl lineage + metrics (north rule: resumable with
+  * per-partition lineage + metrics). */
+final case class Lineage(
+    wave: Int,
+    partition: Int,
+    in_count: Long,
+    fetched: Long,
+    deduped: Long,
+    parsed: Long,
+    errors: Long,
+    followups: Long)
+
+/** Exact URL-seen table row (authority behind the cuckoo pre-filter). */
+final case class SeenRow(url_hash: Long, canonical: String, host_bucket: Int, wave: Int)
+
+/** Cursor state for sequential-id / paginated API sources (reference:
+  * `nextRecordPosition` cursor /root/reference/crawler/spiders/minutes_spider.py:90-92,
+  * sequential ids sangiin_tv_spider.py:17-29). */
+final case class CursorRow(source: String, next_pos: Long, consecutive_failures: Int)
+
+// --------------------------------------------------------------------------
+// Entity graph (reference builders: /root/reference/crawler/utils/graphql.py:36-125).
+// Deterministic IDs from key fields; optional attributes → Option fields.
+// --------------------------------------------------------------------------
+
+final case class Bill(
+    id: String,
+    bill_number: String,
+    name: Option[String] = None,
+    category: Option[String] = None, // BillCategory: KAKUHOU | SHUHOU | SANHOU
+    diet_number: Option[Int] = None,
+    submission_number: Option[Int] = None,
+    reason: Option[String] = None,
+    supported_groups: Seq[String] = Nil,
+    opposed_groups: Seq[String] = Nil)
+
+final case class Minutes(
+    id: String,
+    name: String,
+    start_date_time: java.sql.Timestamp,
+    ndl_min_id: Option[String] = None,
+    ndl_url: Option[String] = None,
+    topics: Seq[String] = Nil,
+    topic_ids: Seq[String] = Nil,
+    speakers: Seq[String] = Nil,
+    speaker_ids: Seq[String] = Nil)
+
+final case class Speech(
+    id: String,
+    minutes_id: String,
+    order_in_minutes: Int,
+    speaker_name: Option[String] = None,
+    member_id: Option[String] = None,
+    ndl_url: Option[String] = None)
+
+final case class Member(
+    id: String,
+    name: String,
+    house: Option[String] = None, // REPRESENTATIVES | COUNCILORS
+    group: Option[String] = None, // ParliamentaryGroup
+    first_name: Option[String] = None,
+    last_name: Option[String] = None,
+    first_name_hira: Option[String] = None,
+    last_name_hira: Option[String] = None,
+    tags: Seq[String] = Nil,
+    description: Option[String] = None,
+    image: Option[String] = None)
+
+final case class Committee(
+    id: String,
+    name: String,
+    house: Option[String] = None,
+    num_members: Option[Int] = None,
+    topics: Seq[String] = Nil)
+
+final case class Diet(id: String, number: Int, start_date: java.sql.Timestamp)
+
+final case class Activity(
+    id: String,
+    member_id: String,
+    minutes_id: Option[String] = None,
+    bill_id: Option[String] = None,
+    datetime: java.sql.Timestamp)
+
+final case class BillAction(
+    id: String,
+    bill_id: String,
+    minutes_id: String,
+    speech_id: String,
+    bill_action_type: String) // BILL_EXPLANATION | QUESTION | VOTE | ...
+
+final case class UrlEntity(
+    id: String,
+    url: String,
+    title: String, // UrlTitle enum as string
+    domain: String,
+    to_id: String)
+
+final case class News(
+    id: String,
+    url: String,
+    title: Option[String] = None,
+    published_at: Option[java.sql.Timestamp] = None,
+    last_modified_at: Option[java.sql.Timestamp] = None,
+    thumbnail: Option[String] = None,
+    is_paid: Option[Boolean] = None)
+
+final case class Edge(from_id: String, to_id: String)
+
+/** Long-text documents (the reference's Elasticsearch indices become plain
+  * tables — /root/reference/crawler/utils/elasticsearch.py). */
+final case class DocText(
+    id: String,
+    kind: String, // bill | minutes | speech | member | news
+    title: Option[String] = None,
+    body: Option[String] = None,
+    supplement: Option[String] = None,
+    reason: Option[String] = None,
+    speaker: Option[String] = None,
+    date: Option[String] = None)

@@ -1,0 +1,137 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.fetch.SyntheticSite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WaveEngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val site = SyntheticSite(nHosts = 3, basePagesPerHost = 4, branching = 2, hotFactor = 2)
+  val seeds = (0 until 3).map(k => SeedSpec(site.pageUrl(k, 0)))
+  val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
+
+  private val seenReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url_hash", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("canonical", org.apache.spark.sql.types.StringType)))
+
+  def seenCanonSet(ckpt: String): Set[String] = {
+    import spark.implicits._
+    spark.read.schema(seenReadSchema).option("recursiveFileLookup", "true")
+      .parquet(s"$ckpt/seen").select("canonical").as[String].collect().toSet
+  }
+
+  def seenHashSet(ckpt: String): Set[Long] = {
+    import spark.implicits._
+    spark.read.schema(seenReadSchema).option("recursiveFileLookup", "true")
+      .parquet(s"$ckpt/seen").select("url_hash").as[Long].collect().toSet
+  }
+
+  def fetchOrder(engine: WaveEngine): Seq[String] = {
+    import spark.implicits._
+    engine.fetchedTable()
+      .orderBy($"wave", $"host", $"slot")
+      .select($"canonical").as[String].collect().toSeq
+  }
+
+  test("reference-order mode replays the Scrapy LIFO order exactly") {
+    val (oracleOrder, oracleSeen) = ReferenceScheduler.crawl(seeds, site, parsers)
+    assert(oracleOrder.size == site.totalPages) // every page reachable once
+
+    val ckpt = SparkTestSession.tmpDir("refmode")
+    val cfg = CrawlConfig(checkpointDir = ckpt, referenceOrder = true,
+      hostBuckets = 8, fetchPartitions = 2)
+    val engine = new WaveEngine(spark, site, parsers, cfg)
+    val res = engine.run(seeds)
+
+    val engineOrder = fetchOrder(engine)
+    assert(engineOrder == oracleOrder)
+    assert(res.fetched == oracleOrder.size)
+
+    assert(seenCanonSet(ckpt) == oracleSeen)
+  }
+
+  test("scalable mode fetches the same URL set; per-host order is deterministic across parallelism") {
+    val (oracleOrder, _) = ReferenceScheduler.crawl(seeds, site, parsers)
+
+    def run(parts: Int): (Set[String], Map[String, Seq[String]], CrawlRunResult) = {
+      val ckpt = SparkTestSession.tmpDir(s"scal$parts")
+      val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = parts,
+        maxPerHostPerWave = 3)
+      val engine = new WaveEngine(spark, site, parsers, cfg)
+      val res = engine.run(seeds)
+      import spark.implicits._
+      val rows = engine.fetchedTable()
+        .orderBy($"wave", $"slot")
+        .select($"host", $"canonical").as[(String, String)].collect().toSeq
+      val perHost = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      (rows.map(_._2).toSet, perHost, res)
+    }
+
+    val (set2, perHost2, res2) = run(2)
+    val (set8, perHost8, _) = run(8)
+    assert(set2 == oracleOrder.toSet)
+    assert(set8 == set2)
+    assert(perHost2 == perHost8) // per-host fetch order independent of parallelism
+    assert(res2.fetched == oracleOrder.size)
+  }
+
+  test("politeness: per-host wave budget caps fetches per wave and orders slots") {
+    val ckpt = SparkTestSession.tmpDir("polite")
+    val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = 4,
+      maxPerHostPerWave = 2, politenessRps = 1.0)
+    val engine = new WaveEngine(spark, site, parsers, cfg)
+    engine.run(seeds)
+    import spark.implicits._
+    val byWaveHost = engine.fetchedTable()
+      .groupBy($"wave", $"host").agg(count(lit(1)).as("n"), max($"slot").as("max_slot"))
+      .as[(Int, String, Long, Int)].collect()
+    assert(byWaveHost.forall(_._3 <= 2)) // budget respected
+    assert(byWaveHost.forall(r => r._4 == r._3 - 1)) // slots are 0..n-1 per (wave,host)
+    // politeness timestamps: 1 rps per host → consecutive slots 1000ms apart
+    val ts = engine.fetchedTable()
+      .select($"wave", $"host", $"slot", $"fetched_at_ms")
+      .as[(Int, String, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2)).values
+    assert(ts.forall { rows =>
+      val sorted = rows.sortBy(_._3)
+      sorted.zip(sorted.tail).forall { case (a, b) => b._4 - a._4 == 1000L }
+    })
+  }
+
+  test("resume from checkpoint completes identically to an uninterrupted run") {
+    val ckptFull = SparkTestSession.tmpDir("full")
+    val full = new WaveEngine(spark, site, parsers,
+      CrawlConfig(checkpointDir = ckptFull, hostBuckets = 8, fetchPartitions = 4))
+    val resFull = full.run(seeds)
+
+    val ckptPart = SparkTestSession.tmpDir("partial")
+    val partial = new WaveEngine(spark, site, parsers,
+      CrawlConfig(checkpointDir = ckptPart, hostBuckets = 8, fetchPartitions = 4, maxWaves = 2))
+    partial.run(seeds)
+    val resumed = new WaveEngine(spark, site, parsers,
+      CrawlConfig(checkpointDir = ckptPart, hostBuckets = 8, fetchPartitions = 4))
+    val resResumed = resumed.resume()
+
+    import spark.implicits._
+    def fetchedSet(e: WaveEngine): Set[(String, Int)] =
+      e.fetchedTable().select($"canonical", $"status").as[(String, Int)].collect().toSet
+    assert(fetchedSet(full) == fetchedSet(resumed))
+    assert(resResumed.seen == resFull.seen) // resume reports the cumulative seen count
+    // strict: final seen sets equal
+    assert(seenHashSet(ckptFull) == seenHashSet(ckptPart))
+  }
+
+  test("404s are data: cursor past the last page does not kill the crawl") {
+    val ckpt = SparkTestSession.tmpDir("e404")
+    val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = 2)
+    val engine = new WaveEngine(spark, site, parsers, cfg)
+    // seed beyond the site: h0 has 8 pages, p99 is a 404
+    val res = engine.run(Seq(SeedSpec(site.pageUrl(0, 99)), SeedSpec(site.pageUrl(0, 0))))
+    import spark.implicits._
+    val statuses = engine.fetchedTable().select($"canonical", $"status").as[(String, Int)].collect().toMap
+    assert(statuses(site.pageUrl(0, 99)) == 404)
+    assert(res.fetched > 1) // crawl continued from the valid seed
+  }
+}
