@@ -1,8 +1,33 @@
 package graft
 
-import graft.engine.{CrawlConfig, FollowAllLinks, PageParser, SeedSpec, WaveEngine}
+import graft.engine.{CrawlConfig, PageParser, SeedSpec, WaveEngine}
 import graft.fetch.SyntheticSite
+import graft.model.{Document, FollowUp}
 import org.apache.spark.sql.SparkSession
+
+/** The bench parse stage: realistic per-page extraction work — whitespace
+  * normalization, topic-word containment, and the indentation-fold topic
+  * extractor over the page body (what the reference's XPath+regex parse
+  * does per fetched page), then link follow-up emission. */
+object DietParser extends PageParser {
+  def followUps(doc: Document, meta: Map[String, String]): Seq[FollowUp] = {
+    var acc = 0L
+    val body = new StringBuilder
+    doc.spans.foreach { s =>
+      if (s.kind == "text") {
+        acc += graft.extract.ScrapeFns.squeezeWhitespace(s.text).length
+        if (graft.extract.ScrapeFns.containsWord(s.text, graft.extract.Topics.TopicWords))
+          acc += 1
+        body.append('　').append(s.text).append('\n')
+      }
+    }
+    val topics = graft.extract.Topics.extractTopics(body.toString)
+    acc += topics.size
+    val links = doc.spans.filter(_.kind == "link")
+      .map(s => FollowUp(s.media_ref, "diet"))
+    if (acc < 0) Nil else links // `acc` consumed so the work can't be elided
+  }
+}
 
 /**
  * Benchmark main. Prints ONE JSON line:
@@ -33,21 +58,29 @@ object Bench {
     s
   }
 
-  /** One frontier crawl over the synthetic site; returns urls/sec. */
+  /** One frontier crawl over the synthetic site; returns urls/sec. A small
+    * unmeasured warmup crawl first JIT-compiles the whole path so the two
+    * parallelism levels are compared warm-to-warm. */
   def frontierRun(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long) = {
     val spark = session(cpus)
     try {
-      val site = SyntheticSite(nHosts = hosts, basePagesPerHost = basePages,
-        branching = 3, hotFactor = 8)
-      val seeds = (0 until hosts).map(k => SeedSpec(site.pageUrl(k, 0)))
-      val ckpt = java.nio.file.Files.createTempDirectory(s"bench$cpus").toString
-      val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 4 * cpus,
-        fetchPartitions = cpus, maxPerHostPerWave = 1 << 20,
-        keepFetched = false)
-      val engine = new WaveEngine(spark, site,
-        Map[String, PageParser]("follow_links" -> FollowAllLinks), cfg)
-      val res = engine.run(seeds)
-      delete(new java.io.File(ckpt))
+      def crawl(nHosts: Int, pages: Int): graft.engine.CrawlRunResult = {
+        val site = SyntheticSite(nHosts = nHosts, basePagesPerHost = pages,
+          branching = 10, hotFactor = 4, textSpansPerPage = 48)
+        val seeds = (0 until nHosts).map(k => SeedSpec(site.pageUrl(k, 0), parseFn = "diet"))
+        val ckpt = java.nio.file.Files.createTempDirectory(s"bench$cpus").toString
+        val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 4 * cpus,
+          fetchPartitions = cpus, maxPerHostPerWave = Int.MaxValue,
+          keepFetched = false, checkpointEvery = 1000000,
+          filterCapacityPerBucket = 1 << 13)
+        val engine = new WaveEngine(spark, site,
+          Map[String, PageParser]("diet" -> DietParser), cfg)
+        val res = engine.run(seeds)
+        delete(new java.io.File(ckpt))
+        res
+      }
+      crawl(math.max(8, hosts / 16), math.max(50, basePages / 10)) // warmup
+      val res = crawl(hosts, basePages)
       (res.urlsPerSec, res.fetched, res.deduped, res.elapsedMs)
     } finally spark.stop()
   }
@@ -60,8 +93,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val hosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "48").toInt
-    val basePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400").toInt
+    val hosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "2048").toInt
+    val basePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2000").toInt
 
     // part 1: headline queries on the sf dir
     val spark = session(cpus)

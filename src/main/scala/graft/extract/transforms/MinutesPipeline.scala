@@ -1,0 +1,173 @@
+package graft.extract.transforms
+
+import graft.extract.{BillActions, MinutesCtx, ScrapeFns, SpeechRec, Topics}
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * The kokkai meeting-API pipeline — the reference's heaviest dataflow
+ * (SURVEY.md §3.2; /root/reference/crawler/spiders/minutes_spider.py).
+ *
+ * One fetched page = one JSON body with up to 5 meetings
+ * (`maximumRecords=5`, minutes_spider.py:38). Spark-first shape:
+ * `from_json` into the typed meeting schema, `explode` to speeches, then
+ *  - Minutes entities with topics from the first speech (E12 fold),
+ *  - Speech + SpeechText per record (clean via E9),
+ *  - per-speaker Activities via ordered grouped concat (R12),
+ *  - MinutesText via ordered full-text concat (R13),
+ *  - bill actions via the R19 state machine (flatMapGroups),
+ *  - speaker→member and topic→bill broadcast lookup joins (R6/R8).
+ */
+object MinutesPipeline {
+
+  val meetingSchema: DataType = ArrayType(StructType(Seq(
+    StructField("issueID", StringType),
+    StructField("nameOfHouse", StringType),
+    StructField("nameOfMeeting", StringType),
+    StructField("date", StringType),
+    StructField("meetingURL", StringType),
+    StructField("speechRecord", ArrayType(StructType(Seq(
+      StructField("speechOrder", IntegerType),
+      StructField("speaker", StringType),
+      StructField("speech", StringType),
+      StructField("speechURL", StringType))))))))
+
+  val bodySchema: DataType = StructType(Seq(
+    StructField("meetingRecord", meetingSchema),
+    StructField("nextRecordPosition", LongType)))
+
+  final case class Out(
+      minutes: Dataset[Minutes],
+      speeches: Dataset[Speech],
+      speechTexts: Dataset[DocText],
+      minutesTexts: Dataset[DocText],
+      activities: Dataset[Activity],
+      billActions: Dataset[BillAction],
+      nextPositions: Dataset[(String, Option[Long])])
+
+  def run(
+      spark: SparkSession,
+      docs: Dataset[Document],
+      bills: Seq[(String, String)], // (bill_id, name) dim — broadcast (R11)
+      members: Seq[(String, String)] // (name, member_id) dim — broadcast (R8)
+      ): Out = {
+    import spark.implicits._
+
+    val bodies = docs.map(d => (d.doc_id, SpanTables.jsonBody(d).getOrElse("")))
+      .toDF("doc_id", "body")
+      .withColumn("parsed", from_json($"body", bodySchema))
+      .cache()
+
+    val nextPositions = bodies
+      .select($"doc_id", $"parsed.nextRecordPosition".as("next_pos"))
+      .as[(String, Option[Long])]
+
+    val meetings = bodies
+      .select($"doc_id", explode($"parsed.meetingRecord").as("m"))
+      .select($"doc_id", $"m.issueID".as("issue_id"),
+        concat($"m.nameOfHouse", $"m.nameOfMeeting").as("name"),
+        $"m.date".as("date"), $"m.meetingURL".as("meeting_url"),
+        $"m.speechRecord".as("recs"))
+      .filter($"name".isNotNull && $"date".isNotNull && size($"recs") > 0)
+      .cache()
+
+    val billsB = spark.sparkContext.broadcast(bills)
+    val membersB = spark.sparkContext.broadcast(members.toMap)
+
+    // Minutes entity: topics from the first speech (= 会議録情報, E12);
+    // topic ids via name-containment lookup (R6/E16).
+    val minutes = meetings.map { row =>
+      val name = row.getAs[String]("name")
+      val date = row.getAs[String]("date")
+      val recs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("recs"))
+      val firstSpeech = recs.headOption.map(_.getAs[String]("speech")).getOrElse("")
+      val topics = Topics.extractTopics(firstSpeech)
+      val topicIds = topics.flatMap(t =>
+        billsB.value.collectFirst { case (id, bn) if t.contains(bn) || bn.contains(t) => id })
+      val speakers = ScrapeFns.deduplicate(recs.drop(1).map(_.getAs[String]("speaker")))
+      Minutes(
+        id = ScrapeFns.minutesId(name, date),
+        name = name,
+        start_date_time = java.sql.Timestamp.valueOf(date + " 00:00:00"),
+        ndl_min_id = Option(row.getAs[String]("issue_id")),
+        ndl_url = Option(row.getAs[String]("meeting_url")),
+        topics = topics,
+        topic_ids = ScrapeFns.deduplicate(topicIds),
+        speakers = speakers,
+        speaker_ids = speakers.flatMap(membersB.value.get))
+    }.cache()
+
+    // explode speeches (skip record 0 = 会議録情報)
+    val speechRows = meetings.flatMap { row =>
+      val name = row.getAs[String]("name")
+      val date = row.getAs[String]("date")
+      val mid = ScrapeFns.minutesId(name, date)
+      val recs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("recs"))
+      recs.drop(1).map { r =>
+        val speech = r.getAs[String]("speech")
+        (mid, name, date, r.getAs[Int]("speechOrder"), r.getAs[String]("speaker"),
+          speech, ScrapeFns.cleanSpeech(speech), r.getAs[String]("speechURL"))
+      }
+    }.toDF("minutes_id", "minutes_name", "date", "speech_order", "speaker",
+        "speech", "cleaned", "speech_url")
+      .cache()
+
+    val speeches = speechRows.map { r =>
+      val mid = r.getAs[String]("minutes_id")
+      val order = r.getAs[Int]("speech_order")
+      val speaker = r.getAs[String]("speaker")
+      Speech(ScrapeFns.speechId(mid, order), mid, order, Some(speaker),
+        member_id = membersB.value.get(speaker),
+        ndl_url = Option(r.getAs[String]("speech_url")))
+    }
+
+    val speechTexts = speechRows.map { r =>
+      val mid = r.getAs[String]("minutes_id")
+      val order = r.getAs[Int]("speech_order")
+      DocText(ScrapeFns.speechId(mid, order), "speech",
+        title = Option(r.getAs[String]("minutes_name")),
+        speaker = Option(r.getAs[String]("speaker")),
+        body = Some(r.getAs[String]("cleaned")),
+        date = Option(r.getAs[String]("date")))
+    }
+
+    // R13 — per-meeting full text: ordered concat of cleaned speeches
+    val minutesTexts = speechRows
+      .groupBy($"minutes_id", $"minutes_name", $"date")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct($"speech_order", $"cleaned"))),
+        x => x.getField("cleaned"))).as("joined"))
+      .map { r =>
+        val cleaned = r.getAs[String]("joined")
+        DocText(r.getAs[String]("minutes_id"), "minutes",
+          title = Option(r.getAs[String]("minutes_name")),
+          body = Some(cleaned), date = Option(r.getAs[String]("date")))
+      }
+
+    // R12 — per-(meeting, speaker) Activities for member speakers, with
+    // the first speech URL by order
+    val activities = speechRows
+      .groupBy($"minutes_id", $"speaker", $"date")
+      .agg(min_by($"speech_url", $"speech_order").as("first_url"))
+      .flatMap { r =>
+        val speaker = r.getAs[String]("speaker")
+        membersB.value.get(speaker).map { memberId =>
+          val mid = r.getAs[String]("minutes_id")
+          val dt = java.sql.Timestamp.valueOf(r.getAs[String]("date") + " 00:00:00")
+          Activity(ScrapeFns.activityId(memberId, mid, r.getAs[String]("date")),
+            memberId, minutes_id = Some(mid), datetime = dt)
+        }
+      }
+
+    // R19 — bill-action state machine over moderator speeches
+    val contexts = minutes.collect().map(m => MinutesCtx(m.id, m.topics, m.topic_ids)).toSeq
+    val speechRecs = speechRows
+      .select($"minutes_id", $"speech_order", $"speaker", $"speech")
+      .as[SpeechRec]
+    val billActions = BillActions.run(spark, speechRecs, contexts, bills)
+
+    Out(minutes, speeches, speechTexts, minutesTexts, activities, billActions, nextPositions)
+  }
+}

@@ -43,7 +43,8 @@ final case class SyntheticSite(
     basePagesPerHost: Int,
     branching: Int = 3,
     hotFactor: Int = 8,
-    seed: Long = 42L) extends Fetcher {
+    seed: Long = 42L,
+    textSpansPerPage: Int = 3) extends Fetcher {
 
   def pagesOf(host: Int): Int = if (host == 0) basePagesPerHost * hotFactor else basePagesPerHost
 
@@ -98,11 +99,22 @@ final case class SyntheticSite(
     var off = 0
     def add(kind: String, text: String, ref: String): Unit = { spans += Span(kind, text, ref, off); off += 1 }
     add("title", s"第${(i % 204) + 1}回ページ ${hostName(k)} p$i", "")
-    val nText = 2 + (mix(k * 31L + i) & 3).toInt
+    // text spans sized to mimic a real page body (a Diet bill/minutes page
+    // carries tens of paragraphs the parse stage must scan)
+    val nText = textSpansPerPage + (mix(k * 31L + i) & 3).toInt
     for (t <- 0 until nText) {
-      val w1 = WordBank((mix(k + i * 131L + t) % WordBank.size).toInt.abs)
-      val w2 = WordBank((mix(t + i * 17L + k) % WordBank.size).toInt.abs)
-      add("text", s"${w1}の${w2}に関する第${t + 1}項", "")
+      val sb = new StringBuilder
+      var h = mix(k + i * 131L + t)
+      var w = 0
+      val words = 6 + (h & 7).toInt
+      while (w < words) {
+        h = mix(h)
+        sb.append(WordBank(((h % WordBank.size) + WordBank.size).toInt % WordBank.size))
+        sb.append(if ((h & 3) == 0) "、" else "の")
+        w += 1
+      }
+      sb.append(s"に関する第${t + 1}項")
+      add("text", sb.toString, "")
     }
     for (l <- links(k, i)) add("link", s"リンク$l", l)
     if ((i & 7) == 0) add("media", "", s"https://${hostName(k)}/img$i.png")

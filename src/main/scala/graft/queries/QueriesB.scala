@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Queries.Q
+
+/**
+ * Query batch B: training-data-pipeline operators (dedup sketches, ANN,
+ * text analysis) and the crawl engine's stateful ops, each with a DuckDB
+ * oracle where SQL-expressible.
+ *
+ * Cross-engine portable token hash: documents text is ASCII, so Spark's
+ * `ascii(c)` == DuckDB's `unicode(c)` per character; both engines fold
+ * the same polynomial ((acc*31+c) mod 1e9+7) left-to-right, giving
+ * bit-identical hashes. The production-scale variants in `graft.ops` use
+ * xxhash64 instead; these queries pin the *semantics* against the oracle.
+ */
+object QueriesB {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  private val P = 1000000007L
+
+  /** Spark: polynomial char hash of a string column. */
+  private def polyHash(c: Column): Column =
+    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % P)
+
+  /** DuckDB: same polynomial char hash (SQL fragment over expression e). */
+  private def polyHashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), ch -> CAST(unicode(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Spark: word 3-gram shingles of the token array (distinct). */
+  private def shingles: Column = array_distinct(
+    filter(
+      transform(toks, (x, i) =>
+        when(i < size(toks) - 2,
+          concat_ws(" ", x, element_at(toks, i + 2), element_at(toks, i + 3)))
+          .otherwise(lit(null))),
+      x => x.isNotNull))
+
+  private val shinglesSql =
+    """SELECT doc_id, DISTINCT_SH.sh FROM (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents) d,
+      |  LATERAL (SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+      |           FROM generate_series(1, 2000) g(i) WHERE i <= len(ts) - 2) DISTINCT_SH""".stripMargin
+
+  // minhash permutation params (deterministic, shared literally)
+  private val MinhashPerms: Seq[(Long, Long)] =
+    (0 until 8).map(i => (2L * i + 3L, 7L * i + 11L))
+
+  val defs: Map[String, Q] = Map(
+
+    // --- MinHash signatures (training-data dedup, scale path) ----------
+    "q25_minhash_sig" -> Q(
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), explode(shingles).as("sh"))
+          .withColumn("h", polyHash(col("sh")))
+        val perms = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          min((col("h") * a + b) % P).as(s"m$i")
+        }
+        val sig = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+        // flatten: (doc_id, perm, minhash)
+        val stacked = sig.select(col("doc_id"),
+          explode(array(MinhashPerms.indices.map(i =>
+            struct(lit(i).cast("long").as("perm"), col(s"m$i").as("minhash"))): _*)).as("p"))
+          .select(col("doc_id"), col("p.perm"), col("p.minhash"))
+        stacked.orderBy(col("doc_id"), col("perm"))
+      },
+      Some {
+        val sels = MinhashPerms.zipWithIndex
+          .map { case ((a, b), i) => s"min((h * $a + $b) % 1000000007) AS m$i" }
+          .mkString(", ")
+        val unions = MinhashPerms.indices
+          .map(i => s"SELECT doc_id, CAST($i AS BIGINT) AS perm, m$i AS minhash FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH sh AS ($shinglesSql),
+           |hashed AS (SELECT doc_id, ${polyHashSql("sh")} AS h FROM sh),
+           |sig AS (SELECT doc_id, $sels FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, perm, minhash FROM ($unions) ORDER BY doc_id, perm""".stripMargin
+      },
+      "MinHash signatures over word 3-gram shingles (training-data dedup)"),
+
+    // --- MinHash LSH banding → candidate pairs -------------------------
+    "q26_minhash_lsh_pairs" -> Q(
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), explode(shingles).as("sh"))
+          .withColumn("h", polyHash(col("sh")))
+        val perms = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          min((col("h") * a + b) % P).as(s"m$i")
+        }
+        val sig = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+        // 4 bands x 2 rows: band value combines two minhashes
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("bv"))): _*)).as("x"))
+          .select(col("doc_id"), col("x.band"), col("x.bv"))
+        bands.as("l").join(bands.as("r"),
+            col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val sels = MinhashPerms.zipWithIndex
+          .map { case ((a, b), i) => s"min((h * $a + $b) % 1000000007) AS m$i" }
+          .mkString(", ")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band, m${2 * b} * 1000000007 + m${2 * b + 1} AS bv FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH sh AS ($shinglesSql),
+           |hashed AS (SELECT doc_id, ${polyHashSql("sh")} AS h FROM sh),
+           |sig AS (SELECT doc_id, $sels FROM hashed GROUP BY doc_id),
+           |bands AS ($bandRows)
+           |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           |FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+           |ORDER BY 1, 2""".stripMargin
+      },
+      "MinHash LSH banding: near-dup candidate pairs (training-data dedup)"),
+
+    // --- SimHash (32-bit) ----------------------------------------------
+    "q27_simhash" -> Q(
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .withColumn("h", polyHash(col("tok")))
+        val bitSums = (0 until 32).map(j =>
+          sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j"))
+        val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        val sim = (0 until 32).map(j =>
+          when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))).reduce(_ + _)
+        agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+      },
+      Some {
+        val bitSums = (0 until 32)
+          .map(j => s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val sim = (0 until 32)
+          .map(j => s"CASE WHEN b$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${polyHashSql("tok")} AS h FROM tok),
+           |agg AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, $sim AS simhash FROM agg ORDER BY doc_id""".stripMargin
+      },
+      "SimHash document fingerprint (training-data near-dup)"),
+
+    // --- rolling-hash document fingerprint ------------------------------
+    "q28_doc_fingerprint" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), polyHash(trim(col("text"))).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, ${polyHashSql("trim(text)")} AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      "rolling polynomial hash fingerprint (training-data op)"),
+
+    // --- brute-force cosine ANN top-k ------------------------------------
+    "q29_ann_topk" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        val dot = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val withNorm = emb.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        val queries = withNorm.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val joined = queries.crossJoin(
+            withNorm.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn")))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        joined.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |normed AS (
+             |  SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM emb),
+             |pairs AS (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip(q.v, n.v), p -> p[1] * p[2])), (a, b) -> a + b)
+             |      / (q.nrm * n.nrm) AS cos
+             |  FROM normed q, normed n
+             |  WHERE q.vec_id % 25 = 0 AND q.vec_id <> n.vec_id)
+             |SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM pairs) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      "brute-force cosine top-k ANN baseline (similarity search)"),
+
+    // --- embedding norms --------------------------------------------------
+    "q30_embedding_norm" -> Q(
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)), 6) AS l2_norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      "embedding L2 norm via fold (similarity-search plumbing)"),
+
+    // --- language ID by stopword voting ----------------------------------
+    "q31_lang_id" -> Q(
+      (s, d) => {
+        def hits(words: Seq[String]): Column = {
+          val set = array(words.map(lit): _*)
+          size(filter(toks, x => array_contains(set, x))).cast("long")
+        }
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            hits(Seq("the", "of", "and", "to", "a")).as("en_hits"),
+            hits(Seq("der", "die", "das", "und", "ist")).as("de_hits"),
+            hits(Seq("le", "la", "et", "les", "des")).as("fr_hits"),
+            hits(Seq("el", "los", "y", "en", "que")).as("es_hits"))
+          .withColumn("pred_lang",
+            when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+              .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+              .when(col("fr_hits") >= col("es_hits"), "fr")
+              .otherwise("es"))
+          .select(col("doc_id"), col("pred_lang"), col("en_hits"), col("de_hits"),
+            col("fr_hits"), col("es_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+             |       WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+             |       WHEN fr_hits >= es_hits THEN 'fr'
+             |       ELSE 'es' END AS pred_lang,
+             |  en_hits, de_hits, fr_hits, es_hits
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(ts, x -> x IN ('the','of','and','to','a'))) AS BIGINT) AS en_hits,
+             |    CAST(len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+             |    CAST(len(list_filter(ts, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS fr_hits,
+             |    CAST(len(list_filter(ts, x -> x IN ('el','los','y','en','que'))) AS BIGINT) AS es_hits
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents))
+             |ORDER BY doc_id""".stripMargin),
+      "language ID heuristic by stopword voting (text analysis)"),
+
+    // --- ordered speech concat per (minutes, speaker) — R12 --------------
+    "q32_activity_concat" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(
+          concat(lit("M"), (col("doc_id") % 20).cast("string")).as("minutes_id"),
+          concat(lit("spk"), (col("doc_id") % 7).cast("string")).as("speaker"),
+          col("doc_id").as("speech_order"),
+          element_at(toks, 1).as("first_tok"))
+        .groupBy(col("minutes_id"), col("speaker"))
+        .agg(
+          concat_ws("|", transform(
+            array_sort(collect_list(struct(col("speech_order"), col("first_tok")))),
+            x => x.getField("first_tok"))).as("speech_concat"),
+          min(col("speech_order")).as("first_order"),
+          count(lit(1)).as("n_speeches"))
+        .orderBy(col("minutes_id"), col("speaker")),
+      Some("""SELECT 'M' || (doc_id % 20) AS minutes_id, 'spk' || (doc_id % 7) AS speaker,
+             |  string_agg(ts[1], '|' ORDER BY doc_id) AS speech_concat,
+             |  min(doc_id) AS first_order, count(*) AS n_speeches
+             |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "per-speaker ordered speech aggregation (SURVEY R12/R13, minutes_spider.py:127-173)"),
+
+    // --- R19 bill-action state machine (not SQL-expressible: rows-only) --
+    "q33_bill_actions" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.extract.{BillActions, MinutesCtx, SpeechRec}
+        val phrases = Seq("質疑に入ります", "採決に入ります", "趣旨説明お願いします", "これより会議を始めます")
+        val speeches = t(s, d, "documents")
+          .select(
+            concat(lit("M"), (col("doc_id") % 20).cast("string")).as("minutes_id"),
+            (col("doc_id") % 97).cast("int").as("speech_order"),
+            lit("議長").as("speaker"),
+            concat(lit("○議長　法律案"), (col("doc_id") % 5).cast("string"),
+              lit("を議題とします。"),
+              element_at(array(phrases.map(lit): _*), (col("doc_id") % 4 + 1).cast("int")))
+              .as("speech"))
+          .as[SpeechRec]
+        val contexts = (0 until 20).map { m =>
+          MinutesCtx(s"M$m",
+            topics = (0 until 5).map(i => s"法律案$i"),
+            topic_ids = (0 until 5).filter(_ % 2 == 0).map(i => s"Bill:$i"))
+        }
+        val bills = (0 until 5).map(i => s"Bill:$i" -> s"法律案$i")
+        BillActions.run(s, speeches, contexts, bills)
+          .toDF()
+          .orderBy(col("minutes_id"), col("bill_id"), col("bill_action_type"))
+      },
+      None, // stateful ordered scan — pinned by the golden test instead
+      "R19 bill-action state machine over synthesized speeches (flatMapGroups)")
+  )
+}

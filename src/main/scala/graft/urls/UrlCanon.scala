@@ -145,8 +145,47 @@ object UrlCanon {
     parts.sorted.mkString("&")
   }
 
+  /** Zero-allocation scan: true iff `url` is provably already in canonical
+    * form (http/https, lowercase host, no port, non-empty path, no
+    * dot-segments, no %-escapes, no query/fragment, no userinfo). The hot
+    * crawl path is dominated by already-canonical absolute URLs; this
+    * avoids ~20 string allocations per candidate. */
+  def isCanonicalFast(url: String): Boolean = {
+    val n = url.length
+    val schemeLen =
+      if (url.startsWith("https://")) 8
+      else if (url.startsWith("http://")) 7
+      else return false
+    var i = schemeLen
+    // authority: [a-z0-9.-] only (no port, no userinfo, no IPv6, no caps)
+    var sawHostChar = false
+    while (i < n && url.charAt(i) != '/') {
+      val c = url.charAt(i)
+      if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '.' || c == '-')) return false
+      sawHostChar = true
+      i += 1
+    }
+    if (!sawHostChar || i >= n) return false // empty path -> needs '/'
+    // path: no %, ?, #, uppercase ok; reject '.' segments and '//'
+    var prev = ' '
+    while (i < n) {
+      val c = url.charAt(i)
+      if (c == '%' || c == '?' || c == '#' || c <= ' ') return false // incl. ws: slow path trims
+      if (c == '/' && prev == '/') return false
+      if (c == '.' && prev == '/') return false // conservative: any '/.'
+      prev = c
+      i += 1
+    }
+    true
+  }
+
   /** Canonical form used as the dedup key (Scrapy-fingerprint analogue). */
   def canonicalize(url: String): String = {
+    if (isCanonicalFast(url)) return url
+    canonicalizeSlow(url)
+  }
+
+  private[urls] def canonicalizeSlow(url: String): String = {
     val p = parse(url.trim)
     val scheme = if (p.scheme == null) "http" else p.scheme.toLowerCase
     val auth = normalizeAuthority(p.authority, scheme)
@@ -164,6 +203,9 @@ object UrlCanon {
   /** RFC 3986 §5.2.2 transform references — `urljoin(base, ref)`. */
   def resolve(base: String, ref: String): String = {
     if (ref == null || ref.isEmpty) return base
+    // fast path: absolute http(s) ref with a clean path needs no merging
+    // and removeDotSegments would be the identity
+    if (isCanonicalFast(ref)) return ref
     val r = parse(ref)
     val b = parse(base)
     var (scheme, auth, path, query) = (r.scheme, r.authority, r.path, r.query)
@@ -202,6 +244,10 @@ object UrlCanon {
 
   /** Lowercased host of a URL ("" if none). */
   def hostOf(url: String): String = {
+    if (isCanonicalFast(url)) { // zero-parse fast path
+      val start = if (url.charAt(4) == 's') 8 else 7
+      return url.substring(start, url.indexOf('/', start))
+    }
     val auth = parse(url).authority
     if (auth == null) return ""
     val at = auth.lastIndexOf('@')

@@ -54,6 +54,20 @@ class UrlCanonSpec extends AnyFunSuite {
   } yield s"$scheme://$host$port/${segs.mkString("/")}" +
     q.map("?" + _).getOrElse("") + frag.map("#" + _).getOrElse("")
 
+  test("property: fast path agrees with the full canonicalizer") {
+    val canonGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https")
+      host <- Gen.oneOf("h1.example.jp", "www.shugiin.go.jp", "a-b.c")
+      segs <- Gen.listOfN(2, Gen.oneOf("p1", "B", "法律", "x.y", "index.htm", ""))
+      tail <- Gen.oneOf("", "?b=2&a=1", "#f", " ", "/./x", "%41")
+    } yield s"$scheme://$host/${segs.mkString("/")}$tail"
+    for (url <- samples(canonGen, 400)) {
+      assert(UrlCanon.canonicalize(url) == UrlCanon.canonicalizeSlow(url), s"url=$url")
+      if (UrlCanon.isCanonicalFast(url))
+        assert(UrlCanon.hostOf(url) == UrlCanon.parse(url).authority.toLowerCase, s"url=$url")
+    }
+  }
+
   test("property: canonicalize is idempotent") {
     for (url <- samples(urlGen, 300)) {
       val once = UrlCanon.canonicalize(url)
