@@ -1,0 +1,139 @@
+package graft.engine
+
+import graft.fetch.Fetcher
+import graft.model.{Document, FetchResult}
+import graft.urls.UrlCanon
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.time.LocalDate
+
+/**
+ * Frontier seeding and cursor sources (SURVEY.md §2.1 S1-S8).
+ *
+ * S1/S2 are plain seed lists; S3 enumerates dates; S4/S5 are *stateful*
+ * cursor sources: the cursor lives in driver state, each wave fetches a
+ * deterministic id batch in parallel, and the stop condition is evaluated
+ * on the collected wave (order-sensitive run of failures — R20). Cursor
+ * positions are persisted by the caller via the engine checkpoint
+ * (`cursors` table, FIXTURES.md §2).
+ */
+object Sources {
+
+  /** S1 — per-diet seed URL from a template with a `%d` slot
+    * (e.g. /root/reference/crawler/spiders/shugiin_spider.py:22-24). */
+  def perDietSeed(template: String, dietNumber: Int, parseFn: String): SeedSpec =
+    SeedSpec(template.format(dietNumber), parseFn)
+
+  /** S3 — one URL per day in [start, end)
+    * (/root/reference/crawler/spiders/shugiin_tv_spider.py:19-32). */
+  def dateRangeSeeds(template: String, start: LocalDate, end: LocalDate,
+      parseFn: String): Seq[SeedSpec] =
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(_.isBefore(end))
+      .map(d => SeedSpec(template.format(d.toString), parseFn)).toSeq
+
+  /** S8 — newline-delimited URL file
+    * (/root/reference/crawler/spiders/__init__.py:243-248). */
+  def urlFileSeeds(spark: SparkSession, path: String, parseFn: String): Seq[SeedSpec] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#"))
+      .map(SeedSpec(_, parseFn))
+
+  final case class CursorResult(
+      fetched: Seq[FetchResult],
+      finalCursor: Long,
+      stoppedByFailures: Boolean)
+
+  /**
+   * S4 + R20 — sequential-id cursor source: fetch template%id for
+   * id = start, start+1, …; stop after `failureLimit` consecutive
+   * failures *in id order* or at `maxId`
+   * (/root/reference/crawler/spiders/sangiin_tv_spider.py:17-29,47-72,
+   * failure_in_row_limit=10; vrsdd 404s are data, not errors:
+   * vrsdd_member_spider.py:28-29).
+   *
+   * Each wave fetches `batchSize` ids in parallel; the trailing-failure
+   * run is computed on the id-sorted wave results, so the *observable*
+   * stop point equals the reference's sequential scan.
+   */
+  def sequentialIdCrawl(
+      spark: SparkSession,
+      fetcher: Fetcher,
+      template: String,
+      startId: Long,
+      batchSize: Int = 64,
+      failureLimit: Int = 10,
+      maxId: Long = Long.MaxValue,
+      partitions: Int = 8): CursorResult = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[FetchResult]()
+    var cursor = startId
+    var trailingFailures = 0
+    var stopped = false
+
+    while (!stopped && cursor <= maxId) {
+      val hi = math.min(cursor + batchSize - 1, maxId)
+      val f = fetcher
+      val tmpl = template
+      val wave = spark.range(cursor, hi + 1)
+        .repartition(partitions)
+        .map { id =>
+          val url = tmpl.format(id)
+          val canon = UrlCanon.canonicalize(url)
+          val (status, doc) = f.fetch(url)
+          FetchResult(url, canon, UrlCanon.urlHash(canon), UrlCanon.hostOf(canon),
+            0, "cursor", Map("id" -> id.toString), 0, id, status,
+            from_cache = false, fetched_at_ms = 0L, slot = 0, partition_id = 0,
+            doc_id = doc.map(_.doc_id).getOrElse(canon),
+            spans = doc.map(_.spans).getOrElse(Nil))
+        }
+        .collect()
+        .sortBy(_.seq)
+
+      // order-sensitive scan for the failure run (R20)
+      var stopAt = -1L
+      for (r <- wave if stopAt < 0) {
+        if (r.ok) {
+          trailingFailures = 0
+          out += r
+        } else {
+          trailingFailures += 1
+          if (trailingFailures >= failureLimit) stopAt = r.seq
+        }
+      }
+      if (stopAt >= 0) { stopped = true; cursor = stopAt + 1 }
+      else cursor = hi + 1
+    }
+    CursorResult(out.toSeq, cursor, stopped)
+  }
+
+  /**
+   * S5 — cursor-paginated API: fetch page at `cursor`, extract the next
+   * cursor from the page via `nextCursorOf`, repeat until None
+   * (kokkai API `nextRecordPosition`,
+   * /root/reference/crawler/spiders/minutes_spider.py:37-42,90-92).
+   * Pages are inherently sequential (each cursor comes from the previous
+   * response) — parallelism in the reference workload comes from the
+   * per-meeting parse fan-out, not pagination.
+   */
+  def cursorPagedCrawl(
+      fetcher: Fetcher,
+      urlOf: Long => String,
+      nextCursorOf: Document => Option[Long],
+      start: Long = 1L,
+      maxPages: Int = 100000): (Seq[Document], Long) = {
+    val out = scala.collection.mutable.ArrayBuffer[Document]()
+    var cursor: Option[Long] = Some(start)
+    var pages = 0
+    var last = start
+    while (cursor.isDefined && pages < maxPages) {
+      val (status, doc) = fetcher.fetch(urlOf(cursor.get))
+      last = cursor.get
+      cursor = if (status >= 200 && status < 300 && doc.isDefined) {
+        out += doc.get
+        nextCursorOf(doc.get)
+      } else None
+      pages += 1
+    }
+    (out.toSeq, last)
+  }
+}

@@ -50,6 +50,11 @@ final case class CrawlConfig(
     robotsDisallow: Map[String, Seq[String]] = Map.empty, // host -> path prefixes
     maxWaves: Int = 10000,
     maxUrls: Long = Long.MaxValue,
+    // S11 — fetch cache: point at a prior run's `fetched` dir to reuse
+    // still-fresh pages instead of re-fetching (reference: filesystem HTTP
+    // cache with 600 s TTL, /root/reference/crawler/settings.py:84-86)
+    fetchCacheDir: Option[String] = None,
+    cacheTtlSec: Long = 600,
     keepFetched: Boolean = true, // write fetched docs table (off for pure-throughput bench)
     checkpointEvery: Int = 1, // durable checkpoint cadence in waves (always at loop exit)
     filterCapacityPerBucket: Int = 1 << 16)
@@ -464,6 +469,19 @@ class WaveEngine(
       seenView = flushedSeen
     }
 
+    // S11 fetch cache: fresh rows of a prior run's fetched table
+    val cacheDF: Option[DataFrame] = cfg.fetchCacheDir.map { dir =>
+      val cutoff = System.currentTimeMillis() - cfg.cacheTtlSec * 1000L
+      spark.read.schema(fetchResultSchema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+        .filter($"fetched_at_ms" >= cutoff && $"status" >= 200 && $"status" < 300)
+        .select($"url_hash", $"status".as("c_status"),
+          $"fetched_at_ms".as("c_fetched_at_ms"), $"doc_id".as("c_doc_id"),
+          $"spans".as("c_spans"))
+        .dropDuplicates("url_hash")
+        .cache()
+    }
+
     var done = pending.isEmpty
     while (!done && wave < cfg.maxWaves && totalFetched < cfg.maxUrls) {
       val tW0 = System.currentTimeMillis()
@@ -484,7 +502,30 @@ class WaveEngine(
       // per-partition lineage via accumulator — no dedicated job
       val lineageAcc = new org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]()
       spark.sparkContext.register(lineageAcc, s"lineage_w$wave")
-      val fetchedRaw = fetchBatch(batch, wave, waveStartMs, lineageAcc)
+      // serve cache hits without consuming politeness slots (S11)
+      val hitAcc = spark.sparkContext.longAccumulator(s"cache_hits_w$wave")
+      val (toFetch, cacheHits) = cacheDF match {
+        case None => (batch, None)
+        case Some(cache) =>
+          val misses = batch.toDF.join(cache.select($"url_hash"), Seq("url_hash"), "left_anti")
+            .as[UrlRecord]
+          val fw = wave
+          val hitResults = batch.joinWith(cache, batch("url_hash") === cache("url_hash"))
+            .map { case (r, c) =>
+              hitAcc.add(1L)
+              FetchResult(r.url, r.canonical, r.url_hash, r.host, r.host_bucket,
+                r.parse_fn, r.meta, fw, r.seq,
+                status = c.getAs[Int]("c_status"), from_cache = true,
+                fetched_at_ms = c.getAs[Long]("c_fetched_at_ms"), slot = -1,
+                partition_id = -1, doc_id = c.getAs[String]("c_doc_id"),
+                spans = c.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("c_spans")
+                  .map(sp => Span(sp.getAs[String]("kind"), sp.getAs[String]("text"),
+                    sp.getAs[String]("media_ref"), sp.getAs[Int]("offset"))).toSeq)
+            }
+          (misses, Some(hitResults))
+      }
+      val liveFetched = fetchBatch(toFetch, wave, waveStartMs, lineageAcc)
+      val fetchedRaw = cacheHits.map(h => liveFetched.unionByName(h)).getOrElse(liveFetched)
       val fetched = if (cfg.keepFetched) {
         val f = fetchedRaw.cache()
         f.write.mode(SaveMode.Overwrite).parquet(s"$ckpt/fetched/wave_$wave")
@@ -531,7 +572,7 @@ class WaveEngine(
       val novelCount = ordered.count()
       val tSeq = System.currentTimeMillis() - tS0
       nextSeq += (novelCount + 1) * nBuckets
-      val fetchedCount = lineageAcc.value.asScala.map(_._2).sum
+      val fetchedCount = lineageAcc.value.asScala.map(_._2).sum + hitAcc.value
       totalFetched += fetchedCount
       val dedupedCount = emittedAcc.value - novelCount
       totalDeduped += dedupedCount

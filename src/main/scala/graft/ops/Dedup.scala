@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Production-scale dedup operators for training-data pipelines. These are
+ * the xxhash64-powered variants (codegen'd, 64-bit, skew-aware); the
+ * cross-engine oracle-checked semantics live in graft.queries (portable
+ * 30-bit polynomial hash).
+ *
+ * Scale notes (100 TB):
+ *  - exact dedup groups by a 64-bit content hash, never by the full text
+ *    (shuffle carries 8-byte keys + doc ids, not bodies);
+ *  - MinHash/LSH shuffles only (band_hash, doc_id) pairs — band buckets
+ *    are the classic near-dup join that avoids the O(n²) self-join;
+ *  - hot band buckets (boilerplate pages) are capped by `maxBucketSize`
+ *    before the pair expansion — a bucket of b docs emits b²/2 pairs, so
+ *    one degenerate bucket otherwise dominates the job.
+ */
+object Dedup {
+
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingle hashes (distinct) — 64-bit, codegen'd. */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    array_distinct(filter(
+      transform(ts, (x, i) =>
+        when(i <= size(ts) - n,
+          xxhash64(concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*)))
+          .otherwise(lit(null))),
+      x => x.isNotNull))
+  }
+
+  /** Exact dedup: one keeper row per identical content; returns
+    * (doc_id, canonical_doc, n_copies) for every input row. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df.select(col(idCol), xxhash64(col(textCol)).as("content_hash"))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    h.withColumn("canonical_doc", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_copies", count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(idCol), col("canonical_doc"), col("n_copies"))
+  }
+
+  private def $(s: String): Column = org.apache.spark.sql.functions.col(s)
+
+  /** MinHash signature columns m0..m{k-1} for a text column. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16): DataFrame = {
+    val P = 1000000007L // 30-bit prime: a_i*h+b stays far from Long overflow (ANSI mode)
+    val sh = df.select(col(idCol), explode(shingleHashes(col(textCol))).as("h"))
+      // map into [0, P) so the permutations stay positive
+      .withColumn("hp", pmod(col("h"), lit(P)))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(col("hp") * (2 * i + 3) + (7 * i + 11), lit(P))).as(s"m$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: signatures banded `bands` ways;
+    * docs sharing any band bucket become candidates. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = minhashSignature(df, idCol, textCol, numHashes)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", (0 until rows).map(r => $(s"m${b * rows + r}")): _*)).as("bv")))
+    val banded = sig.select(col(idCol).as("doc"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc"), col("x.band"), col("x.bv"))
+    // skew guard: drop degenerate buckets
+    val sized = banded.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    sized.as("l").join(sized.as("r"),
+        $("l.band") === $("r.band") && $("l.bv") === $("r.bv") && $("l.doc") < $("r.doc"))
+      .select($("l.doc").as("doc_a"), $("r.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for given pairs (verification stage after
+    * LSH candidate generation). */
+  def jaccardFor(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes (single-pass, no explode: the bit
+    * tally folds inside one aggregate expression per document). */
+  def simhash64(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val bitSums = (0 until 64).map { j =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    (0 until 64).map(j =>
+      when(bitSums(j) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 x 16-bit sub-keys (a pair within
+    * Hamming distance 3 must agree on at least one block — pigeonhole),
+    * then verify the true distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+    val blocks = withSig.select(col("doc"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("x"))
+      .select(col("doc"), col("sig"), col("x.blk"), col("x.bv"))
+    blocks.as("l").join(blocks.as("r"),
+        $("l.blk") === $("r.blk") && $("l.bv") === $("r.bv") && $("l.doc") < $("r.doc"))
+      .select($("l.doc").as("doc_a"), $("r.doc").as("doc_b"),
+        hamming64($("l.sig"), $("r.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

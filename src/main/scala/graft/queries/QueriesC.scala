@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Queries.Q
+
+/**
+ * Query batch C: streaming-semantics operators (batch-equivalent form —
+ * the Structured-Streaming path is verified batch-vs-stream in
+ * StreamsSpec) and the xxhash64 production ops (rows-only checks: their
+ * hash is not reproducible in the oracle engine; semantics are pinned by
+ * the portable-hash twins in batch B and by OpsSpec).
+ */
+object QueriesC {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Map[String, Q] = Map(
+
+    // tumbling-window aggregation (streaming path: Streams.windowedEventCounts)
+    "q34_windowed_agg" -> Q(
+      (s, d) => graft.streaming.Streams.windowedEventCounts(t(s, d, "events"))
+        .withColumn("window_start_ms",
+          (unix_timestamp(col("window_start")) * 1000).cast("long"))
+        .select(col("window_start_ms"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start_ms"), col("event_type")),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) * 1000 AS BIGINT) AS window_start_ms,
+             |  event_type, count(*) AS n, round(sum(value), 3) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "tumbling-window event aggregation (streaming semantics, batch-checked)"),
+
+    // gap-based sessionization: flatMapGroupsWithState sessionizer vs the
+    // classic SQL gap-window formulation
+    "q35_sessionize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val gapMs = 3600 * 1000L
+        val events = t(s, d, "events")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .as[graft.streaming.Streams.Event]
+        val closed = graft.streaming.Streams.sessionize(s, events, gapMs)
+        val open = graft.streaming.Streams.openSessions(s, events, gapMs)
+        closed.unionByName(open).toDF()
+          .select(col("user_id"),
+            unix_millis(col("session_start")).as("start_ms"),
+            unix_millis(col("session_end")).as("end_ms"),
+            col("n_events").cast("long").as("n_events"))
+          .orderBy(col("user_id"), col("start_ms"))
+      },
+      Some("""SELECT user_id,
+             |  epoch_ms(min(ts)) AS start_ms,
+             |  epoch_ms(max(ts)) AS end_ms,
+             |  count(*) AS n_events
+             |FROM (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+             |        THEN 1 ELSE 0 END AS new_session
+             |    FROM events))
+             |GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin),
+      "gap sessionization: stateful flatMapGroupsWithState vs SQL gap-window"),
+
+    // xxhash64 production dedup ops — rows-only (hash not oracle-portable)
+    "q36_minhash_lsh_x64" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 8)
+        graft.ops.Dedup.jaccardFor(pairs, docs, "doc_id", "text")
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None,
+      "xxhash64 MinHash-LSH candidate pairs + exact Jaccard verify (scale path)"),
+
+    "q37_simhash_pairs_x64" -> Q(
+      (s, d) => graft.ops.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 18).orderBy(col("doc_a"), col("doc_b")),
+      None,
+      "xxhash64 SimHash blocked near-dup pairs (scale path)"),
+
+    "q38_ann_lsh_x64" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.ops.Ann.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+          "vec_id", "embedding", k = 3)
+          .withColumn("cos", round(col("cos"), 4))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None,
+      "random-hyperplane LSH ANN with exact rerank (similarity-search scale path)"),
+
+    "q39_media_features" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents")
+          .select(
+            concat(lit("media/"), col("doc_id").cast("string")).as("media_ref"),
+            when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio")
+              .otherwise("video").as("kind"),
+            encode(col("text"), "utf-8").as("bytes"),
+            (col("doc_id") % 1920).cast("int").as("width"),
+            (col("doc_id") % 1080).cast("int").as("height"),
+            (col("doc_id") * 40L).as("duration_ms"))
+          .as[graft.ops.Multimodal.MediaRow]
+        graft.ops.Multimodal.extractFeatures(s, media)
+          .toDF()
+          .select(col("media_ref"), col("kind"), col("n_bytes"), col("sha_like"))
+          .orderBy(col("media_ref"))
+      },
+      None,
+      "multimodal binary-column pipeline: batched decode stub + features")
+  )
+}

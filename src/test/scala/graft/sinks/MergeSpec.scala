@@ -1,0 +1,66 @@
+package graft.sinks
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("K1 merge: partial-field upsert, snapshot versioning, idempotence") {
+    val t = new SnapshotTable(spark, SparkTestSession.tmpDir("merge"))
+    t.merge(Seq(("Bill:1", "犬法案", "KAKUHOU"), ("Bill:2", "猫法案", "SHUHOU"))
+      .toDF("id", "name", "category"))
+    // partial update: only reason for Bill:1; new Bill:3
+    t.merge(Seq(("Bill:1", Some("誤字修正のため"), None),
+        ("Bill:3", None, Some("SANHOU")))
+      .toDF("id", "reason", "category"))
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.length == 3)
+    val r1 = t.read().filter($"id" === "Bill:1").head()
+    assert(r1.getAs[String]("name") == "犬法案") // untouched field kept
+    assert(r1.getAs[String]("reason") == "誤字修正のため")
+    assert(r1.getAs[String]("category") == "KAKUHOU")
+    // re-running the same merge is a no-op on content (new snapshot, same rows)
+    val v = t.currentVersion
+    t.merge(Seq(("Bill:1", Some("誤字修正のため"), None): (String, Option[String], Option[String]))
+      .toDF("id", "reason", "category"))
+    assert(t.currentVersion == v + 1)
+    assert(t.read().orderBy("id").collect().toSeq == rows.toSeq)
+    // time travel: v1 had no reason column value
+    assert(t.readVersion(1).columns.toSet == Set("id", "name", "category"))
+  }
+
+  test("K2 edge merge is distinct-accumulating") {
+    val t = new SnapshotTable(spark, SparkTestSession.tmpDir("edges"))
+    t.mergeEdges(Seq(("a", "b"), ("a", "c")).toDF("from_id", "to_id"))
+    t.mergeEdges(Seq(("a", "b"), ("d", "e")).toDF("from_id", "to_id"))
+    assert(t.read().count() == 3)
+  }
+
+  test("K3 delete-then-insert replaces matching rows only") {
+    val t = new SnapshotTable(spark, SparkTestSession.tmpDir("dti"))
+    t.merge(Seq(("Url:1", "Bill:1", "KEIKA"), ("Url:2", "Bill:1", "HONBUN"),
+      ("Url:3", "Bill:2", "KEIKA")).toDF("id", "to_id", "title"))
+    t.deleteThenInsert($"to_id" === "Bill:1" && $"title" === "KEIKA",
+      Seq(("Url:9", "Bill:1", "KEIKA")).toDF("id", "to_id", "title"))
+    val ids = t.read().select("id").as[String].collect().toSet
+    assert(ids == Set("Url:9", "Url:2", "Url:3"))
+  }
+
+  test("K4 existence gate keeps only rows with a live parent") {
+    val parents = Seq("Minutes:1", "Minutes:2").toDF("id")
+    val updates = Seq(("Url:1", "Minutes:1"), ("Url:2", "Minutes:9")).toDF("id", "minutes_id")
+    val gated = MergeOps.gateByExistence(updates, parents, "minutes_id")
+    assert(gated.select("id").as[String].collect().toSeq == Seq("Url:1"))
+  }
+
+  test("K6 validate-or-quarantine splits on required fields") {
+    val rows = Seq(("News:1", "title1", "body"), ("News:2", "", "body"),
+      (null.asInstanceOf[String], "t", "b")).toDF("id", "title", "body")
+    val (ok, bad) = MergeOps.validateOrQuarantine(rows, Seq("id", "title"))
+    assert(ok.count() == 1)
+    assert(bad.count() == 2)
+  }
+}

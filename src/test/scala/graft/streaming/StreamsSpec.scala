@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("windowed event counts: streaming result equals batch result") {
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val expected = Streams.windowedEventCounts(batch)
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    // drive the same events through the streaming path (staged alone —
+    // the sf dir mixes table schemas)
+    val dir = SparkTestSession.tmpDir("events-stream")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val streaming = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val q = Streams.windowedEventCounts(streaming)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winagg")
+      .start()
+    q.processAllAvailable()
+    val got = spark.table("winagg").orderBy("window_start", "event_type").collect().toSeq
+    q.stop()
+    assert(got == expected)
+  }
+
+  test("sessionization: closed + open sessions partition the event stream") {
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val events = spark.createDataset(Seq(
+      Streams.Event(1, ts(0), 7L, "click", 1.0),
+      Streams.Event(2, ts(5), 7L, "view", 1.0), // same session (gap 5m < 30m)
+      Streams.Event(3, ts(120), 7L, "click", 1.0), // new session
+      Streams.Event(4, ts(2), 8L, "view", 1.0))) // other user
+    val gap = 30 * 60000L
+    val closed = Streams.sessionize(spark, events, gap).collect()
+    val open = Streams.openSessions(spark, events, gap).collect()
+    // user 7: first session closed (2 events), second open (1 event)
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 7L && closed.head.n_events == 2)
+    val openByUser = open.map(s => s.user_id -> s.n_events).toMap
+    assert(openByUser == Map(7L -> 1, 8L -> 1))
+  }
+}
