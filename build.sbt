@@ -25,11 +25,12 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= sys.env.get("GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ")) ++
   jdk17AddOpens ++ Seq(
-  // G1 + fixed heap: measured best stability for this churn-heavy batch
-  // workload (ParallelGC+NewRatio=1 showed 19s young pauses at 32 threads)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  "-XX:MaxGCPauseMillis=400",
+  // ParallelGC + moderate fixed heap: measured most stable for this
+  // allocation-heavy batch workload (G1 and huge-young-gen configs showed
+  // multi-second pauses and 2x run variance)
+  "-XX:+UseParallelGC",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
