@@ -96,9 +96,16 @@ object Bench {
     val hosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "1024").toInt
     val basePages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2000").toInt
 
+    // local-iteration knobs (driver sets neither): comma-separated query
+    // filter, and frontier skip for query-only timing runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val skipFrontier = sys.env.get("SPARK_GRAFT_SKIP_FRONTIER").contains("1")
+
     // part 1: headline queries on the sf dir
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
@@ -111,9 +118,12 @@ object Bench {
     // cores + SMT): local[2]→local[8] is 4x PHYSICAL cores (the clean
     // executor-scaling proxy); local[8]→local[32] crosses into SMT, whose
     // hardware ceiling we measure at ~0.78 (see BENCH/BASELINE.md).
-    val (qps2, _, _, ms2) = frontierRun(2, hosts, basePages)
-    val (qps8, _, _, ms8) = frontierRun(8, hosts, basePages)
-    val (qps32, fetched32, deduped32, ms32) = frontierRun(32, hosts, basePages)
+    val (qps2, _, _, ms2) =
+      if (skipFrontier) (0.0, 0L, 0L, 0L) else frontierRun(2, hosts, basePages)
+    val (qps8, _, _, ms8) =
+      if (skipFrontier) (0.0, 0L, 0L, 0L) else frontierRun(8, hosts, basePages)
+    val (qps32, fetched32, deduped32, ms32) =
+      if (skipFrontier) (0.0, 0L, 0L, 0L) else frontierRun(32, hosts, basePages)
     val eff28 = qps8 / qps2 / 4.0
     val eff832 = qps32 / qps8 / 4.0
 

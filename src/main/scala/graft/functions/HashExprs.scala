@@ -1,0 +1,239 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the hash-heavy training-data operators
+ * (MinHash shingling, SimHash, fingerprints, dot products).
+ *
+ * Why these exist: the same semantics are expressible with
+ * `aggregate(transform(split(c, ""), ...))` higher-order-function
+ * compositions, but Catalyst HOF lambdas are *interpreted* — a per-character
+ * fold materializes one UTF8String per character and re-evaluates the
+ * lambda through the interpreter for each element (q25 in round 1 spent
+ * 180 s hashing ~26k shingles). Each expression here runs the identical
+ * math in one tight JVM loop and participates in whole-stage codegen via
+ * a static call, so the hot path stays inside generated code.
+ *
+ * Semantics are bit-identical to the HOF versions they replace (pinned by
+ * HashExprsSpec against the old compositions and by the DuckDB oracle):
+ *  - [[PolyHash]]        == aggregate(transform(split(s,""), ascii), 0, (a,c)=>(a*31+c)%P)
+ *  - [[PolyShingleHashes]] == distinct polyHash over space-joined word n-grams
+ *  - [[XxShingleHashes]] == array_distinct(xxhash64(concat_ws(" ", t_i..t_{i+n-1})))
+ *  - [[SimHash64]]       == 64-bit simhash over xxhash64(token) bit tallies
+ *  - [[DotF64]]          == aggregate(zip_with(a,b,_*_), 0.0, _+_) (same fold order)
+ */
+object HashImpl {
+  final val P: Long = 1000000007L
+  private final val Seed: Long = 42L // Spark's xxhash64 default seed
+
+  /** Polynomial code-point hash: acc = (acc*31 + codePoint) % P, left-to-right.
+    * Matches DuckDB `list_reduce(... unicode(ch) ...)` on the oracle side. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** polyHash of tokens(from..from+n-1) joined with a single space —
+    * identical to polyHash(t0 + " " + t1 + ... ) without materializing
+    * the joined string. */
+  private def polyHashShingle(toks: Array[String], from: Int, n: Int): Long = {
+    var acc = 0L
+    var k = 0
+    while (k < n) {
+      if (k > 0) acc = (acc * 31 + 32L) % P // ' '
+      val t = toks(from + k)
+      var i = 0
+      val len = t.length
+      while (i < len) {
+        val cp = t.codePointAt(i)
+        acc = (acc * 31 + cp) % P
+        i += Character.charCount(cp)
+      }
+      k += 1
+    }
+    acc
+  }
+
+  private def distinctInOrder(hs: Array[Long], m: Int): ArrayData = {
+    val seen = new java.util.HashSet[java.lang.Long](Math.max(16, m * 2))
+    val out = new Array[Long](m)
+    var n = 0
+    var i = 0
+    while (i < m) {
+      if (seen.add(hs(i))) { out(n) = hs(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** Distinct polynomial hashes of word n-gram shingles, first-occurrence
+    * order (array_distinct semantics). */
+  def polyShingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val hs = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) { hs(i) = polyHashShingle(toks, i, n); i += 1 }
+    distinctInOrder(hs, cnt)
+  }
+
+  /** Distinct xxhash64 (seed 42, Spark-compatible) of space-joined word
+    * n-gram shingles, first-occurrence order. */
+  def xxShingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    val hs = new Array[Long](cnt)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < cnt) {
+      var k = 0
+      while (k < n) { window(k) = toks(i + k); k += 1 }
+      val joined = UTF8String.concatWs(space, window: _*)
+      hs(i) = XXH64.hashUTF8String(joined, Seed)
+      i += 1
+    }
+    distinctInOrder(hs, cnt)
+  }
+
+  /** 64-bit SimHash over xxhash64(token): tally each bit (+1/-1), set the
+    * result bit where the tally is >= 0. Empty input -> all bits set. */
+  def simhash64(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Sequential-order dot product of two double arrays (fold order matches
+    * aggregate(zip_with(...)) so doubles are bit-identical). Iterates over
+    * the shorter length. */
+  def dotF64(a: ArrayData, b: ArrayData): Double = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** Polynomial code-point hash of a string column (cross-engine portable:
+  * identical to DuckDB's unicode()-fold; see QueriesB.polyHashSql). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_hash"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.polyHash(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Distinct polynomial hashes of word n-gram shingles of a token array. */
+case class PolyShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_shingle_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.polyShingleHashes(input.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.polyShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): PolyShingleHashes =
+    copy(child = newChild)
+}
+
+/** Distinct xxhash64 of word n-gram shingles of a token array (production
+  * 64-bit variant; seed-42 compatible with Spark's xxhash64). */
+case class XxShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "xx_shingle_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.xxShingleHashes(input.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.xxShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): XxShingleHashes =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array (single pass, one loop per document). */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.simhash64(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Dot product of two array<double> columns in index order. */
+case class DotF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_f64"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.dotF64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.dotF64($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotF64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-space entry points for the native expressions. */
+object HashFns {
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  def polyHash(c: Column): Column = ColumnBridge.column(PolyHash(ex(c)))
+  def polyShingleHashes(tokens: Column, n: Int = 3): Column =
+    ColumnBridge.column(PolyShingleHashes(ex(tokens), n))
+  def xxShingleHashes(tokens: Column, n: Int = 3): Column =
+    ColumnBridge.column(XxShingleHashes(ex(tokens), n))
+  def simhash64(tokens: Column): Column = ColumnBridge.column(SimHash64Expr(ex(tokens)))
+  def dotF64(a: Column, b: Column): Column = ColumnBridge.column(DotF64(ex(a), ex(b)))
+}

@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native index-order dot product (graft.functions.DotF64) — same fold
+    * order as aggregate(zip_with(...)), one JVM loop per pair. */
+  def dot(a: Column, b: Column): Column = graft.functions.HashFns.dotF64(a, b)
 
   def l2(a: Column): Column = sqrt(dot(a, a))
 

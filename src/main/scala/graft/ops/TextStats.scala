@@ -66,8 +66,9 @@ object TextStats {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
-  /** Rolling polynomial fingerprint (content-defined, order-sensitive). */
+  /** Rolling polynomial fingerprint (content-defined, order-sensitive) —
+    * native codegen'd loop (graft.functions.PolyHash), same math as the
+    * round-1 per-character HOF fold. */
   def fingerprint(text: Column): Column =
-    aggregate(transform(split(trim(text), ""), c => ascii(c).cast("long")),
-      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+    graft.functions.HashFns.polyHash(trim(text))
 }

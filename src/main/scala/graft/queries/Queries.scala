@@ -442,10 +442,10 @@ object Queries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("""WITH sh AS (
-             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
-             |       generate_series(1, 2000) g(i)
-             |  WHERE i <= len(ts) - 2),
+             |  SELECT doc_id, unnest(list_distinct(list_filter(
+             |    list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),
+             |    s -> s IS NOT NULL))) AS sh
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)),
              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
              |pairs AS (
              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter

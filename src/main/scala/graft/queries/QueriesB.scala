@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.HashFns
 import graft.queries.Queries.Q
 
 /**
@@ -24,29 +25,36 @@ object QueriesB {
 
   private val P = 1000000007L
 
-  /** Spark: polynomial char hash of a string column. */
-  private def polyHash(c: Column): Column =
-    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
-      lit(0L), (acc, x) => (acc * 31 + x) % P)
+  /** Spark: polynomial char hash of a string column — a native codegen'd
+    * Expression (graft.functions.PolyHash); round 1's HOF composition
+    * (aggregate over split(c, "")) interpreted a lambda per character and
+    * cost 180 s in q25 alone. Same math, same oracle. */
+  private def polyHash(c: Column): Column = HashFns.polyHash(c)
 
   /** DuckDB: same polynomial char hash (SQL fragment over expression e). */
   private def polyHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), ch -> CAST(unicode(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
 
-  /** Spark: word 3-gram shingles of the token array (distinct). */
-  private def shingles: Column = array_distinct(
-    filter(
-      transform(toks, (x, i) =>
-        when(i < size(toks) - 2,
-          concat_ws(" ", x, element_at(toks, i + 2), element_at(toks, i + 3)))
-          .otherwise(lit(null))),
-      x => x.isNotNull))
+  /** Spark side of the shingle pipeline: documents -> (doc_id, h) with h
+    * the polynomial hash of each distinct word 3-gram. The token array is
+    * materialized once per row and shingle-hashed in a single native loop
+    * (PolyShingleHashes); round 1 recomputed split() per element_at and
+    * folded per character. Distinct-hash vs distinct-string only differs
+    * under a hash collision, which the downstream min()/band aggregates
+    * are insensitive to. */
+  private def shingleHashed(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), explode(HashFns.polyShingleHashes(col("ts"), 3)).as("h"))
 
+  // shingle enumeration derives from len(ts) (indexed list_transform) so
+  // the oracle and the (unbounded) Spark side agree for arbitrarily long
+  // documents — round 1 capped the oracle at 2000 positions
   private val shinglesSql =
-    """SELECT doc_id, DISTINCT_SH.sh FROM (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents) d,
-      |  LATERAL (SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-      |           FROM generate_series(1, 2000) g(i) WHERE i <= len(ts) - 2) DISTINCT_SH""".stripMargin
+    """SELECT doc_id, unnest(list_distinct(list_filter(
+      |  list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),
+      |  s -> s IS NOT NULL))) AS sh
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)""".stripMargin
 
   // minhash permutation params (deterministic, shared literally)
   private val MinhashPerms: Seq[(Long, Long)] =
@@ -57,9 +65,7 @@ object QueriesB {
     // --- MinHash signatures (training-data dedup, scale path) ----------
     "q25_minhash_sig" -> Q(
       (s, d) => {
-        val sh = t(s, d, "documents")
-          .select(col("doc_id"), explode(shingles).as("sh"))
-          .withColumn("h", polyHash(col("sh")))
+        val sh = shingleHashed(s, d)
         val perms = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
           min((col("h") * a + b) % P).as(s"m$i")
         }
@@ -88,9 +94,7 @@ object QueriesB {
     // --- MinHash LSH banding → candidate pairs -------------------------
     "q26_minhash_lsh_pairs" -> Q(
       (s, d) => {
-        val sh = t(s, d, "documents")
-          .select(col("doc_id"), explode(shingles).as("sh"))
-          .withColumn("h", polyHash(col("sh")))
+        val sh = shingleHashed(s, d)
         val perms = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
           min((col("h") * a + b) % P).as(s"m$i")
         }
@@ -167,9 +171,9 @@ object QueriesB {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val emb = t(s, d, "embeddings")
-          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        val dot = (a: Column, b: Column) =>
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // native dot product (same fold order as aggregate(zip_with(...)))
+        val dot = (a: Column, b: Column) => HashFns.dotF64(a, b)
         val withNorm = emb.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
         val queries = withNorm.filter(col("vec_id") % 25 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -205,12 +209,13 @@ object QueriesB {
 
     // --- embedding norms --------------------------------------------------
     "q30_embedding_norm" -> Q(
-      (s, d) => t(s, d, "embeddings")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          round(sqrt(aggregate(
-            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))
-        .orderBy(col("vec_id")),
+      (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            round(sqrt(HashFns.dotF64(v, v)), 6).as("l2_norm"))
+          .orderBy(col("vec_id"))
+      },
       Some("""SELECT vec_id, CAST(label AS BIGINT) AS label,
              |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)), 6) AS l2_norm
