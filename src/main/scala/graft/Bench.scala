@@ -29,6 +29,16 @@ object DietParser extends PageParser {
   }
 }
 
+/** Child-JVM entry for one frontier parallelism level: prints a single
+  * machine-readable CHILD_RESULT line for the parent Bench to combine. */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    val Array(cpus, hosts, basePages) = args.map(_.toInt)
+    val (qps, fetched, deduped, ms) = Bench.frontierRun(cpus, hosts, basePages)
+    println(s"CHILD_RESULT $qps,$fetched,$deduped,$ms")
+  }
+}
+
 /**
  * Benchmark main. Prints ONE JSON line:
  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
@@ -53,6 +63,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the frontier's candidate shuffle is an RDD shuffle; Kryo halves
+      // its serialization cost vs JavaSerializer (deploys should set this)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -90,6 +103,31 @@ object Bench {
     f.delete()
   }
 
+  /** Run one frontier level in a fresh JVM (same classpath + JVM flags as
+    * this one) and parse its single-line result. */
+  def frontierRunInChildJvm(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filterNot(a => a.startsWith("-Xlog") || a.startsWith("-agentlib"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.BenchChild",
+        cpus.toString, hosts.toString, basePages.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    // stream child stderr (Spark logs) straight through so neither pipe
+    // can fill up and deadlock the child
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+    val p = pb.start()
+    val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    p.waitFor()
+    val line = outLines.find(_.startsWith("CHILD_RESULT "))
+      .getOrElse(throw new IllegalStateException(
+        s"bench child (cpus=$cpus) produced no result; tail=${outLines.takeRight(5)}"))
+    val Array(qps, fetched, deduped, ms) = line.stripPrefix("CHILD_RESULT ").split(",")
+    (qps.toDouble, fetched.toLong, deduped.toLong, ms.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -118,12 +156,20 @@ object Bench {
     // cores + SMT): local[2]→local[8] is 4x PHYSICAL cores (the clean
     // executor-scaling proxy); local[8]→local[32] crosses into SMT, whose
     // hardware ceiling we measure at ~0.78 (see BENCH/BASELINE.md).
-    val (qps2, _, _, ms2) =
-      if (skipFrontier) (0.0, 0L, 0L, 0L) else frontierRun(2, hosts, basePages)
-    val (qps8, _, _, ms8) =
-      if (skipFrontier) (0.0, 0L, 0L, 0L) else frontierRun(8, hosts, basePages)
-    val (qps32, fetched32, deduped32, ms32) =
-      if (skipFrontier) (0.0, 0L, 0L, 0L) else frontierRun(32, hosts, basePages)
+    val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
+      .split(",").map(_.trim.toInt).toSet
+    // Each parallelism level runs in a FRESH child JVM: running the levels
+    // back-to-back in one JVM contaminates the later ones (grown heap,
+    // full-GC pressure, fragmented old gen from the prior level's state)
+    // and understated local[8] by ~1.6x. Warm-to-warm comparison comes
+    // from the in-child warmup crawl, not JVM reuse.
+    def level(n: Int): (Double, Long, Long, Long) =
+      if (skipFrontier || !levels.contains(n)) (0.0, 0L, 0L, 0L)
+      else if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) frontierRun(n, hosts, basePages)
+      else frontierRunInChildJvm(n, hosts, basePages)
+    val (qps2, _, _, ms2) = level(2)
+    val (qps8, _, _, ms8) = level(8)
+    val (qps32, fetched32, deduped32, ms32) = level(32)
     val eff28 = qps8 / qps2 / 4.0
     val eff832 = qps32 / qps8 / 4.0
 

@@ -4,10 +4,13 @@ import graft.fetch.Fetcher
 import graft.model._
 import graft.seen.CuckooFilter
 import graft.urls.UrlCanon
-import org.apache.spark.TaskContext
+import org.apache.spark.{HashPartitioner, TaskContext}
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.CollectionAccumulator
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
@@ -82,6 +85,200 @@ final case class Candidate(
     emission_idx: Int)
 
 /**
+ * Per-bucket URL-seen state: the cuckoo pre-filter plus the exact
+ * (url_hash → canonicals) map that makes dedup collision-proof — the
+ * 64-bit hash alone would drop a distinct URL on a collision (~3 expected
+ * at the 10^10-URL design scale by the birthday bound). The map is an
+ * immutable persistent HashMap, so each wave's new state structurally
+ * shares almost all of the previous wave's entries (O(novel · log n) new
+ * nodes per wave, never a copy of the full set).
+ *
+ * At 10^10-URL scale one bucket holds |seen|/hostBuckets entries; the
+ * state lives partitioned across executors (never on the driver, never
+ * broadcast). A deployment whose per-executor seen share exceeds memory
+ * would swap the map for a disk-backed store behind `isDup`/fold — the
+ * partitioning and wave protocol stay identical.
+ */
+private[engine] final case class BucketSeen(
+    bucket: Int,
+    filter: CuckooFilter,
+    exact: Map[Long, List[String]],
+    count: Long) {
+  /** Exact membership; the filter short-circuits the common novel case
+    * (no false negatives; positives verified against the exact map). */
+  def isDup(h: Long, canon: String): Boolean =
+    filter.contains(h) && exact.get(h).exists(_.contains(canon))
+}
+
+/** One bucket's wave output: advanced state + novel rows (with assigned
+  * seq) + the bucket's exact candidate count (for exact dedup metrics). */
+private[engine] final case class BucketWave(
+    state: BucketSeen,
+    novel: Array[UrlRecord],
+    nCandidates: Long)
+
+/**
+ * Partition-level pure functions of the scalable core. Static (no
+ * reference to the engine instance) so task closures never capture the
+ * SparkSession-holding WaveEngine.
+ */
+private[engine] object WaveCore {
+
+  /** Row-level candidate emission: absolutize + canonicalize + robots gate
+    * (E2, S9, S12). */
+  def candidateIter(
+      fr: FetchResult,
+      parserMap: Map[String, PageParser],
+      buckets: Int,
+      robotsEnabled: Boolean,
+      robots: Map[String, Seq[String]]): Iterator[Candidate] = {
+    if (!fr.ok) Iterator.empty
+    else {
+      val parser = parserMap.getOrElse(fr.parse_fn, FollowAllLinks)
+      parser.followUps(fr.document, fr.meta).iterator.zipWithIndex.flatMap { case (f, idx) =>
+        val abs = UrlCanon.resolve(fr.url, f.url)
+        val canon = UrlCanon.canonicalize(abs)
+        val host = UrlCanon.hostOf(canon)
+        val allowed = !robotsEnabled || !robots.getOrElse(host, Nil).exists(p =>
+          UrlCanon.parse(canon).path.startsWith(p))
+        if (!allowed) Iterator.empty
+        else Iterator.single(Candidate(
+          url = abs, canonical = canon, url_hash = UrlCanon.urlHash(canon),
+          host = host, host_bucket = UrlCanon.hostBucket(host, buckets),
+          parse_fn = f.parse_fn, meta = f.meta, priority = f.priority,
+          parent_seq = fr.seq, emission_idx = idx))
+      }
+    }
+  }
+
+  /** Per-partition politeness + fetch: per host, slots in (priority desc,
+    * seq) order, paced at `rps`. In realtime mode the pace is enforced
+    * with actual sleeps against the wall clock and `fetched_at_ms` records
+    * the true fetch time (feeds the fetch-cache TTL); in simulated mode
+    * the planned timestamp is recorded (deterministic). */
+  def fetchIter(
+      it: Iterator[UrlRecord],
+      f: Fetcher,
+      rps: Double,
+      realtime: Boolean,
+      fetchWave: Int,
+      waveStartMs: Long,
+      lineageAcc: CollectionAccumulator[(Int, Long, Long, Long)]): Iterator[FetchResult] = {
+    val rows = it.toArray
+    val byHost = rows.groupBy(_.host)
+    val pid = TaskContext.getPartitionId()
+    var nIn = 0L
+    var nOk = 0L
+    var nErr = 0L
+    val out = byHost.iterator.flatMap { case (_, hostRows) =>
+      val ordered = hostRows.sortBy(r => (-r.priority, r.seq))
+      ordered.iterator.zipWithIndex.map { case (r, slot) =>
+        val plannedMs = waveStartMs + math.round(slot * 1000.0 / rps)
+        val fetchedAt = if (realtime) {
+          val now = System.currentTimeMillis()
+          if (plannedMs > now) Thread.sleep(plannedMs - now)
+          System.currentTimeMillis() // the ACTUAL fetch time
+        } else plannedMs
+        val (status, doc) = f.fetch(r.url)
+        nIn += 1
+        if (status >= 200 && status < 300) nOk += 1
+        if (status >= 400) nErr += 1
+        FetchResult(
+          url = r.url, canonical = r.canonical, url_hash = r.url_hash,
+          host = r.host, host_bucket = r.host_bucket, parse_fn = r.parse_fn,
+          meta = r.meta, wave = fetchWave, seq = r.seq, status = status,
+          from_cache = false, fetched_at_ms = fetchedAt, slot = slot,
+          partition_id = pid,
+          doc_id = doc.map(_.doc_id).getOrElse(r.canonical),
+          spans = doc.map(_.spans).getOrElse(Nil))
+      }
+    }.toArray // drain so the lineage counters are final before emitting
+    lineageAcc.add((pid, nIn, nOk, nErr))
+    out.iterator
+  }
+
+  /** Advance every bucket of one partition through one wave: sort the
+    * bucket's candidates into discovery order, drop within-wave duplicates
+    * and already-seen URLs, assign interleaved seqs (base + rank·B +
+    * bucket — globally unique, per-host discovery order, independent of
+    * parallelism), and fold the novel keys into a fresh copy of the
+    * bucket's filter plus the structurally-shared exact map. Pure function
+    * of (state, candidates): deterministic, safe to recompute on retry. */
+  def advancePartition(
+      states: Iterator[(Int, BucketSeen)],
+      cands: Iterator[(Int, Candidate)],
+      base: Long,
+      newWave: Int,
+      seedWave: Boolean,
+      nBuckets: Long): Iterator[(Int, BucketWave)] = {
+    val byBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Candidate]]()
+    cands.foreach { case (b, c) =>
+      byBucket.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[Candidate]) += c
+    }
+    states.map { case (b, st) =>
+      val raw = byBucket.get(b)
+      if (raw == null) {
+        (b, BucketWave(st, Array.empty, 0L))
+      } else {
+        val sorted = raw.toArray.sortBy(c => (c.parent_seq, c.emission_idx))
+        val seenNow = new java.util.HashSet[(Long, String)]()
+        val novel = scala.collection.mutable.ArrayBuffer[Candidate]()
+        var exact = st.exact
+        val filter = CuckooFilter.deserialize(st.filter.serialized) // copy-on-write
+        sorted.foreach { c =>
+          if (seenNow.add((c.url_hash, c.canonical)) && !st.isDup(c.url_hash, c.canonical)) {
+            novel += c
+            filter.insert(c.url_hash)
+            exact = exact.updated(c.url_hash, c.canonical :: exact.getOrElse(c.url_hash, Nil))
+          }
+        }
+        val recs = new Array[UrlRecord](novel.length)
+        var r = 0
+        while (r < novel.length) {
+          val c = novel(r)
+          recs(r) = UrlRecord(c.url, c.canonical, c.url_hash, c.host, c.host_bucket,
+            c.parse_fn, c.meta, c.priority, is_seed = seedWave, wave = newWave,
+            seq = base + r.toLong * nBuckets + b)
+          r += 1
+        }
+        (b, BucketWave(BucketSeen(b, filter, exact, st.count + novel.length),
+          recs, sorted.length.toLong))
+      }
+    }
+  }
+
+  /** Rebuild one partition's bucket states from durable seen rows
+    * (resume path; the filter is re-derived from the hashes, so no filter
+    * blobs need checkpointing). */
+  def rebuildPartition(
+      states: Iterator[(Int, BucketSeen)],
+      rows: Iterator[(Int, (Long, String))],
+      capacity: Int): Iterator[(Int, BucketWave)] = {
+    val byBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]()
+    rows.foreach { case (b, hc) =>
+      byBucket.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[(Long, String)]) += hc
+    }
+    states.map { case (b, empty) =>
+      val rs = byBucket.get(b)
+      if (rs == null) (b, BucketWave(empty, Array.empty, 0L))
+      else {
+        val f = new CuckooFilter(capacity)
+        var exact = Map.empty[Long, List[String]]
+        var n = 0L
+        rs.foreach { case (h, c) =>
+          if (!exact.get(h).exists(_.contains(c))) {
+            f.insert(h)
+            exact = exact.updated(h, c :: exact.getOrElse(h, Nil))
+            n += 1
+          }
+        }
+        (b, BucketWave(BucketSeen(b, f, exact, n), Array.empty, 0L))
+      }
+    }
+  }
+}
+
+/**
  * The wave-synchronous crawl engine (SURVEY.md §7, north rule).
  *
  * Replaces the reference's single-threaded Twisted reactor loop
@@ -89,43 +286,51 @@ final case class Candidate(
  * /root/reference/crawler/settings.py:23,28) with a partitioned Spark
  * frontier iterated in waves:
  *
- *   pending ─select(politeness budget)─► batch ─repartition(host_bucket)─►
- *   mapPartitions{per-host politeness slots + fetch} ─► fetched
- *   fetched ─flatMap(parser)─► candidates ─canonicalize+cuckoo+anti-join─►
- *   novel ─distributed seq assignment─► pending(wave+1)
+ *   pending(bucket-partitioned) ─mapPartitions{politeness slots + fetch +
+ *   parse}─► candidates ─partitionBy(host_bucket)─► zipPartitions(seen
+ *   state) {within-wave dedup + exact seen check + cuckoo probe + seq
+ *   assignment + filter fold} ─► (new state, novel) = pending(wave+1)
  *
  * Dedup semantics = Scrapy's dupefilter: a URL is marked seen when
- * *enqueued* (never enqueued twice); marking is exact (the cuckoo filter
- * is a pre-filter only — no false negatives, positives verified by
- * anti-join against the exact seen table).
+ * *enqueued* (never enqueued twice); the key is exact — (url_hash,
+ * canonical) — so neither a cuckoo false positive nor a 64-bit hash
+ * collision can drop or duplicate a URL.
  *
  * Scale design (10^10 frontier):
- *  - the seen set lives as host-bucket-sharded cuckoo filters collocated
- *    with their partitions + an exact parquet table; the per-wave
- *    anti-join only sees filter positives;
- *  - seq assignment is a distributed sortBy + zipWithIndex (no
- *    single-partition window);
- *  - the in-memory seen view is a bounded union of per-wave deltas,
- *    truncated to parquet every `checkpointEvery` waves — which is also
- *    the durable resume point (crash replays at most checkpointEvery
- *    waves; wave recomputation is deterministic and idempotent);
- *  - per-partition lineage rows are buffered on the driver (they are
- *    partition-granular, tiny) and flushed with each checkpoint.
+ *  - the seen set is a bucket-partitioned state RDD co-partitioned with
+ *    the candidate shuffle: ONE shuffle per wave, sized by the wave (never
+ *    by the accumulated seen set), zero driver collect, zero broadcast —
+ *    the keyed-state-store layout Structured Streaming uses for
+ *    mapGroupsWithState across micro-batches;
+ *  - within-wave dedup, the exact-seen anti-join, seq assignment, and the
+ *    cuckoo fold are ONE partition-local pass — no per-wave window
+ *    shuffle, no re-shuffle of the accumulated seen set, no driver-side
+ *    filter map (round 1 collected and re-broadcast all filters per wave:
+ *    ~20 GB resident at the 10^10 design point);
+ *  - wave lineage is truncated with localCheckpoint (blocks on executor
+ *    memory+disk); durability comes from the parquet checkpoint every
+ *    `checkpointEvery` waves — a crash replays at most that many waves,
+ *    and replay is deterministic and idempotent;
+ *  - per-partition lineage rows are accumulator-fed (at-least-once under
+ *    task retry — documented); the headline fetched/deduped/novel totals
+ *    are exact counts derived from materialized data.
  *
  * Ordering contract (SURVEY.md §2.5): `referenceOrder=true` replays
  * Scrapy's deterministic sequential order (start requests in listed
- * order, consumed lazily; follow-ups LIFO) with waves of size 1. The
- * scalable mode relaxes to per-host FIFO by discovery order, preserving
- * the fetched *set* and per-host order across any parallelism level.
+ * order, consumed lazily; follow-ups LIFO) with waves of size 1 on the
+ * legacy DataFrame path. The scalable mode relaxes to per-host FIFO by
+ * discovery order, preserving the fetched *set* and per-host order across
+ * any parallelism level.
  */
 class WaveEngine(
     spark: SparkSession,
     fetcher: Fetcher,
     parsers: Map[String, PageParser],
-    cfg: CrawlConfig) extends Serializable {
+    cfg: CrawlConfig) {
 
   import spark.implicits._
 
+  private val sc = spark.sparkContext
   private val ckpt = cfg.checkpointDir
   private val urlRecordSchema = org.apache.spark.sql.Encoders.product[UrlRecord].schema
   private val fetchResultSchema = org.apache.spark.sql.Encoders.product[FetchResult].schema
@@ -135,187 +340,7 @@ class WaveEngine(
     org.apache.spark.sql.types.StructField("host_bucket", org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("wave", org.apache.spark.sql.types.IntegerType)))
 
-  // ------------------------------------------------------------------
-  // candidate construction (canonicalize + robots gate)
-  // ------------------------------------------------------------------
-
-  private def toCandidates(fetched: Dataset[FetchResult]): Dataset[Candidate] = {
-    val parsersB = spark.sparkContext.broadcast(parsers)
-    val buckets = cfg.hostBuckets
-    val robotsEnabled = cfg.robotsEnabled
-    val robots = cfg.robotsDisallow
-    fetched.flatMap { fr =>
-      if (!fr.ok) Iterator.empty
-      else {
-        val parser = parsersB.value.getOrElse(fr.parse_fn, FollowAllLinks)
-        parser.followUps(fr.document, fr.meta).iterator.zipWithIndex.flatMap { case (f, idx) =>
-          val abs = UrlCanon.resolve(fr.url, f.url)
-          val canon = UrlCanon.canonicalize(abs)
-          val host = UrlCanon.hostOf(canon)
-          val allowed = !robotsEnabled || !robots.getOrElse(host, Nil).exists(p =>
-            UrlCanon.parse(canon).path.startsWith(p))
-          if (!allowed) Iterator.empty
-          else Iterator.single(Candidate(
-            url = abs, canonical = canon, url_hash = UrlCanon.urlHash(canon),
-            host = host, host_bucket = UrlCanon.hostBucket(host, buckets),
-            parse_fn = f.parse_fn, meta = f.meta, priority = f.priority,
-            parent_seq = fr.seq, emission_idx = idx))
-        }
-      }
-    }
-  }
-
-  // ------------------------------------------------------------------
-  // dedup: within-wave first-discovery + cuckoo pre-filter + exact anti-join
-  // ------------------------------------------------------------------
-
-  /** Lazy novel-candidate plan: within-wave first-discovery dedup, cuckoo
-    * pre-filter, exact anti-join verification of filter positives. The
-    * caller materializes it exactly once (localCheckpoint) and unpersists
-    * the returned `flagged` handle afterwards. */
-  private def dedupe(
-      candidates: Dataset[Candidate],
-      seen: DataFrame,
-      filtersB: org.apache.spark.broadcast.Broadcast[Map[Int, CuckooFilter]]): (Dataset[Candidate], DataFrame) = {
-    // first discovery wins within the wave (deterministic: discovery order;
-    // parent_seq values are globally unique so the order is total)
-    val w = Window.partitionBy($"url_hash").orderBy($"parent_seq", $"emission_idx")
-    val unique = candidates
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1).drop("rn")
-      .as[Candidate]
-
-    // cuckoo pre-filter: definitely-new rows skip the anti-join entirely
-    val flagged = unique.map { c =>
-      (c, filtersB.value.get(c.host_bucket).exists(_.contains(c.url_hash)))
-    }.toDF("c", "maybe_seen")
-    flagged.cache() // shared by both branches below within one job
-    val definiteNew = flagged.filter(!$"maybe_seen").select($"c.*").as[Candidate]
-    val maybeSeen = flagged.filter($"maybe_seen").select($"c.*").as[Candidate]
-    // exact verification for the filter positives
-    val verifiedNew = maybeSeen.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
-      .as[Candidate]
-    (definiteNew.unionByName(verifiedNew), flagged)
-  }
-
-  /** Distributed per-bucket cuckoo update: each bucket's novel hashes are
-    * grouped to one task which folds them (sorted — deterministic filter
-    * bytes) into that bucket's filter; the driver collects only the ~B
-    * small filter blobs, never the URLs. */
-  private def updateFilters(
-      novel: DataFrame, // needs host_bucket + url_hash columns
-      filters: Map[Int, CuckooFilter]): Map[Int, CuckooFilter] = {
-    val filtersB = spark.sparkContext.broadcast(filters)
-    val capacity = cfg.filterCapacityPerBucket
-    val updated = novel
-      .select($"host_bucket", $"url_hash")
-      .as[(Int, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (bucket, it) =>
-        val f = filtersB.value.get(bucket) match {
-          case Some(existing) => CuckooFilter.deserialize(existing.serialized) // copy
-          case None => new CuckooFilter(capacity)
-        }
-        it.map(_._2).toArray.sorted.foreach(f.insert)
-        (bucket, f.serialized)
-      }
-      .collect()
-      .map { case (b, bytes) => b -> CuckooFilter.deserialize(bytes) }
-      .toMap
-    filters ++ updated
-  }
-
-  // ------------------------------------------------------------------
-  // wave batch selection (politeness budget / reference order)
-  // ------------------------------------------------------------------
-
-  /** Splits pending into (batch, deferred). Scalable mode: per host, first
-    * `maxPerHostPerWave` by (priority desc, seq asc). Reference mode:
-    * exactly one row — Scrapy's next pop: any non-seed by (priority desc,
-    * seq desc) [LIFO], else the lowest-seq seed (start requests are
-    * consumed lazily, in listed order); a seed whose fingerprint was
-    * already enqueued via a follow-up is dupefiltered (dropped). */
-  private def selectBatch(
-      pending: Dataset[UrlRecord],
-      seen: DataFrame): (Dataset[UrlRecord], Dataset[UrlRecord]) = {
-    if (cfg.referenceOrder) {
-      // dupefilter unconsumed seeds that were meanwhile discovered as links
-      val live = pending.toDF.join(
-        seen.select($"url_hash".as("seen_hash")),
-        $"url_hash" === $"seen_hash" && $"is_seed", "left_anti").as[UrlRecord]
-      if (live.isEmpty) { // only dupefiltered seeds remained
-        val empty = live.filter(lit(false)).as[UrlRecord]
-        (empty, empty)
-      } else {
-        val nonSeed = live.filter(!_.is_seed)
-        val pick =
-          if (nonSeed.isEmpty) live.orderBy($"seq".asc).limit(1)
-          else nonSeed.orderBy($"priority".desc, $"seq".desc).limit(1)
-        val pickedSeq = pick.as[UrlRecord].head().seq
-        (pending.filter($"seq" === pickedSeq).as[UrlRecord],
-          live.filter($"seq" =!= pickedSeq).as[UrlRecord])
-      }
-    } else if (cfg.maxPerHostPerWave == Int.MaxValue) {
-      // uncapped fast path: no per-host ranking shuffle at all
-      (pending, pending.filter(lit(false)).as[UrlRecord])
-    } else {
-      val w = Window.partitionBy($"host").orderBy($"priority".desc, $"seq".asc)
-      val ranked = pending.withColumn("rank_in_host", row_number().over(w))
-      val batch = ranked.filter($"rank_in_host" <= cfg.maxPerHostPerWave)
-        .drop("rank_in_host").as[UrlRecord]
-      val deferred = ranked.filter($"rank_in_host" > cfg.maxPerHostPerWave)
-        .drop("rank_in_host").as[UrlRecord]
-      (batch, deferred)
-    }
-  }
-
-  // ------------------------------------------------------------------
-  // fetch with per-host politeness
-  // ------------------------------------------------------------------
-
-  private def fetchBatch(
-      batch: Dataset[UrlRecord],
-      fetchWave: Int,
-      waveStartMs: Long,
-      lineageAcc: org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]): Dataset[FetchResult] = {
-    val f = fetcher
-    val rps = cfg.politenessRps
-    val realtime = cfg.realtime
-    batch
-      .repartition(cfg.fetchPartitions, $"host_bucket")
-      .mapPartitions { it =>
-        val rows = it.toArray
-        val byHost = rows.groupBy(_.host)
-        val pid = TaskContext.getPartitionId()
-        var nIn = 0L
-        var nOk = 0L
-        var nErr = 0L
-        val out = byHost.iterator.flatMap { case (_, hostRows) =>
-          val ordered = hostRows.sortBy(r => (-r.priority, r.seq))
-          ordered.iterator.zipWithIndex.map { case (r, slot) =>
-            val plannedMs = waveStartMs + math.round(slot * 1000.0 / rps)
-            if (realtime) {
-              val now = System.currentTimeMillis()
-              if (plannedMs > now) Thread.sleep(plannedMs - now)
-            }
-            val (status, doc) = f.fetch(r.url)
-            nIn += 1
-            if (status >= 200 && status < 300) nOk += 1
-            if (status >= 400) nErr += 1
-            FetchResult(
-              url = r.url, canonical = r.canonical, url_hash = r.url_hash,
-              host = r.host, host_bucket = r.host_bucket, parse_fn = r.parse_fn,
-              meta = r.meta, wave = fetchWave, seq = r.seq, status = status,
-              from_cache = false, fetched_at_ms = plannedMs, slot = slot,
-              partition_id = pid,
-              doc_id = doc.map(_.doc_id).getOrElse(r.canonical),
-              spans = doc.map(_.spans).getOrElse(Nil))
-          }
-        }.toArray // drain so the lineage counters are final before emitting
-        lineageAcc.add((pid, nIn, nOk, nErr))
-        out.iterator
-      }
-  }
+  private val partitioner = new HashPartitioner(cfg.fetchPartitions)
 
   // ------------------------------------------------------------------
   // checkpointing (north rule: resumable, per-partition lineage + metrics)
@@ -354,75 +379,489 @@ class WaveEngine(
     m.map { case (k, v) => (k, CuckooFilter.deserialize(v)) }
   }
 
-  /** All durable seen deltas (local-FS checkpoint layout; a cluster
-    * deployment would point this at a shared store).
+  /** Flush dirs whose wave is at most `maxWave`. Bounding by the committed
+    * LATEST wave closes the crash window where a seen flush landed but the
+    * state file did not (ADVICE r1): resume must never dedup replayed
+    * candidates against marks from an uncommitted future flush. */
+  private def seenFlushDirs(maxWave: Int): Seq[String] =
+    Option(new java.io.File(s"$ckpt/seen").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .map(f => (f.getName.stripPrefix("flush_").toInt, f.getPath))
+      .filter(_._1 <= maxWave).sortBy(_._1).map(_._2).toSeq
+
+  /** All durable seen marks up to `maxWave` (local-FS checkpoint layout; a
+    * cluster deployment would point this at a shared store).
     *
     * IMPORTANT: reads the EXPLICIT (growing) list of flush dirs, never the
     * root path — Spark's CacheManager matches plans by canonicalized form,
     * so a cached read of the constant root path would silently pin the
     * FIRST file-listing snapshot forever and hide newer seen marks from
     * the dedup anti-join. */
-  private def seenSoFar(): DataFrame = {
-    val dirs = Option(new java.io.File(s"$ckpt/seen").listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath).sorted
+  private def seenSoFar(maxWave: Int): DataFrame = {
+    val dirs = seenFlushDirs(maxWave)
     if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], seenSchema)
-    else spark.read.schema(seenSchema).parquet(dirs.toIndexedSeq: _*)
+      spark.createDataFrame(sc.emptyRDD[Row], seenSchema)
+    else spark.read.schema(seenSchema).parquet(dirs: _*)
+  }
+
+  /** Seed URLs as wave-0 candidates (parent_seq = listed index, so listed
+    * order is the per-host discovery order), deduped on the canonical. */
+  private def seedCandidates(seeds: Seq[SeedSpec]): Seq[Candidate] = {
+    val buckets = cfg.hostBuckets
+    val rows = seeds.zipWithIndex.map { case (s, i) =>
+      val canon = UrlCanon.canonicalize(s.url)
+      val host = UrlCanon.hostOf(canon)
+      Candidate(s.url, canon, UrlCanon.urlHash(canon), host,
+        UrlCanon.hostBucket(host, buckets), s.parseFn, s.meta, s.priority,
+        parent_seq = i.toLong, emission_idx = 0)
+    }
+    val seenC = scala.collection.mutable.HashSet[String]()
+    rows.filter(r => seenC.add(r.canonical))
   }
 
   // ------------------------------------------------------------------
   // entry points
   // ------------------------------------------------------------------
 
-  def run(seeds: Seq[SeedSpec]): CrawlRunResult = {
+  def run(seeds: Seq[SeedSpec]): CrawlRunResult =
+    if (cfg.referenceOrder) runReference(seeds) else runScalable(seeds)
+
+  def resume(): CrawlRunResult =
+    if (cfg.referenceOrder) resumeReference() else resumeScalable()
+
+  /** All fetched pages of a finished run, in fetch order columns
+    * (wave, host, slot). */
+  def fetchedTable(): DataFrame = spark.read.schema(fetchResultSchema)
+    .option("recursiveFileLookup", "true").parquet(s"$ckpt/fetched")
+
+  // ==================================================================
+  // scalable path: bucket-partitioned seen-state RDD core
+  // ==================================================================
+
+  /** Empty per-bucket state, one entry per bucket, bucket-partitioned. */
+  private def emptyStateRdd(): RDD[(Int, BucketSeen)] = {
+    val capacity = cfg.filterCapacityPerBucket
+    sc.parallelize(0 until cfg.hostBuckets, cfg.fetchPartitions)
+      .map(b => (b, BucketSeen(b, new CuckooFilter(capacity), Map.empty, 0L)))
+      .partitionBy(partitioner)
+  }
+
+  /** Novel rows of a wave output, keyed by bucket with the partitioner
+    * preserved — the key keeps deferred∪novel a partitioner-aware union
+    * (hosts never span partitions), which the per-host budget relies on. */
+  private def novelOf(out: RDD[(Int, BucketWave)]): RDD[(Int, UrlRecord)] =
+    out.mapPartitions(
+      _.flatMap { case (b, bw) => bw.novel.iterator.map(r => (b, r)) },
+      preservesPartitioning = true)
+
+  private def writeScalableCheckpoint(
+      wave: Int,
+      state: RDD[(Int, BucketSeen)],
+      pending: RDD[(Int, UrlRecord)],
+      nextSeq: Long,
+      totalFetched: Long,
+      totalDeduped: Long): Unit = {
+    spark.createDataset(pending.values)
+      .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/pending_w$wave")
+    // full seen snapshot from the state (resume reads only the newest one;
+    // a changelog flush is the natural optimization at extreme scale)
+    val w = wave
+    val seenRows = state.flatMap { case (b, st) =>
+      st.exact.iterator.flatMap { case (h, cs) => cs.map(c => (h, c, b, w)) }
+    }
+    spark.createDataset(seenRows)
+      .toDF("url_hash", "canonical", "host_bucket", "wave")
+      .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/seen/flush_$wave")
+    writeState(wave, nextSeq, totalFetched, totalDeduped)
+  }
+
+  private def runScalable(seeds: Seq[SeedSpec]): CrawlRunResult = {
     Files.createDirectories(Paths.get(ckpt))
+    val nB = cfg.hostBuckets.toLong
+    val seedCands = sc.parallelize(seedCandidates(seeds), cfg.fetchPartitions)
+      .map(c => (c.host_bucket, c)).partitionBy(partitioner)
+    // the seed wave runs through the same advance pass as every other wave:
+    // seeds are marked seen at enqueue and get interleaved seqs
+    val out0 = emptyStateRdd().zipPartitions(seedCands, preservesPartitioning = true) {
+      (st, cd) => WaveCore.advancePartition(st, cd, base = 0L, newWave = 0,
+        seedWave = true, nBuckets = nB)
+    }
+    out0.localCheckpoint()
+    val nSeeds = out0.map(_._2.novel.length.toLong).reduce(_ + _)
+    val nextSeq = (nSeeds + 1) * nB
+    val state0 = out0.mapValues(_.state)
+    val pending0 = novelOf(out0)
+    writeScalableCheckpoint(0, state0, pending0, nextSeq, 0L, 0L)
+    loopScalable(0, out0, pending0, None, nextSeq, 0L, 0L)
+  }
+
+  private def resumeScalable(): CrawlRunResult = {
+    val wave = latestCheckpointWave.getOrElse(
+      throw new IllegalStateException(s"no checkpoint under $ckpt"))
+    val (nextSeq, fetched, deduped) = readState(wave)
+    val capacity = cfg.filterCapacityPerBucket
+    // newest durable seen snapshot at or before the committed wave
+    // (each flush is a full dump, so only the latest is needed)
+    val dirs = seenFlushDirs(wave)
+    val seenRows: RDD[(Int, (Long, String))] =
+      if (dirs.isEmpty) sc.emptyRDD[(Int, (Long, String))].partitionBy(partitioner)
+      else spark.read.schema(seenSchema).parquet(dirs.last)
+        .select($"host_bucket", $"url_hash", $"canonical")
+        .as[(Int, Long, String)].rdd
+        .map { case (b, h, c) => (b, (h, c)) }
+        .partitionBy(partitioner)
+    val out0 = emptyStateRdd().zipPartitions(seenRows, preservesPartitioning = true) {
+      (st, rows) => WaveCore.rebuildPartition(st, rows, capacity)
+    }
+    out0.localCheckpoint()
+    out0.count()
+    val pendingKeyed = spark.read.schema(urlRecordSchema)
+      .parquet(s"$ckpt/pending_w$wave").as[UrlRecord].rdd
+      .map(r => (r.host_bucket, r)).partitionBy(partitioner)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    loopScalable(wave, out0, pendingKeyed, Some(pendingKeyed), nextSeq, fetched, deduped)
+  }
+
+  /**
+   * The scalable wave loop. Per wave: one candidate shuffle, one
+   * materializing action (the per-bucket novel/candidate counts, which
+   * also populates the localCheckpoint blocks), plus the optional fetched
+   * table write. No driver-side collect of state, no broadcast.
+   */
+  private def loopScalable(
+      startWave: Int,
+      out0: RDD[(Int, BucketWave)],
+      pending0: RDD[(Int, UrlRecord)],
+      pending0Retained: Option[RDD[_]],
+      nextSeq0: Long,
+      fetched0: Long,
+      deduped0: Long): CrawlRunResult = {
+    val t0 = System.currentTimeMillis()
+    val nB = cfg.hostBuckets.toLong
+    var wave = startWave
+    var nextSeq = nextSeq0
+    var totalFetched = fetched0
+    var totalDeduped = deduped0
+    val lineageBuf = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long, Long)]()
+
+    // locals for task closures (never capture `this`)
+    val parsersB = sc.broadcast(parsers)
     val buckets = cfg.hostBuckets
-    val seedRows = seeds.zipWithIndex.map { case (s, i) =>
-      val canon = UrlCanon.canonicalize(s.url)
-      val host = UrlCanon.hostOf(canon)
-      UrlRecord(s.url, canon, UrlCanon.urlHash(canon), host,
-        UrlCanon.hostBucket(host, buckets), s.parseFn, s.meta, s.priority,
-        is_seed = true, wave = 0, seq = i.toLong)
+    val robotsEnabled = cfg.robotsEnabled
+    val robots = cfg.robotsDisallow
+    val maxPerHost = cfg.maxPerHostPerWave
+    val fetcherL = fetcher
+    val rps = cfg.politenessRps
+    val realtime = cfg.realtime
+
+    var out = out0 // holds current state (+ last wave's novel); localCheckpointed
+    var state = out0.mapValues(_.state)
+    var pending = pending0
+    var pendingRetained: Option[RDD[_]] = pending0Retained
+
+    // S11 fetch cache: fresh rows of a prior run's fetched table
+    val cacheDF: Option[DataFrame] = cfg.fetchCacheDir.map { dir =>
+      val cutoff = System.currentTimeMillis() - cfg.cacheTtlSec * 1000L
+      spark.read.schema(fetchResultSchema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+        .filter($"fetched_at_ms" >= cutoff && $"status" >= 200 && $"status" < 300)
+        .select($"url_hash", $"canonical".as("c_canonical"), $"status".as("c_status"),
+          $"fetched_at_ms".as("c_fetched_at_ms"), $"doc_id".as("c_doc_id"),
+          $"spans".as("c_spans"))
+        .dropDuplicates("url_hash", "c_canonical")
+        .cache()
     }
-    // seed self-dedup (first occurrence wins)
-    val distinctSeeds = {
-      val seenH = scala.collection.mutable.HashSet[Long]()
-      seedRows.filter(r => seenH.add(r.url_hash))
+
+    var batchCount = pending.count() // exact: every batch row yields one FetchResult
+    var done = batchCount == 0
+    while (!done && wave < cfg.maxWaves && totalFetched < cfg.maxUrls) {
+      val tW0 = System.currentTimeMillis()
+      val waveStartMs =
+        if (realtime) System.currentTimeMillis() else t0 + wave.toLong * 1000L
+      val fetchWave = wave
+
+      // batch selection: per-host politeness budget, partition-local
+      // (hosts never span buckets, buckets never span partitions)
+      val (batch, deferred, waveBatchCount) =
+        if (maxPerHost == Int.MaxValue) (pending.values, None, batchCount)
+        else {
+          val b = pending.mapPartitions(it =>
+            it.map(_._2).toArray.groupBy(_.host).valuesIterator.flatMap(
+              _.sortBy(r => (-r.priority, r.seq)).take(maxPerHost)),
+            preservesPartitioning = true)
+          val d = pending.mapPartitions(it =>
+            it.map(_._2).toArray.groupBy(_.host).valuesIterator.flatMap(
+              _.sortBy(r => (-r.priority, r.seq)).drop(maxPerHost))
+              .map(r => (r.host_bucket, r)),
+            preservesPartitioning = true)
+          (b, Some(d), b.count()) // budget may defer part of pending
+        }
+
+      // per-partition lineage via accumulator (at-least-once under task
+      // retry — documented; headline totals are exact counts below)
+      val lineageAcc = new CollectionAccumulator[(Int, Long, Long, Long)]()
+      sc.register(lineageAcc, s"lineage_w$wave")
+
+      // fetch (serving fresh cache hits without politeness slots — S11)
+      val fetchedRdd: RDD[FetchResult] = cacheDF match {
+        case None =>
+          batch.mapPartitions(it =>
+            WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs, lineageAcc))
+        case Some(cache) =>
+          val batchDS = spark.createDataset(batch)
+          val hits = batchDS.joinWith(cache,
+              batchDS("url_hash") === cache("url_hash") &&
+                batchDS("canonical") === cache("c_canonical"))
+            .map { case (r, c) =>
+              FetchResult(r.url, r.canonical, r.url_hash, r.host, r.host_bucket,
+                r.parse_fn, r.meta, fetchWave, r.seq,
+                status = c.getAs[Int]("c_status"), from_cache = true,
+                fetched_at_ms = c.getAs[Long]("c_fetched_at_ms"), slot = -1,
+                partition_id = -1, doc_id = c.getAs[String]("c_doc_id"),
+                spans = c.getAs[scala.collection.Seq[Row]]("c_spans")
+                  .map(sp => Span(sp.getAs[String]("kind"), sp.getAs[String]("text"),
+                    sp.getAs[String]("media_ref"), sp.getAs[Int]("offset"))).toSeq)
+            }.rdd
+          val misses = batchDS.join(
+              cache.select($"url_hash", $"c_canonical".as("canonical")),
+              Seq("url_hash", "canonical"), "left_anti")
+            .as[UrlRecord].rdd
+            .map(r => (r.host_bucket, r)).partitionBy(partitioner).values
+          misses.mapPartitions(it =>
+              WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs, lineageAcc))
+            .union(hits)
+      }
+      val fetched =
+        if (cfg.keepFetched) {
+          val f = fetchedRdd.persist(StorageLevel.MEMORY_AND_DISK)
+          spark.createDataset(f).write.mode(SaveMode.Overwrite)
+            .parquet(s"$ckpt/fetched/wave_$wave")
+          f
+        } else fetchedRdd
+
+      // parse → candidates → the wave's ONE shuffle (bucket-partitioned,
+      // sized by the wave, never by the accumulated seen set)
+      val cands = fetched
+        .flatMap(fr =>
+          WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots))
+        .map(c => (c.host_bucket, c))
+        .partitionBy(partitioner)
+
+      // advance the seen state: dedup + seq + filter fold in one pass
+      val base = nextSeq
+      val w1 = wave + 1
+      val newOut = state.zipPartitions(cands, preservesPartitioning = true) { (st, cd) =>
+        WaveCore.advancePartition(st, cd, base, w1, seedWave = false, nBuckets = nB)
+      }
+      newOut.localCheckpoint()
+      val (novelCount, emitted) = newOut
+        .map { case (_, bw) => (bw.novel.length.toLong, bw.nCandidates) }
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2)) // the materializing action
+
+      nextSeq += (novelCount + 1) * nB
+      totalFetched += waveBatchCount
+      val dedupedCount = emitted - novelCount // exact: both from the same pass
+      totalDeduped += dedupedCount
+      lineageAcc.value.asScala.foreach { case (pid, in, ok, err) =>
+        lineageBuf += ((wave, pid, in, ok, err, dedupedCount, novelCount))
+      }
+
+      // next pending = deferred ∪ novel (same partitioner → the union is
+      // partitioner-aware: partition count stays fixed, hosts stay whole)
+      val (newPending, newRetained, newBatchCount) = deferred match {
+        case None => (novelOf(newOut), None, novelCount)
+        case Some(d) =>
+          val np = d.union(novelOf(newOut)).persist(StorageLevel.MEMORY_AND_DISK)
+          val n = np.count()
+          (np, Some(np: RDD[_]), n)
+      }
+
+      if (sys.env.contains("GRAFT_DEBUG"))
+        println(s"DBG wave=$wave fetched=$batchCount novel=$novelCount " +
+          s"deduped=$dedupedCount tWave=${System.currentTimeMillis() - tW0}ms")
+
+      // release the previous wave (this wave's zip has been materialized)
+      if (cfg.keepFetched) fetched.unpersist(blocking = false)
+      out.unpersist(blocking = false)
+      pendingRetained.foreach(_.unpersist(blocking = false))
+      out = newOut
+      state = newOut.mapValues(_.state)
+      pending = newPending
+      pendingRetained = newRetained
+      batchCount = newBatchCount
+      done = newBatchCount == 0
+      wave += 1
+
+      if (wave % cfg.checkpointEvery == 0 || done) {
+        writeScalableCheckpoint(wave, state, pending, nextSeq, totalFetched, totalDeduped)
+        flushLineage(wave, lineageBuf)
+      }
     }
-    val pending = spark.createDataset(distinctSeeds)
+    if (latestCheckpointWave.forall(_ < wave)) {
+      // loop exited on maxWaves/maxUrls between checkpoints
+      writeScalableCheckpoint(wave, state, pending, nextSeq, totalFetched, totalDeduped)
+      flushLineage(wave, lineageBuf)
+    }
+    val totalSeen = state.map(_._2.count).reduce(_ + _)
+    val elapsed = System.currentTimeMillis() - t0
+    CrawlRunResult(wave - startWave, totalFetched, totalDeduped, totalSeen, elapsed)
+  }
+
+  private def flushLineage(
+      wave: Int,
+      buf: scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long, Long)]): Unit = {
+    if (buf.nonEmpty) {
+      spark.createDataset(buf.toSeq)
+        .toDF("wave", "partition_id", "in_count", "fetched", "errors", "deduped_wave", "novel_wave")
+        .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/lineage/upto_$wave")
+      buf.clear()
+    }
+  }
+
+  // ==================================================================
+  // legacy DataFrame path — reference-order (Scrapy LIFO) replay only
+  // ==================================================================
+
+  private def toCandidates(fetched: Dataset[FetchResult]): Dataset[Candidate] = {
+    val parsersB = sc.broadcast(parsers)
+    val buckets = cfg.hostBuckets
+    val robotsEnabled = cfg.robotsEnabled
+    val robots = cfg.robotsDisallow
+    fetched.flatMap(fr =>
+      WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots))
+  }
+
+  /** Lazy novel-candidate plan: within-wave first-discovery dedup, cuckoo
+    * pre-filter, exact anti-join verification of filter positives. The
+    * caller materializes it exactly once (localCheckpoint) and unpersists
+    * the returned `flagged` handle afterwards. */
+  private def dedupe(
+      candidates: Dataset[Candidate],
+      seen: DataFrame,
+      filtersB: org.apache.spark.broadcast.Broadcast[Map[Int, CuckooFilter]]): (Dataset[Candidate], DataFrame) = {
+    // first discovery wins within the wave (deterministic: discovery order;
+    // parent_seq values are globally unique so the order is total).
+    // Dedup key is (url_hash, canonical): exact under hash collisions.
+    val w = Window.partitionBy($"url_hash", $"canonical")
+      .orderBy($"parent_seq", $"emission_idx")
+    val unique = candidates
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .as[Candidate]
+
+    // cuckoo pre-filter: definitely-new rows skip the anti-join entirely
+    val flagged = unique.map { c =>
+      (c, filtersB.value.get(c.host_bucket).exists(_.contains(c.url_hash)))
+    }.toDF("c", "maybe_seen")
+    flagged.cache() // shared by both branches below within one job
+    val definiteNew = flagged.filter(!$"maybe_seen").select($"c.*").as[Candidate]
+    val maybeSeen = flagged.filter($"maybe_seen").select($"c.*").as[Candidate]
+    // exact verification for the filter positives
+    val verifiedNew = maybeSeen.join(seen.select("url_hash", "canonical"),
+        Seq("url_hash", "canonical"), "left_anti")
+      .as[Candidate]
+    (definiteNew.unionByName(verifiedNew), flagged)
+  }
+
+  /** Driver-side per-bucket cuckoo update for the reference-order path
+    * (single-URL waves — the collected deltas are one row each). The
+    * scalable path folds filters inside the partition-resident state. */
+  private def updateFilters(
+      novel: DataFrame, // needs host_bucket + url_hash columns
+      filters: Map[Int, CuckooFilter]): Map[Int, CuckooFilter] = {
+    val filtersB = sc.broadcast(filters)
+    val capacity = cfg.filterCapacityPerBucket
+    val updated = novel
+      .select($"host_bucket", $"url_hash")
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (bucket, it) =>
+        val f = filtersB.value.get(bucket) match {
+          case Some(existing) => CuckooFilter.deserialize(existing.serialized) // copy
+          case None => new CuckooFilter(capacity)
+        }
+        it.map(_._2).toArray.sorted.foreach(f.insert)
+        (bucket, f.serialized)
+      }
+      .collect()
+      .map { case (b, bytes) => b -> CuckooFilter.deserialize(bytes) }
+      .toMap
+    filters ++ updated
+  }
+
+  /** Reference mode batch pick: exactly one row — Scrapy's next pop: any
+    * non-seed by (priority desc, seq desc) [LIFO], else the lowest-seq
+    * seed (start requests are consumed lazily, in listed order); a seed
+    * whose fingerprint was already enqueued via a follow-up is
+    * dupefiltered (dropped). */
+  private def selectReferenceBatch(
+      pending: Dataset[UrlRecord],
+      seen: DataFrame): (Dataset[UrlRecord], Dataset[UrlRecord]) = {
+    // dupefilter unconsumed seeds that were meanwhile discovered as links
+    // (exact key: hash + canonical, same as the main dedup)
+    val live = pending.toDF.join(
+      seen.select($"url_hash".as("seen_hash"), $"canonical".as("seen_canonical")),
+      $"url_hash" === $"seen_hash" && $"canonical" === $"seen_canonical" && $"is_seed",
+      "left_anti").as[UrlRecord]
+    if (live.isEmpty) { // only dupefiltered seeds remained
+      val empty = live.filter(lit(false)).as[UrlRecord]
+      (empty, empty)
+    } else {
+      val nonSeed = live.filter(!_.is_seed)
+      val pick =
+        if (nonSeed.isEmpty) live.orderBy($"seq".asc).limit(1)
+        else nonSeed.orderBy($"priority".desc, $"seq".desc).limit(1)
+      val pickedSeq = pick.as[UrlRecord].head().seq
+      (pending.filter($"seq" === pickedSeq).as[UrlRecord],
+        live.filter($"seq" =!= pickedSeq).as[UrlRecord])
+    }
+  }
+
+  private def fetchBatch(
+      batch: Dataset[UrlRecord],
+      fetchWave: Int,
+      waveStartMs: Long,
+      lineageAcc: CollectionAccumulator[(Int, Long, Long, Long)]): Dataset[FetchResult] = {
+    val fetcherL = fetcher
+    val rps = cfg.politenessRps
+    val realtime = cfg.realtime
+    batch
+      .repartition(cfg.fetchPartitions, $"host_bucket")
+      .mapPartitions(it =>
+        WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs, lineageAcc))
+  }
+
+  private def runReference(seeds: Seq[SeedSpec]): CrawlRunResult = {
+    Files.createDirectories(Paths.get(ckpt))
+    val seedRows = seedCandidates(seeds).map { c =>
+      UrlRecord(c.url, c.canonical, c.url_hash, c.host, c.host_bucket,
+        c.parse_fn, c.meta, c.priority, is_seed = true, wave = 0, seq = c.parent_seq)
+    }
+    val pending = spark.createDataset(seedRows)
       .repartition(cfg.fetchPartitions).cache()
-    // Scalable mode marks all seeds seen at enqueue (wave 0). Reference mode
-    // enqueues start requests lazily (Scrapy): a seed is fingerprinted only
-    // when consumed, so a link-discovered copy can pre-empt it.
-    var seenView = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], seenSchema)
-    var filters: Map[Int, CuckooFilter] = Map.empty
-    if (!cfg.referenceOrder) {
-      seenView = pending.select($"url_hash", $"canonical", $"host_bucket")
-        .withColumn("wave", lit(0)).cache()
-      filters = updateFilters(pending.toDF, Map.empty)
-    }
+    // Reference mode enqueues start requests lazily (Scrapy): a seed is
+    // fingerprinted only when consumed, so a link-discovered copy can
+    // pre-empt it.
+    val seenView = spark.createDataFrame(sc.emptyRDD[Row], seenSchema)
+    val filters: Map[Int, CuckooFilter] = Map.empty
     pending.write.mode(SaveMode.Overwrite).parquet(s"$ckpt/pending_w0")
     seenView.write.mode(SaveMode.Overwrite).parquet(s"$ckpt/seen/flush_0")
     saveFilters(0, filters)
-    writeState(0, distinctSeeds.length.toLong, 0, 0)
-    loop(0, pending, seenView, filters, distinctSeeds.length.toLong, 0L, 0L)
+    writeState(0, seedRows.length.toLong, 0, 0)
+    loopReference(0, pending, seenView, filters, seedRows.length.toLong, 0L, 0L)
   }
 
-  def resume(): CrawlRunResult = {
+  private def resumeReference(): CrawlRunResult = {
     val wave = latestCheckpointWave.getOrElse(
       throw new IllegalStateException(s"no checkpoint under $ckpt"))
     val (nextSeq, fetched, deduped) = readState(wave)
     val pending = spark.read.schema(urlRecordSchema)
       .parquet(s"$ckpt/pending_w$wave").as[UrlRecord].cache()
     val filters = loadFilters(wave)
-    loop(wave, pending, seenSoFar().cache(), filters, nextSeq, fetched, deduped)
+    loopReference(wave, pending, seenSoFar(wave).cache(), filters, nextSeq, fetched, deduped)
   }
 
-  // ------------------------------------------------------------------
-  // main loop
-  // ------------------------------------------------------------------
-
-  private def loop(
+  private def loopReference(
       startWave: Int,
       pending0: Dataset[UrlRecord],
       seenView0: DataFrame,
@@ -439,7 +878,6 @@ class WaveEngine(
     var nextSeq = nextSeq0
     var totalFetched = fetched0
     var totalDeduped = deduped0
-    var totalSeen = -1L
     val lineageBuf = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long, Long)]()
 
     def flushCheckpoint(): Unit = {
@@ -455,175 +893,88 @@ class WaveEngine(
         unflushed.foreach(_.unpersist())
         unflushed = Nil
       }
-      if (lineageBuf.nonEmpty) {
-        spark.createDataset(lineageBuf.toSeq)
-          .toDF("wave", "partition_id", "in_count", "fetched", "errors", "deduped_wave", "novel_wave")
-          .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/lineage/upto_$wave")
-        lineageBuf.clear()
-      }
+      flushLineage(wave, lineageBuf)
       saveFilters(wave, filters)
       writeState(wave, nextSeq, totalFetched, totalDeduped)
       // truncate the in-memory seen view's plan to the durable data
-      val flushedSeen = seenSoFar().cache()
+      val flushedSeen = seenSoFar(wave).cache()
       seenView.unpersist()
       seenView = flushedSeen
     }
 
-    // S11 fetch cache: fresh rows of a prior run's fetched table
-    val cacheDF: Option[DataFrame] = cfg.fetchCacheDir.map { dir =>
-      val cutoff = System.currentTimeMillis() - cfg.cacheTtlSec * 1000L
-      spark.read.schema(fetchResultSchema)
-        .option("recursiveFileLookup", "true").parquet(dir)
-        .filter($"fetched_at_ms" >= cutoff && $"status" >= 200 && $"status" < 300)
-        .select($"url_hash", $"status".as("c_status"),
-          $"fetched_at_ms".as("c_fetched_at_ms"), $"doc_id".as("c_doc_id"),
-          $"spans".as("c_spans"))
-        .dropDuplicates("url_hash")
-        .cache()
-    }
-
     var done = pending.isEmpty
     while (!done && wave < cfg.maxWaves && totalFetched < cfg.maxUrls) {
-      val tW0 = System.currentTimeMillis()
-      val waveStartMs = t0 + (wave.toLong * 1000L) // simulated clock base
-      val (batch, deferred) = selectBatch(pending, seenView)
+      val waveStartMs =
+        if (cfg.realtime) System.currentTimeMillis() else t0 + wave.toLong * 1000L
+      val (batch, deferred) = selectReferenceBatch(pending, seenView)
 
-      if (cfg.referenceOrder) {
-        // fingerprint the consumed request at schedule time (Scrapy
-        // semantics); keep the cuckoo filters in sync with the seen set
-        val seedmark = batch.select($"url_hash", $"canonical", $"host_bucket")
-          .withColumn("wave", lit(wave)).cache()
-        seedmark.count()
-        unflushed = unflushed :+ seedmark
-        seenView = seenView.unionByName(seedmark)
-        filters = updateFilters(batch.toDF, filters)
-      }
+      // fingerprint the consumed request at schedule time (Scrapy
+      // semantics); keep the cuckoo filters in sync with the seen set
+      val seedmark = batch.select($"url_hash", $"canonical", $"host_bucket")
+        .withColumn("wave", lit(wave)).cache()
+      seedmark.count()
+      unflushed = unflushed :+ seedmark
+      seenView = seenView.unionByName(seedmark)
+      filters = updateFilters(batch.toDF, filters)
 
-      // per-partition lineage via accumulator — no dedicated job
-      val lineageAcc = new org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]()
-      spark.sparkContext.register(lineageAcc, s"lineage_w$wave")
-      // serve cache hits without consuming politeness slots (S11)
-      val hitAcc = spark.sparkContext.longAccumulator(s"cache_hits_w$wave")
-      val (toFetch, cacheHits) = cacheDF match {
-        case None => (batch, None)
-        case Some(cache) =>
-          val misses = batch.toDF.join(cache.select($"url_hash"), Seq("url_hash"), "left_anti")
-            .as[UrlRecord]
-          val fw = wave
-          val hitResults = batch.joinWith(cache, batch("url_hash") === cache("url_hash"))
-            .map { case (r, c) =>
-              hitAcc.add(1L)
-              FetchResult(r.url, r.canonical, r.url_hash, r.host, r.host_bucket,
-                r.parse_fn, r.meta, fw, r.seq,
-                status = c.getAs[Int]("c_status"), from_cache = true,
-                fetched_at_ms = c.getAs[Long]("c_fetched_at_ms"), slot = -1,
-                partition_id = -1, doc_id = c.getAs[String]("c_doc_id"),
-                spans = c.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("c_spans")
-                  .map(sp => Span(sp.getAs[String]("kind"), sp.getAs[String]("text"),
-                    sp.getAs[String]("media_ref"), sp.getAs[Int]("offset"))).toSeq)
-            }
-          (misses, Some(hitResults))
-      }
-      val liveFetched = fetchBatch(toFetch, wave, waveStartMs, lineageAcc)
-      val fetchedRaw = cacheHits.map(h => liveFetched.unionByName(h)).getOrElse(liveFetched)
-      val fetched = if (cfg.keepFetched) {
-        val f = fetchedRaw.cache()
-        f.write.mode(SaveMode.Overwrite).parquet(s"$ckpt/fetched/wave_$wave")
-        f
-      } else fetchedRaw // single downstream consumer — no cache needed
+      val lineageAcc = new CollectionAccumulator[(Int, Long, Long, Long)]()
+      sc.register(lineageAcc, s"lineage_w$wave")
+      val fetched = fetchBatch(batch, wave, waveStartMs, lineageAcc).cache()
+      if (cfg.keepFetched)
+        fetched.write.mode(SaveMode.Overwrite).parquet(s"$ckpt/fetched/wave_$wave")
 
-      // duplicates collapsed inside the wave + already-seen candidates
-      val emittedAcc = spark.sparkContext.longAccumulator("emitted")
-      val candidates = toCandidates(fetched).map { c => emittedAcc.add(1L); c }
-      val filtersB = spark.sparkContext.broadcast(filters)
-      val tD0 = System.currentTimeMillis()
+      val candidates = toCandidates(fetched)
+      val filtersB = sc.broadcast(filters)
       val (novel, flagged) = dedupe(candidates, seenView, filtersB)
-      val tDedupe = System.currentTimeMillis() - tD0
 
-      // Deterministic seq assignment by discovery order. Scalable mode:
-      // interleaved per-bucket ranks — seq = base + (rank-1)*B + bucket is
-      // globally unique and preserves per-host discovery order with one
-      // hash shuffle and no global sort. Reference mode needs the global
-      // LIFO total order (tiny batches), so it ranks globally.
+      // the global LIFO total order needs a global rank (batches are 1 row)
       val base = nextSeq
       val w1 = wave + 1
-      val nBuckets = cfg.hostBuckets.toLong
-      val seqCol =
-        if (cfg.referenceOrder)
-          lit(base) + row_number().over(
-            Window.orderBy($"parent_seq", $"emission_idx")).cast("long") - 1L
-        else
-          lit(base) + (row_number().over(
-            Window.partitionBy($"host_bucket").orderBy($"parent_seq", $"emission_idx"))
-            .cast("long") - 1L) * nBuckets + $"host_bucket".cast("long")
       val ordered = novel
-        .withColumn("seq", seqCol)
+        .withColumn("seq", lit(base) + row_number().over(
+          Window.orderBy($"parent_seq", $"emission_idx")).cast("long") - 1L)
         .withColumn("is_seed", lit(false))
         .withColumn("wave", lit(w1))
         .select($"url", $"canonical", $"url_hash", $"host", $"host_bucket",
           $"parse_fn", $"meta", $"priority", $"is_seed", $"wave", $"seq")
         .as[UrlRecord]
-        // eager localCheckpoint: the wave's SINGLE materializing action
-        // (fetch → parse → dedup → seq) — also truncates the plan, which
-        // otherwise grows into a DAG whose tree rendering is exponential
         .localCheckpoint()
       flagged.unpersist()
-      val tS0 = System.currentTimeMillis()
       val novelCount = ordered.count()
-      val tSeq = System.currentTimeMillis() - tS0
-      nextSeq += (novelCount + 1) * nBuckets
-      val fetchedCount = lineageAcc.value.asScala.map(_._2).sum + hitAcc.value
-      totalFetched += fetchedCount
-      val dedupedCount = emittedAcc.value - novelCount
+      nextSeq += novelCount
+      val batchCount = batch.count() // exact (tiny batches on this path)
+      totalFetched += batchCount
+      val emitted = candidates.count() // candidates re-read the cached fetch
+      val dedupedCount = math.max(0L, emitted - novelCount)
       totalDeduped += dedupedCount
-
       lineageAcc.value.asScala.foreach { case (pid, in, ok, err) =>
         lineageBuf += ((wave, pid, in, ok, err, dedupedCount, novelCount))
       }
 
       // mark novel as seen at enqueue time (Scrapy dupefilter semantics)
-      val tDl0 = System.currentTimeMillis()
       val seenDelta = ordered.select($"url_hash", $"canonical", $"host_bucket")
-        .withColumn("wave", lit(w1)).cache() // 1-deep off checkpointed `ordered`
-      val tDelta = System.currentTimeMillis() - tDl0
+        .withColumn("wave", lit(w1)).cache()
       unflushed = unflushed :+ seenDelta
       seenView = seenView.unionByName(seenDelta)
-      val tF0 = System.currentTimeMillis()
       filters = updateFilters(ordered.toDF, filters)
       filtersB.destroy()
-      val tFilters = System.currentTimeMillis() - tF0
-      if (sys.env.contains("GRAFT_DEBUG"))
-        println(s"DBG wave=$wave fetched=$fetchedCount novel=$novelCount " +
-          s"deduped=$dedupedCount tWave=${System.currentTimeMillis() - tW0}ms " +
-          s"tDedupe=${tDedupe}ms tSeq=${tSeq}ms tDelta=${tDelta}ms tFilters=${tFilters}ms")
 
-      val newPending =
-        if (cfg.maxPerHostPerWave == Int.MaxValue) { done = novelCount == 0; ordered }
-        else {
-          val np = deferred.unionByName(ordered).cache()
-          // fully materialize BEFORE unpersisting parents — isEmpty would
-          // only populate one partition and later evaluations would
-          // recompute the whole wave chain recursively
-          done = np.count() == 0
-          np
-        }
+      val newPending = deferred.unionByName(ordered).cache()
+      // fully materialize BEFORE unpersisting parents — isEmpty would
+      // only populate one partition and later evaluations would
+      // recompute the whole wave chain recursively
+      done = newPending.count() == 0
       pending.unpersist()
-      if (cfg.keepFetched) fetched.unpersist()
-      novel.unpersist()
-      if (!(newPending eq ordered)) ordered.unpersist()
+      fetched.unpersist()
+      ordered.unpersist()
       pending = newPending
       wave += 1
 
       if (wave % cfg.checkpointEvery == 0 || done) flushCheckpoint()
     }
     if (latestCheckpointWave.forall(_ < wave)) flushCheckpoint()
-    totalSeen = seenView.select($"url_hash").distinct().count()
+    val totalSeen = seenView.select($"url_hash", $"canonical").distinct().count()
     val elapsed = System.currentTimeMillis() - t0
     CrawlRunResult(wave - startWave, totalFetched, totalDeduped, totalSeen, elapsed)
   }
-
-  /** All fetched pages of a finished run, in fetch order columns
-    * (wave, host, slot). */
-  def fetchedTable(): DataFrame = spark.read.schema(fetchResultSchema)
-    .option("recursiveFileLookup", "true").parquet(s"$ckpt/fetched")
 }
