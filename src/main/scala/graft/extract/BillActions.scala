@@ -76,25 +76,36 @@ object BillActions {
     out.toSeq
   }
 
-  /** Distributed form: speeches × meeting-contexts → bill actions. The
-    * context map is small (one row per meeting in the batch) and is shipped
-    * as a broadcast; speeches shuffle once on minutes_id. */
+  /** Distributed form: speeches cogrouped with their meeting contexts on
+    * minutes_id — both sides shuffle once on the meeting key and the scan
+    * runs where the group lives. Contexts are a Dataset (one row per
+    * meeting), NEVER collected to the driver: at full-corpus scale (every
+    * kokkai meeting ever) a driver-side context map is an OOM. */
+  def run(
+      spark: SparkSession,
+      speeches: Dataset[SpeechRec],
+      contexts: Dataset[MinutesCtx],
+      billIdToName: Seq[(String, String)]): Dataset[BillAction] = {
+    import spark.implicits._
+    val billsB = spark.sparkContext.broadcast(billIdToName)
+    speeches
+      .filter(r => ScrapeFns.isModerator(r.speech))
+      .groupByKey(_.minutes_id)
+      .cogroup(contexts.groupByKey(_.minutes_id)) { (_, sIt, cIt) =>
+        cIt.nextOption() match {
+          case Some(ctx) => scanMeeting(ctx, sIt.toSeq, billsB.value).iterator
+          case None => Iterator.empty
+        }
+      }
+  }
+
+  /** Convenience overload for driver-resident contexts (tests, q33). */
   def run(
       spark: SparkSession,
       speeches: Dataset[SpeechRec],
       contexts: Seq[MinutesCtx],
       billIdToName: Seq[(String, String)]): Dataset[BillAction] = {
     import spark.implicits._
-    val ctxB = spark.sparkContext.broadcast(contexts.map(c => c.minutes_id -> c).toMap)
-    val billsB = spark.sparkContext.broadcast(billIdToName)
-    speeches
-      .filter(r => ScrapeFns.isModerator(r.speech))
-      .groupByKey(_.minutes_id)
-      .flatMapGroups { (mid, it) =>
-        ctxB.value.get(mid) match {
-          case Some(ctx) => scanMeeting(ctx, it.toSeq, billsB.value).iterator
-          case None => Iterator.empty
-        }
-      }
+    run(spark, speeches, spark.createDataset(contexts), billIdToName)
   }
 }

@@ -161,8 +161,10 @@ object MinutesPipeline {
         }
       }
 
-    // R19 — bill-action state machine over moderator speeches
-    val contexts = minutes.collect().map(m => MinutesCtx(m.id, m.topics, m.topic_ids)).toSeq
+    // R19 — bill-action state machine over moderator speeches; contexts
+    // stay a Dataset (cogrouped on minutes_id inside BillActions.run) —
+    // no driver collect, so the pipeline holds at full-corpus scale
+    val contexts = minutes.map(m => MinutesCtx(m.id, m.topics, m.topic_ids))
     val speechRecs = speechRows
       .select($"minutes_id", $"speech_order", $"speaker", $"speech")
       .as[SpeechRec]

@@ -176,6 +176,135 @@ object ShugiinBills {
 }
 
 /**
+ * sangiin bill catalog + 議案情報 (meisai) detail pages (SURVEY §3.2;
+ * /root/reference/crawler/spiders/sangiin_spider.py). The reference's
+ * largest spider: caption-zip dispatch over the index page (R3 variant,
+ * :66-88), 5-cell bill rows (:92-115), then per-bill meisai pages — six
+ * 2-column key-value tables (R5, :238-245) with ~15 gated consumers:
+ * six lifecycle dates behind 議決∈{可決,修正} gates, 先議区分 → first
+ * house, committee/submitter scrapes for the R9/R8 joins (:119-236).
+ */
+object SangiinBills {
+
+  /** caption → BillCategory — exact match (sangiin_spider.py:67-75;
+    * contrast shugiin's contains-match). */
+  def categoryOf(caption: String): Option[String] = caption match {
+    case "法律案（内閣提出）一覧" => Some("KAKUHOU")
+    case "法律案（衆法）一覧" => Some("SHUHOU")
+    case "法律案（参法）一覧" => Some("SANHOU")
+    case _ => None
+  }
+
+  private def catChar(category: String): String = category match {
+    case "KAKUHOU" => "閣"
+    case "SHUHOU" => "衆"
+    case "SANHOU" => "参"
+  }
+
+  /** Index page: per caption-matched table, rows of exactly 5 cells
+    * (diet, submission, name[+meisai href], _, _) → Bill + GIAN_ZYOUHOU
+    * URL + meisai follow-up (sangiin_spider.py:92-115). Rows that fail
+    * the arity or int parses are quarantined (the reference logs+skips). */
+  def parse(doc: Document): ParseOut = {
+    var out = ParseOut()
+    for (tab <- SpanTables.tables(doc); cat <- categoryOf(tab.caption);
+         (cells, idx) <- tab.rows.zipWithIndex) {
+      if (idx == 0) () // header row (R2)
+      else if (cells.length != 5) // R1 arity gate (reference asserts == 5)
+        out = out.copy(quarantined = out.quarantined :+ s"${doc.doc_id}#${tab.caption}#$idx")
+      else {
+        val diet = cells(0).text.trim.toIntOption
+        val submission = cells(1).text.trim.toIntOption
+        val name = ScrapeFns.normalizeWhitespace(cells(2).text)
+        (diet, submission) match {
+          case (Some(d), Some(sub)) =>
+            val billNumber = s"$d-${catChar(cat)}-$sub"
+            val bill = Bill(ScrapeFns.billId(billNumber), billNumber, Some(name),
+              Some(cat), Some(d), Some(sub))
+            val meisai = Option(cells(2).href).filter(_.nonEmpty)
+            val urls = meisai.map(h =>
+              UrlEntity(ScrapeFns.urlId(h), h, "GIAN_ZYOUHOU", "sangiin.go.jp", bill.id)).toSeq
+            out = out.copy(
+              bills = out.bills :+ bill,
+              urls = out.urls ++ urls,
+              edges = out.edges ++ urls.map(u => Edge(u.id, bill.id)),
+              follow = out.follow ++ meisai.map(h =>
+                FollowUp(h, "sangiin_meisai", Map("bill_id" -> bill.id))))
+          case _ =>
+            out = out.copy(quarantined = out.quarantined :+ s"${doc.doc_id}#${tab.caption}#$idx")
+        }
+      }
+    }
+    out
+  }
+
+  /** One 2-column meisai table → key-value map (R5;
+    * sangiin_spider.py:238-245). Keys squeezed, values kept raw (the
+    * consumers strip). */
+  def kvOf(tab: SpanTables.Table): Map[String, String] =
+    tab.rows.collect { case Seq(k, v, _*) =>
+      ScrapeFns.squeezeWhitespace(k.text) -> v.text
+    }.toMap
+
+  private def ts(dt: java.time.LocalDateTime): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(dt)
+
+  /** date value under `key`, parsed via E27 era dates, None on miss/garbage
+    * (sangiin_spider.py:124-133). */
+  private def dateOf(data: Map[String, String], key: String): Option[java.sql.Timestamp] =
+    data.get(key).map(_.trim).filter(_.nonEmpty)
+      .flatMap(ScrapeFns.convertJapaneseDate).map(ts)
+
+  /** 議決 gate: the date only counts when the decision is 可決 or 修正
+    * (sangiin_spider.py:138-160). */
+  private def gated(data: Map[String, String], gateKey: String): Option[java.sql.Timestamp] =
+    if (data.get(gateKey).exists(v => v.trim == "可決" || v.trim == "修正"))
+      dateOf(data, "議決日")
+    else None
+
+  /** Meisai page: tables[1..6] = submission, sangiin committee, sangiin
+    * plenary, shugiin committee, shugiin plenary, proclamation
+    * (sangiin_spider.py:209-215). */
+  def parseMeisai(doc: Document, meta: Map[String, String]): Option[BillMeisai] = {
+    val billId = meta.getOrElse("bill_id", "")
+    val tabs = SpanTables.tables(doc)
+    if (tabs.length < 7) return None // arity gate → quarantine upstream
+    val submission = kvOf(tabs(1))
+    val sangiinCommittee = kvOf(tabs(2))
+    val sangiin = kvOf(tabs(3))
+    val shugiinCommittee = kvOf(tabs(4))
+    val shugiin = kvOf(tabs(5))
+    val proclaim = kvOf(tabs(6))
+
+    val firstHouse = submission.get("先議区分").map(_.trim).collect {
+      case "衆先議" => "REPRESENTATIVES"
+      case "本院先議" => "COUNCILORS"
+    }
+    val passedCouncilors = gated(sangiin, "議決")
+    val passedRepresentatives = gated(shugiin, "議決")
+    val proclaimed = dateOf(proclaim, "公布年月日")
+    val committees = Seq(
+      sangiinCommittee.get("付託委員会等").map(_.trim).filter(_.nonEmpty).map("参議院" + _),
+      shugiinCommittee.get("付託委員会等").map(_.trim).filter(_.nonEmpty).map("衆議院" + _)
+    ).flatten
+
+    Some(BillMeisai(
+      bill_id = billId,
+      submitted_date = dateOf(submission, "提出日"),
+      passed_councilors_committee_date = gated(sangiinCommittee, "議決・継続結果"),
+      passed_councilors_date = passedCouncilors,
+      passed_representatives_committee_date = gated(shugiinCommittee, "議決・継続結果"),
+      passed_representatives_date = passedRepresentatives,
+      proclaimed_date = proclaimed,
+      first_house = firstHouse,
+      is_passed = proclaimed.isDefined ||
+        (passedRepresentatives.isDefined && passedCouncilors.isDefined),
+      committee_names = committees,
+      submitter_text = submission.get("発議者").map(_.trim).filter(_.nonEmpty)))
+  }
+}
+
+/**
  * Member list→detail fan-out (SURVEY §3.3;
  * /root/reference/crawler/spiders/shugiin_member_spider.py).
  */

@@ -124,6 +124,25 @@ final case class Bill(
     supported_groups: Seq[String] = Nil,
     opposed_groups: Seq[String] = Nil)
 
+/** Bill lifecycle fields scraped from a sangiin 議案情報 (meisai) page —
+  * the reference sets these directly on Bill
+  * (/root/reference/crawler/spiders/sangiin_spider.py:119-236); kept as a
+  * separate row type here so the MERGE into the bills dim stays a plain
+  * partial-field upsert (K1). `committee_names` / `submitter_text` carry
+  * the raw scrapes for the R9/R8 joins on the Dataset plane. */
+final case class BillMeisai(
+    bill_id: String,
+    submitted_date: Option[java.sql.Timestamp] = None,
+    passed_councilors_committee_date: Option[java.sql.Timestamp] = None,
+    passed_councilors_date: Option[java.sql.Timestamp] = None,
+    passed_representatives_committee_date: Option[java.sql.Timestamp] = None,
+    passed_representatives_date: Option[java.sql.Timestamp] = None,
+    proclaimed_date: Option[java.sql.Timestamp] = None,
+    first_house: Option[String] = None,
+    is_passed: Boolean = false,
+    committee_names: Seq[String] = Nil,
+    submitter_text: Option[String] = None)
+
 final case class Minutes(
     id: String,
     name: String,

@@ -94,6 +94,75 @@ object QueriesC {
       None,
       "random-hyperplane LSH ANN with exact rerank (similarity-search scale path)"),
 
+    // sangiin meisai gate logic (R5 pivot + gated lifecycle dates +
+    // first-house + is_passed): the Spark side synthesizes a full
+    // span-encoded meisai page per document row and runs the REAL
+    // SangiinBills.parseMeisai transform; the oracle recomputes the gate
+    // semantics directly in SQL over the same synthesized values.
+    "q40_meisai_gates" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.model.{Document, Span}
+        val scArr = Seq("可決", "修正", "否決", "継続審査")
+        val spArr = Seq("可決", "否決", "修正")
+        val rcArr = Seq("可決", "修正", "否決", "継続審査", "")
+        val rpArr = Seq("可決", "未了")
+        val fhArr = Seq("衆先議", "本院先議", "")
+        t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+          val dstr = s"${2000 + id % 22}年${id % 12 + 1}月${id % 28 + 1}日"
+          val sc = scArr((id % 4).toInt)
+          val sp = spArr((id % 3).toInt)
+          val rc = rcArr((id % 5).toInt)
+          val rp = rpArr((id % 2).toInt)
+          val fh = fhArr((id % 3).toInt)
+          val proclaim = if (id % 6 == 0) dstr else ""
+          def table(caption: String, kvs: (String, String)*): Seq[(String, String, String)] =
+            Seq(("caption", caption, "")) ++ kvs.flatMap { case (k, v) =>
+              Seq(("row", "", ""), ("table_cell", k, ""), ("table_cell", v, ""))
+            }
+          val spans = (
+            table("本文情報", "本文" -> "x") ++
+              table("提出法律案", "提出日" -> dstr, "先議区分" -> fh) ++
+              table("参議院委員会等経過", "議決・継続結果" -> sc, "議決日" -> dstr) ++
+              table("参議院本会議経過", "議決" -> sp, "議決日" -> dstr) ++
+              table("衆議院委員会等経過", "議決・継続結果" -> rc, "議決日" -> dstr) ++
+              table("衆議院本会議経過", "議決" -> rp, "議決日" -> dstr) ++
+              table("公布", "公布年月日" -> proclaim)
+            ).zipWithIndex.map { case ((k, t0, m0), i) => Span(k, t0, m0, i) }
+          val m = graft.extract.transforms.SangiinBills
+            .parseMeisai(Document(s"m$id", spans), Map("bill_id" -> s"Bill:$id")).get
+          def ds(ts: Option[java.sql.Timestamp]): String =
+            ts.map(_.toLocalDateTime.toLocalDate.toString).orNull
+          (id, ds(m.submitted_date),
+            ds(m.passed_councilors_committee_date), ds(m.passed_councilors_date),
+            ds(m.passed_representatives_committee_date), ds(m.passed_representatives_date),
+            ds(m.proclaimed_date), m.first_house.orNull, m.is_passed)
+        }.toDF("doc_id", "submitted_date", "c_committee_date", "c_plenary_date",
+            "r_committee_date", "r_plenary_date", "proclaimed_date", "first_house", "is_passed")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ['可決','修正','否決','継続審査'][CAST(doc_id % 4 AS INT) + 1] AS sc,
+             |    ['可決','否決','修正'][CAST(doc_id % 3 AS INT) + 1] AS sp,
+             |    ['可決','修正','否決','継続審査',''][CAST(doc_id % 5 AS INT) + 1] AS rc,
+             |    ['可決','未了'][CAST(doc_id % 2 AS INT) + 1] AS rp,
+             |    ['衆先議','本院先議',''][CAST(doc_id % 3 AS INT) + 1] AS fh,
+             |    CAST(make_date(CAST(2000 + doc_id % 22 AS INT),
+             |      CAST(doc_id % 12 + 1 AS INT), CAST(doc_id % 28 + 1 AS INT)) AS VARCHAR) AS dstr
+             |  FROM documents)
+             |SELECT doc_id, dstr AS submitted_date,
+             |  CASE WHEN sc IN ('可決','修正') THEN dstr END AS c_committee_date,
+             |  CASE WHEN sp IN ('可決','修正') THEN dstr END AS c_plenary_date,
+             |  CASE WHEN rc IN ('可決','修正') THEN dstr END AS r_committee_date,
+             |  CASE WHEN rp IN ('可決','修正') THEN dstr END AS r_plenary_date,
+             |  CASE WHEN doc_id % 6 = 0 THEN dstr END AS proclaimed_date,
+             |  CASE WHEN fh = '衆先議' THEN 'REPRESENTATIVES'
+             |       WHEN fh = '本院先議' THEN 'COUNCILORS' END AS first_house,
+             |  (doc_id % 6 = 0) OR (sp IN ('可決','修正') AND rp IN ('可決','修正')) AS is_passed
+             |FROM m ORDER BY doc_id""".stripMargin),
+      "sangiin meisai: R5 pivot + 議決-gated lifecycle dates + is_passed (sangiin_spider.py:119-236)"),
+
     "q39_media_features" -> Q(
       (s, d) => {
         import s.implicits._

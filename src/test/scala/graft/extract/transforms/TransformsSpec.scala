@@ -69,6 +69,61 @@ object Fixtures {
     ("text", "岡山県選出。", ""),
     ("media", "", "https://www.shugiin.go.jp/profile/aisawa.jpg"))
 
+  /** sangiin bill index: exact-match captions, 5-cell rows, meisai href in
+    * the name cell (sangiin_spider.py:92-115). */
+  val sangiinIndex: Document = doc("https://www.sangiin.go.jp/gian/204/gian.htm",
+    ("title", "第204回国会 議案情報", ""),
+    ("caption", "法律案（内閣提出）一覧", ""),
+    ("row", "", ""), ("table_cell", "提出回次", ""), ("table_cell", "提出番号", ""),
+    ("table_cell", "件名", ""), ("table_cell", "議決", ""), ("table_cell", "経過", ""),
+    ("row", "", ""),
+    ("table_cell", "204", ""), ("table_cell", "1", ""),
+    ("table_cell", "犬法の一部を改正する法律案", "https://www.sangiin.go.jp/meisai/m20409001.htm"),
+    ("table_cell", "可決", ""), ("table_cell", "", ""),
+    ("caption", "法律案（参法）一覧", ""),
+    ("row", "", ""), ("table_cell", "h", ""), ("table_cell", "h", ""),
+    ("table_cell", "h", ""), ("table_cell", "h", ""), ("table_cell", "h", ""),
+    ("row", "", ""),
+    ("table_cell", "204", ""), ("table_cell", "9", ""),
+    ("table_cell", "うさぎ保護法案", "https://www.sangiin.go.jp/meisai/m20410009.htm"),
+    ("table_cell", "", ""), ("table_cell", "", ""),
+    ("row", "", ""), // arity violation (4 cells) → quarantine
+    ("table_cell", "204", ""), ("table_cell", "10", ""),
+    ("table_cell", "ねこ法案", ""), ("table_cell", "", ""),
+    ("caption", "決議案等", ""), // unmatched caption → whole table ignored
+    ("row", "", ""), ("table_cell", "204", ""), ("table_cell", "1", ""),
+    ("table_cell", "決議案", ""), ("table_cell", "", ""), ("table_cell", "", ""))
+
+  /** sangiin meisai page: tables[1..6] = submission / sangiin committee /
+    * sangiin plenary / shugiin committee / shugiin plenary / proclamation
+    * (sangiin_spider.py:209-215). Gates exercised: sangiin committee 可決
+    * (counts), sangiin plenary 修正 (counts), shugiin committee 継続審査
+    * (date present but gated OFF), shugiin plenary 否決 (gated OFF),
+    * proclamation absent. */
+  val sangiinMeisai: Document = doc("https://www.sangiin.go.jp/meisai/m20410009.htm",
+    ("caption", "本文情報", ""),
+    ("row", "", ""), ("table_cell", "本文", ""), ("table_cell", "リンク", ""),
+    ("caption", "提出法律案", ""),
+    ("row", "", ""), ("table_cell", "提出日", ""), ("table_cell", "令和3年4月1日", ""),
+    ("row", "", ""), ("table_cell", "先議区分", ""), ("table_cell", "本院先議", ""),
+    ("row", "", ""), ("table_cell", "発議者", ""), ("table_cell", "逢沢一郎君　外二名", ""),
+    ("caption", "参議院委員会等経過", ""),
+    ("row", "", ""), ("table_cell", "付託委員会等", ""), ("table_cell", "内閣委員会", ""),
+    ("row", "", ""), ("table_cell", "議決・継続結果", ""), ("table_cell", "可決", ""),
+    ("row", "", ""), ("table_cell", "議決日", ""), ("table_cell", "令和3年4月10日", ""),
+    ("caption", "参議院本会議経過", ""),
+    ("row", "", ""), ("table_cell", "議決", ""), ("table_cell", "修正", ""),
+    ("row", "", ""), ("table_cell", "議決日", ""), ("table_cell", "令和3年4月15日", ""),
+    ("caption", "衆議院委員会等経過", ""),
+    ("row", "", ""), ("table_cell", "付託委員会等", ""), ("table_cell", "", ""),
+    ("row", "", ""), ("table_cell", "議決・継続結果", ""), ("table_cell", "継続審査", ""),
+    ("row", "", ""), ("table_cell", "議決日", ""), ("table_cell", "令和3年5月1日", ""),
+    ("caption", "衆議院本会議経過", ""),
+    ("row", "", ""), ("table_cell", "議決", ""), ("table_cell", "否決", ""),
+    ("row", "", ""), ("table_cell", "議決日", ""), ("table_cell", "令和3年5月2日", ""),
+    ("caption", "公布", ""),
+    ("row", "", ""), ("table_cell", "公布年月日", ""), ("table_cell", "", ""))
+
   val ministryPage: Document = doc("https://www.cao.go.jp/houan/204.html",
     ("caption", "法律案一覧", ""),
     ("row", "", ""), ("table_cell", "犬法の一部を改正する法律案", ""),
@@ -138,6 +193,66 @@ class TransformsSpec extends AnyFunSuite {
     assert(m.first_name_hira.contains("いちろう") && m.last_name_hira.contains("あいさわ"))
     assert(m.description.contains("衆議院議員。 岡山県選出。"))
     assert(m.image.contains("https://www.shugiin.go.jp/profile/aisawa.jpg"))
+  }
+
+  test("SangiinBills.parse: exact-caption dispatch, 5-cell rows, meisai follow-ups") {
+    val out = SangiinBills.parse(sangiinIndex)
+    assert(out.bills.map(_.bill_number) == Seq("204-閣-1", "204-参-9"))
+    assert(out.bills.head.category.contains("KAKUHOU"))
+    assert(out.bills(1).category.contains("SANHOU"))
+    // GIAN_ZYOUHOU url from the name cell's href
+    assert(out.urls.map(_.title).distinct == Seq("GIAN_ZYOUHOU"))
+    assert(out.urls.forall(_.domain == "sangiin.go.jp"))
+    assert(out.follow.map(_.parse_fn).distinct == Seq("sangiin_meisai"))
+    assert(out.follow.forall(_.meta.contains("bill_id")))
+    // 4-cell row quarantined; 決議案等 table ignored entirely
+    assert(out.quarantined.length == 1)
+    assert(!out.bills.exists(_.name.exists(_.contains("決議案"))))
+  }
+
+  test("SangiinBills.parseMeisai: R5 pivot, gated lifecycle dates, first house") {
+    val m = SangiinBills.parseMeisai(sangiinMeisai, Map("bill_id" -> "Bill:u")).get
+    def d(s: String) = Some(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+    assert(m.bill_id == "Bill:u")
+    assert(m.submitted_date == d("2021-04-01")) // 令和3年 = 2021 (E27)
+    // sangiin committee gate 可決 → date counts
+    assert(m.passed_councilors_committee_date == d("2021-04-10"))
+    // sangiin plenary gate 修正 → date counts
+    assert(m.passed_councilors_date == d("2021-04-15"))
+    // shugiin committee gate 継続審査 → date present but MUST NOT count
+    assert(m.passed_representatives_committee_date.isEmpty)
+    // shugiin plenary gate 否決 → gated off
+    assert(m.passed_representatives_date.isEmpty)
+    assert(m.proclaimed_date.isEmpty)
+    // is_passed needs proclamation or both plenary passes
+    assert(!m.is_passed)
+    assert(m.first_house.contains("COUNCILORS"))
+    // committee names: only the non-empty one, house-prefixed
+    assert(m.committee_names == Seq("参議院内閣委員会"))
+    assert(m.submitter_text.contains("逢沢一郎君　外二名"))
+  }
+
+  test("SangiinPipeline: R9 committee join, R8 submitter containment, activities") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val m = SangiinBills.parseMeisai(sangiinMeisai, Map("bill_id" -> "Bill:u")).get
+    val committees = Seq(
+      graft.model.Committee(ScrapeFns.committeeId("参議院内閣委員会"), "参議院内閣委員会", Some("COUNCILORS")),
+      graft.model.Committee(ScrapeFns.committeeId("衆議院内閣委員会"), "衆議院内閣委員会", Some("REPRESENTATIVES")))
+    val members = Seq(
+      graft.model.Member(ScrapeFns.memberId("逢沢一郎"), "逢沢一郎"),
+      graft.model.Member(ScrapeFns.memberId("蓮舫"), "蓮舫"))
+    val out = SangiinPipeline.run(spark, spark.createDataset(Seq(m)),
+      spark.createDataset(committees), spark.createDataset(members))
+    val cEdges = out.billCommitteeEdges.collect().toSeq
+    assert(cEdges == Seq(graft.model.Edge("Bill:u", ScrapeFns.committeeId("参議院内閣委員会"))))
+    val mEdges = out.memberBillEdges.collect().toSeq
+    assert(mEdges == Seq(graft.model.Edge(ScrapeFns.memberId("逢沢一郎"), "Bill:u")))
+    val acts = out.activities.collect().toSeq
+    assert(acts.length == 1)
+    assert(acts.head.member_id == ScrapeFns.memberId("逢沢一郎"))
+    assert(acts.head.bill_id.contains("Bill:u"))
+    assert(acts.head.datetime == java.sql.Timestamp.valueOf("2021-04-01 00:00:00"))
   }
 
   test("MinistryBillUrls.parse: R4 link-text dispatch") {
