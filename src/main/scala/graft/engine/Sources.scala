@@ -107,6 +107,37 @@ object Sources {
   }
 
   /**
+   * S6 — numbered-page pagination: fetch page n, collect its article
+   * links, advance the page counter until the collected count reaches
+   * `limit` or a page fails
+   * (/root/reference/crawler/spiders/nikkei_spider.py:24-41 — `?bn=N`
+   * advancing by 20; reuters_spider.py:25-40 — `&page=N` advancing by 1).
+   * The caller encodes the counter arithmetic in `urlOf`.
+   */
+  def numberedPageCrawl(
+      fetcher: Fetcher,
+      urlOf: Long => String,
+      linksOf: Document => Seq[String],
+      limit: Int,
+      start: Long = 1L,
+      step: Long = 1L,
+      maxPages: Int = 100000): (Seq[String], Long) = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var page = start
+    var pages = 0
+    var stopped = false
+    while (!stopped && out.length < limit && pages < maxPages) {
+      val (status, doc) = fetcher.fetch(urlOf(page))
+      if (status >= 200 && status < 300 && doc.isDefined) {
+        out ++= linksOf(doc.get)
+        page += step
+        pages += 1
+      } else stopped = true
+    }
+    (out.toSeq, page)
+  }
+
+  /**
    * S5 — cursor-paginated API: fetch page at `cursor`, extract the next
    * cursor from the page via `nextCursorOf`, repeat until None
    * (kokkai API `nextRecordPosition`,

@@ -86,13 +86,14 @@ object ScrapeFns {
     s.split(java.util.regex.Pattern.quote(separator), -1).toSeq
       .flatMap(ss => extractParliamentaryGroupOrNone(ss.trim))
 
-  /** E5 — `ld['image']['url']` is done with get_json_object on the DF plane;
-    * Scala-side helper for typed parsers. */
-  def extractThumbnailOrNone(ldJson: String): Option[String] = {
-    // minimal extraction without a JSON lib: delegated to the DF plane in
-    // pipelines; here only used in tests via get_json_object.
-    None
-  }
+  /** E5 — `ld['image']['url']` from a JSON-LD string
+    * (/root/reference/crawler/utils/scrape.py:36-39). Jackson-backed; the
+    * typed transform lives in transforms.NewsPages.extractThumbnailOrNone. */
+  def extractThumbnailOrNone(ldJson: String): Option[String] =
+    try {
+      val ld = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ldJson)
+      transforms.NewsPages.extractThumbnailOrNone(ld)
+    } catch { case _: Exception => None }
 
   /** E17 — section bill paragraphs at 附 則 / 理 由 markers
     * (/root/reference/crawler/utils/elasticsearch.py:12-26; golden:

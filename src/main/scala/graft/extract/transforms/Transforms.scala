@@ -2,6 +2,7 @@ package graft.extract.transforms
 
 import graft.extract.ScrapeFns
 import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /**
  * Spider-family parse transforms (SURVEY.md §2.1/§2.3/§3), re-expressed as
@@ -388,6 +389,62 @@ object MinistryBillUrls {
       }
     }
   }
+}
+
+/**
+ * R7 — exact bill lookup join: the ministry-table (billName, urlTitle,
+ * href) triples resolve against the bills dim with exact-match name plus
+ * optional category / diet-number filters
+ * (/root/reference/crawler/spiders/__init__.py:185-200 — `bill_finder
+ * .find_one(bill_query, exact_match=True, category=…, diet_number=…)`).
+ * The bills dim is broadcast (small); unmatched triples surface on the
+ * quarantine channel like the reference's warning log.
+ */
+object BillUrlJoin {
+
+  def attach(
+      spark: SparkSession,
+      triples: Dataset[(String, String, String)], // (billName, urlTitle, href)
+      bills: Dataset[Bill],
+      domain: String,
+      category: Option[String] = None,
+      dietNumber: Option[Int] = None): (Dataset[UrlEntity], Dataset[Edge], Dataset[String]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim0 = bills.select($"id".as("bill_id"), $"name".as("bill_name"),
+      $"category", $"diet_number")
+    val dim1 = category.fold(dim0)(c => dim0.filter($"category" === c))
+    val dim = dietNumber.fold(dim1)(n => dim1.filter($"diet_number" === n))
+    val t = triples.toDF("bill_name", "url_title", "href")
+    val joined = t.join(broadcast(dim), Seq("bill_name"), "left_outer").cache()
+    val urls = joined.filter($"bill_id".isNotNull).map { r =>
+      UrlEntity(ScrapeFns.urlId(r.getAs[String]("href")), r.getAs[String]("href"),
+        r.getAs[String]("url_title"), domain, r.getAs[String]("bill_id"))
+    }
+    val edges = urls.map(u => Edge(u.id, u.to_id))
+    val unmatched = joined.filter($"bill_id".isNull)
+      .select($"bill_name").as[String]
+    (urls, edges, unmatched)
+  }
+}
+
+/**
+ * Statically-defined committees that have no crawlable list page
+ * (/root/reference/crawler/spiders/manual_committee_spider.py:36-51):
+ * the two plenary assemblies plus three shugiin review boards. The
+ * reference carries hand-copied descriptions from shugiin.go.jp; here the
+ * description records the source page instead of quoting it.
+ */
+object ManualCommittees {
+  private def c(name: String, house: String, num: Option[Int], topic: String): Committee =
+    Committee(ScrapeFns.committeeId(name), name, Some(house), num, Seq(topic))
+
+  val committees: Seq[Committee] = Seq(
+    c("衆議院本会議", "REPRESENTATIVES", Some(465), "本会議"),
+    c("参議院本会議", "COUNCILORS", Some(248), "本会議"),
+    c("衆議院憲法審査会", "REPRESENTATIVES", None, "憲法審査"),
+    c("衆議院情報監視審査会", "REPRESENTATIVES", None, "特定秘密"),
+    c("衆議院政治倫理審査会", "REPRESENTATIVES", None, "政治倫理"))
 }
 
 /**

@@ -209,6 +209,7 @@ final case class News(
     id: String,
     url: String,
     title: Option[String] = None,
+    publisher: Option[String] = None,
     published_at: Option[java.sql.Timestamp] = None,
     last_modified_at: Option[java.sql.Timestamp] = None,
     thumbnail: Option[String] = None,

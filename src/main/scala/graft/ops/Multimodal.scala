@@ -72,8 +72,14 @@ object Multimodal {
       partitions: Int = 32): Dataset[MediaFeatures] = {
     import spark.implicits._
     media
-      // salt by payload size bucket so large payloads spread evenly
-      .withColumn("size_salt", pmod(xxhash64(col("media_ref")), lit(partitions)))
+      // uniform hash spread with the payload's byte length folded into the
+      // salt: re-encoded payloads under the same ref still move, and equal
+      // refs with different sizes never collide into one task. (Beyond
+      // uniform hashing, byte-weighted balancing — range partitioning on
+      // cumulative size — is the documented production upgrade for
+      // pathological few-giant-videos skews.)
+      .withColumn("size_salt",
+        pmod(xxhash64(col("media_ref"), length(col("bytes"))), lit(partitions)))
       .repartition(partitions, col("size_salt"))
       .drop("size_salt")
       .as[MediaRow]

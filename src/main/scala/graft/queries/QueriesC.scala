@@ -65,17 +65,37 @@ object QueriesC {
              |GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin),
       "gap sessionization: stateful flatMapGroupsWithState vs SQL gap-window"),
 
-    // xxhash64 production dedup ops — rows-only (hash not oracle-portable)
+    // xxhash64 MinHash-LSH near-dup detection, PROPERTY-oracled: with 16
+    // one-row bands a pair at Jaccard j is a candidate with prob
+    // 1-(1-j)^16 (≥ 0.99998 at j ≥ 0.5), so the ≥ 0.5-thresholded output
+    // equals the brute-force thresholded pair set, which DuckDB recomputes
+    // exactly from distinct word 3-gram shingles.
     "q36_minhash_lsh_x64" -> Q(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 8)
+        val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 16)
         graft.ops.Dedup.jaccardFor(pairs, docs, "doc_id", "text")
           .withColumn("jaccard", round(col("jaccard"), 4))
+          .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None,
-      "xxhash64 MinHash-LSH candidate pairs + exact Jaccard verify (scale path)"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_filter(
+             |    list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),
+             |    s -> s IS NOT NULL))) AS sh
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+             |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+             |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "xxhash64 MinHash-LSH pairs + exact Jaccard verify, >=0.5 (scale path; property oracle)"),
 
     "q37_simhash_pairs_x64" -> Q(
       (s, d) => graft.ops.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
@@ -83,16 +103,37 @@ object QueriesC {
       None,
       "xxhash64 SimHash blocked near-dup pairs (scale path)"),
 
+    // LSH ANN, PROPERTY-oracled: with enough independent sign tables the
+    // bucket recall of the true top-3 reaches 1.0 on this data (asserted
+    // in OpsSpec), so the exact-reranked output equals the brute-force
+    // top-3, which DuckDB recomputes exactly.
     "q38_ann_lsh_x64" -> Q(
       (s, d) => {
         val emb = t(s, d, "embeddings")
         graft.ops.Ann.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb,
-          "vec_id", "embedding", k = 3)
-          .withColumn("cos", round(col("cos"), 4))
+          "vec_id", "embedding", k = 3, planes = 2, tables = 24)
+          .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+            round(col("cos"), 4).as("cos"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None,
-      "random-hyperplane LSH ANN with exact rerank (similarity-search scale path)"),
+      Some("""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |normed AS (
+             |  SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM emb),
+             |pairs AS (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip(q.v, n.v), p -> p[1] * p[2])), (a, b) -> a + b)
+             |      / (q.nrm * n.nrm) AS cos
+             |  FROM normed q, normed n
+             |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> n.vec_id)
+             |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+             |  SELECT query_id, neighbor_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM pairs) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      "random-hyperplane LSH ANN + exact rerank == brute-force top-3 (property oracle)"),
 
     // sangiin meisai gate logic (R5 pivot + gated lifecycle dates +
     // first-house + is_passed): the Spark side synthesizes a full
@@ -181,7 +222,24 @@ object QueriesC {
           .select(col("media_ref"), col("kind"), col("n_bytes"), col("sha_like"))
           .orderBy(col("media_ref"))
       },
-      None,
-      "multimodal binary-column pipeline: batched decode stub + features")
+      // the stub decoder is deterministic: its wrapping-Long byte fold is
+      // reproducible in DuckDB with HUGEINT arithmetic mod 2^64 (ASCII
+      // text → unicode(ch) == the utf-8 byte)
+      Some("""WITH m AS (
+             |  SELECT 'media/' || doc_id AS media_ref,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             |    text FROM documents),
+             |h AS (
+             |  SELECT media_ref, kind, CAST(length(text) AS BIGINT) AS n_bytes,
+             |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |      list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS HUGEINT))),
+             |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS uh
+             |  FROM m)
+             |SELECT media_ref, kind, n_bytes,
+             |  CAST(CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616
+             |    ELSE uh END AS BIGINT) AS sha_like
+             |FROM h ORDER BY media_ref""".stripMargin),
+      "multimodal binary-column pipeline: batched decode stub + features (deterministic oracle)")
   )
 }

@@ -68,6 +68,51 @@ object Streams {
       }
   }
 
+  /** True streaming sessionization: event-time timeout + watermark, so an
+    * open session actually CLOSES once the watermark passes its gap window
+    * (round-1 used NoTimeout and open sessions never flushed in a stream).
+    * The state timeout is re-armed at (last event time + gapMs); when it
+    * fires, the open session is emitted and the state removed. */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event], gapMs: Long,
+      watermark: String = "1 minute"): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Flush helper for tests/batch: emit the still-open sessions from the
     * same event set (a streaming deployment gets these via state timeout). */
   def openSessions(spark: SparkSession, events: Dataset[Event], gapMs: Long): Dataset[Session] = {

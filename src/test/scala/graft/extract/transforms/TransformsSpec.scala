@@ -263,6 +263,35 @@ class TransformsSpec extends AnyFunSuite {
       ("猫法案", "SINKYU_PDF", "https://www.cao.go.jp/pdf/sinkyu2.pdf")))
   }
 
+  test("R7: ministry triples join the bills dim exactly; misses quarantined") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val p = MinistryBillUrls.Params("cao.go.jp", 0, 0, 1)
+    val triples = MinistryBillUrls.parse(ministryPage, p)
+    val bills = Seq(
+      graft.model.Bill("Bill:inu", "204-閣-1", Some("犬法の一部を改正する法律案"),
+        Some("KAKUHOU"), Some(204)),
+      graft.model.Bill("Bill:inu205", "205-閣-1", Some("犬法の一部を改正する法律案"),
+        Some("KAKUHOU"), Some(205)), // same name, other diet — filtered out
+      graft.model.Bill("Bill:neko", "204-衆-2", Some("猫法案"), Some("SHUHOU"), Some(204)))
+    val (urls, edges, unmatched) = BillUrlJoin.attach(spark, triples.toDS(),
+      bills.toDS(), "cao.go.jp", category = Some("KAKUHOU"), dietNumber = Some(204))
+    val u = urls.collect()
+    assert(u.length == 1 && u.head.to_id == "Bill:inu" && u.head.title == "GAIYOU_PDF")
+    assert(edges.collect().toSeq == Seq(graft.model.Edge(u.head.id, "Bill:inu")))
+    // 猫法案 is SHUHOU → filtered by the category gate → unmatched
+    assert(unmatched.collect().toSeq == Seq("猫法案"))
+  }
+
+  test("manual committees: static rows with deterministic ids") {
+    val cs = ManualCommittees.committees
+    assert(cs.map(_.name) == Seq("衆議院本会議", "参議院本会議", "衆議院憲法審査会",
+      "衆議院情報監視審査会", "衆議院政治倫理審査会"))
+    assert(cs.head.num_members.contains(465))
+    assert(cs(1).num_members.contains(248))
+    assert(cs.map(_.id).distinct.length == 5)
+  }
+
   test("span-sequence equality: fixture round-trips through the table grouping") {
     // per-row oracle invariant (kind, text, media_ref, order): the grouping
     // must be a pure view — the document spans are untouched

@@ -28,6 +28,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming sessionization: event-time timeout flushes open sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // offset from epoch 0: a row at exactly the initial watermark (epoch)
+    // is dropped as late data
+    val ts = (m: Long) => new java.sql.Timestamp((1440 + m) * 60000L)
+    val gap = 30 * 60000L
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.sessionizeStream(spark, in.toDS(), gap)
+      .writeStream.outputMode("append").format("memory").queryName("sessflush").start()
+    // batch 1: two events of one session for user 7
+    in.addData(Streams.Event(1, ts(0), 7L, "click", 1.0),
+      Streams.Event(2, ts(5), 7L, "view", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sessflush").count() == 0) // session still open
+    // batch 2: a much later event for ANOTHER user advances the watermark
+    // past user 7's gap window → 7's open session must flush via timeout
+    in.addData(Streams.Event(3, ts(600), 8L, "click", 1.0))
+    q.processAllAvailable()
+    // one more empty-ish trigger so the timeout fires after watermark update
+    in.addData(Streams.Event(4, ts(601), 8L, "view", 1.0))
+    q.processAllAvailable()
+    val flushed = spark.table("sessflush").as[Streams.Session].collect()
+    q.stop()
+    assert(flushed.exists(s => s.user_id == 7L && s.n_events == 2))
+  }
+
   test("sessionization: closed + open sessions partition the event stream") {
     val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
     val events = spark.createDataset(Seq(
