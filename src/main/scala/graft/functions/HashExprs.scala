@@ -153,6 +153,31 @@ object HashImpl {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Sign-LSH signature of a double vector under hash-derived hyperplanes:
+    * plane component (table, plane, dim) = (xxhash64(table, plane, dim)
+    * pmod 2000001 - 10^6) / 10^6 — identical values and fold order to the
+    * interpreted composition it replaces (Ann.signSignature round 1). */
+  def signSignature(v: ArrayData, planes: Int, table: Int): Long = {
+    val n = v.numElements()
+    val tSeed = XXH64.hashInt(table, Seed)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val pSeed = XXH64.hashInt(p, tSeed)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(i, pSeed)
+        val comp = (Math.floorMod(h, 2000001L) - 1000000L).toDouble / 1000000.0
+        acc += v.getDouble(i) * comp
+        i += 1
+      }
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
 }
 
 /** Polynomial code-point hash of a string column (cross-engine portable:
@@ -211,6 +236,20 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sign-LSH signature of an array<double> column (see HashImpl.signSignature). */
+case class SignSignatureExpr(child: Expression, planes: Int, table: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_signature"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.signSignature(input.asInstanceOf[ArrayData], planes, table)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.signSignature($c, $planes, $table)")
+  override protected def withNewChildInternal(newChild: Expression): SignSignatureExpr =
+    copy(child = newChild)
+}
+
 /** Dot product of two array<double> columns in index order. */
 case class DotF64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -236,4 +275,6 @@ object HashFns {
     ColumnBridge.column(XxShingleHashes(ex(tokens), n))
   def simhash64(tokens: Column): Column = ColumnBridge.column(SimHash64Expr(ex(tokens)))
   def dotF64(a: Column, b: Column): Column = ColumnBridge.column(DotF64(ex(a), ex(b)))
+  def signSignature(v: Column, planes: Int, table: Int): Column =
+    ColumnBridge.column(SignSignatureExpr(ex(v), planes, table))
 }

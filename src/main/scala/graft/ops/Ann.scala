@@ -46,41 +46,40 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): a hash folded to [-1, 1]. Pure column math — codegen'd, no UDF. */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(table), lit(plane), dim), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  /** `planes`-bit sign signature of a vector under table `t`: hyperplane
+    * components are hash-derived ((xxhash64(table, plane, dim) pmod
+    * 2000001 - 10^6)/10^6) — one native loop per vector
+    * (graft.functions.SignSignatureExpr; bit-identical to the round-1
+    * interpreted zip_with fold, pinned in HashExprsSpec). */
+  def signSignature(vec: Column, planes: Int, table: Int): Column =
+    graft.functions.HashFns.signSignature(asDouble(vec), planes, table)
 
-  /** `planes`-bit sign signature of a vector under table `t`. */
-  def signSignature(vec: Column, planes: Int, table: Int): Column = {
-    val v = asDouble(vec)
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(table, p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
-  /** LSH-bucketed approximate top-k: bucket-join + exact rerank. */
+  /** LSH-bucketed approximate top-k: bucket-join + exact rerank.
+    *
+    * Shuffle discipline (the 100 TB shape): the bucket join and the
+    * candidate-pair `distinct` carry ONLY (id, table, signature) — never
+    * the vectors; vectors are re-attached per side just for the exact
+    * rerank of the deduplicated candidates. (Round 1 shipped both full
+    * vectors through the join and ran distinct() over array columns.) */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, planes: Int = 6, tables: Int = 8): DataFrame = {
-    def signed(df: DataFrame, idAs: String, vAs: String): DataFrame = {
-      val base = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
-      base.select(col(idAs), col(vAs),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"), signSignature(col(vAs), planes, t).as("sig"))): _*)).as("x"))
-        .select(col(idAs), col(vAs), col("x.tbl"), col("x.sig"))
+    def signed(df: DataFrame, idAs: String): DataFrame = {
+      val v = asDouble(col(vecCol))
+      df.select(col(idCol).as(idAs),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("tbl"), signSignature(v, planes, t).as("sig"))): _*)).as("x"))
+        .select(col(idAs), col("x.tbl"), col("x.sig"))
     }
-    val q = signed(queries, "query_id", "qv")
-    val c = signed(corpus, "neighbor_id", "nv")
-    val cand = q.join(c, Seq("tbl", "sig"))
+    val cand = signed(queries, "query_id").join(signed(corpus, "neighbor_id"), Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("nv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cand
+      .join(qv, Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -202,13 +202,14 @@ object Queries {
     // E2 + dupefilter canonicalization on synthesized messy URLs
     "q11_url_canonicalize" -> Q(
       (s, d) => {
-        val canonUdf = udf((u: String) => graft.urls.UrlCanon.canonicalize(u))
+        // native codegen'd expression (graft.functions.CanonicalizeUrl) —
+        // round 1 used a Scala UDF, which breaks whole-stage codegen
         t(s, d, "documents")
           .select(col("doc_id"),
             concat(lit("HTTP://Host"), (col("doc_id") % 7).cast("string"),
               lit(".Example.JP:80/a/./b/../c"), (col("doc_id") % 13).cast("string"),
               lit("?b=2&a=1#frag")).as("url"))
-          .withColumn("canonical", canonUdf(col("url")))
+          .withColumn("canonical", graft.functions.UrlFns.canonicalizeUrl(col("url")))
           .select(col("doc_id"), col("canonical"))
           .orderBy(col("doc_id"))
       },

@@ -116,6 +116,32 @@ class HashExprsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(row.getDouble(1))))
   }
 
+  test("SignSignatureExpr matches the interpreted zip_with plane fold") {
+    import spark.implicits._
+    def oldPlaneComponent(table: Int, plane: Int, dim: Column): Column =
+      (pmod(xxhash64(lit(table), lit(plane), dim), lit(2000001L)) - 1000000L)
+        .cast("double") / 1000000.0
+    def oldSig(v: Column, planes: Int, table: Int): Column =
+      (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x * oldPlaneComponent(table, p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val df = Seq(
+      Array(0.1, -0.4, 2.5, 0.0, -1.25),
+      Array(1.0, 1.0, 1.0),
+      Array(-3.0)
+    ).toDF("v")
+    for (t <- Seq(0, 3, 17); p <- Seq(2, 6)) {
+      val r = df.select(
+        HashFns.signSignature(col("v"), p, t).as("fast"),
+        oldSig(col("v"), p, t).as("slow")).collect()
+      r.foreach(row => assert(row.getLong(0) == row.getLong(1), s"t=$t p=$p"))
+    }
+  }
+
   test("expressions survive whole-stage codegen (no fallback exception)") {
     // force the codegen path on a non-trivial plan
     val out = sampleDf
