@@ -51,7 +51,8 @@ object MinutesPipeline {
       spark: SparkSession,
       docs: Dataset[Document],
       bills: Seq[(String, String)], // (bill_id, name) dim — broadcast (R11)
-      members: Seq[(String, String)] // (name, member_id) dim — broadcast (R8)
+      members: Seq[(String, String)], // (name, member_id) dim — broadcast (R8)
+      collectKeyphrases: Boolean = false // R26 opt-in (minutes_spider.py:29)
       ): Out = {
     import spark.implicits._
 
@@ -147,17 +148,31 @@ object MinutesPipeline {
       }
 
     // R12 — per-(meeting, speaker) Activities for member speakers, with
-    // the first speech URL by order
+    // the first speech URL by order. Opt-in R26: the speaker's speeches
+    // joined in order (the reference's `''.join(rec['speech'])`,
+    // minutes_spider.py:157-160) feed the keyphrase extractor; the concat
+    // is only aggregated when requested so the default path ships no
+    // speech bodies through this shuffle.
+    val joinedSpeech =
+      if (collectKeyphrases)
+        concat_ws("", transform(
+          array_sort(collect_list(struct($"speech_order", $"speech"))),
+          x => x.getField("speech"))).as("joined_speech")
+      else lit("").as("joined_speech")
     val activities = speechRows
       .groupBy($"minutes_id", $"speaker", $"date")
-      .agg(min_by($"speech_url", $"speech_order").as("first_url"))
+      .agg(min_by($"speech_url", $"speech_order").as("first_url"), joinedSpeech)
       .flatMap { r =>
         val speaker = r.getAs[String]("speaker")
         membersB.value.get(speaker).map { memberId =>
           val mid = r.getAs[String]("minutes_id")
           val dt = java.sql.Timestamp.valueOf(r.getAs[String]("date") + " 00:00:00")
           Activity(ScrapeFns.activityId(memberId, mid, r.getAs[String]("date")),
-            memberId, minutes_id = Some(mid), datetime = dt)
+            memberId, minutes_id = Some(mid), datetime = dt,
+            keyphrases =
+              if (collectKeyphrases)
+                graft.extract.Keyphrases.extract(r.getAs[String]("joined_speech"), 3)
+              else Nil)
         }
       }
 

@@ -189,7 +189,10 @@ final case class Activity(
     member_id: String,
     minutes_id: Option[String] = None,
     bill_id: Option[String] = None,
-    datetime: java.sql.Timestamp)
+    datetime: java.sql.Timestamp,
+    // R26: top-3 keyphrases of the member's joined speech, opt-in
+    // (minutes_spider.py:29-33,159-160)
+    keyphrases: Seq[String] = Nil)
 
 final case class BillAction(
     id: String,

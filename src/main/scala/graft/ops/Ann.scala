@@ -85,4 +85,32 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * `threshold`): sign-LSH bucket join for candidates, exact cosine
+    * verify. Same shuffle discipline as [[lshTopK]] — the bucket join and
+    * `distinct` carry only (id, table, signature); vectors re-attach for
+    * the verify of deduplicated candidates only. At near-dup thresholds
+    * (≥ 0.9, angle ≤ 26°) per-table bucket-collision probability is
+    * (1 - θ/π)^planes, so a handful of independent tables reaches
+    * recall ≈ 1 while random pairs (θ ≈ π/2) almost never collide. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 8, tables: Int = 4): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val signed = df.select(col(idCol).as("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), signSignature(v, planes, t).as("sig"))): _*)).as("x"))
+      .select(col("id"), col("x.tbl"), col("x.sig"))
+    val cand = signed.as("a").join(signed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val va = df.select(col(idCol).as("id_a"), v.as("va"))
+    val vb = df.select(col(idCol).as("id_b"), v.as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

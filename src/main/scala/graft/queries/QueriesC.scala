@@ -207,6 +207,80 @@ object QueriesC {
              |FROM m ORDER BY doc_id""".stripMargin),
       "sangiin meisai: R5 pivot + 議決-gated lifecycle dates + is_passed (sangiin_spider.py:119-236)"),
 
+    // R26 keyphrase extraction, DF-plane RAKE-lite form (the Japanese
+    // kanji/katakana variant used by the Activities pipeline is pinned in
+    // KeyphrasesSpec): stopword-delimited phrase runs, freq × token-count
+    // score, deterministic top-3 per document.
+    "q41_keyphrases" -> Q(
+      (s, d) => graft.extract.Keyphrases.phraseTopK(
+          t(s, d, "documents"), "doc_id", "text", k = 3,
+          stopwords = Seq("a", "the"))
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH runs AS (
+             |  SELECT doc_id,
+             |    string_split_regex(' ' || text || ' ', '\s*\b(?:a|the)\b\s*') AS rs
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(unnest(rs), '\s+', ' ', 'g')) AS keyphrase,
+             |    unnest(generate_series(1, len(rs))) AS pos
+             |  FROM runs),
+             |g AS (
+             |  SELECT doc_id, keyphrase, count(*) AS freq, min(pos) AS first_pos
+             |  FROM tok WHERE keyphrase <> '' GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT doc_id, keyphrase,
+             |    CAST(freq * len(string_split(keyphrase, ' ')) AS BIGINT) AS score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY freq * len(string_split(keyphrase, ' ')) DESC,
+             |               first_pos, keyphrase) AS BIGINT) AS rank
+             |  FROM g)
+             |SELECT doc_id, rank, keyphrase, score FROM ranked
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+      "R26 keyphrase extraction: RAKE-lite phrase runs, top-3 per doc (minutes_spider.py:159-160)"),
+
+    // Embedding-cosine near-dup pairs, PROPERTY-oracled like q36/q38: the
+    // corpus has no natural near-dups (max off-diagonal cosine ≈ 0.51), so
+    // deterministic twins (±0.3% element perturbation, cosine ≈ 0.9999)
+    // are synthesized in-query; at threshold 0.98 the LSH candidate recall
+    // of the twin pairs is 1.0 (verified sf0.01 + sf0.1), so the output
+    // equals DuckDB's brute-force thresholded pair set.
+    "q42_cosine_neardup" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val twins = emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("v"), (x, i) =>
+              x * (lit(1.0) + (((col("vec_id") + i) % 7 - 3) / lit(1000.0)))).as("v"))
+        graft.ops.Ann.nearDupPairs(emb.unionByName(twins), "vec_id", "v",
+            threshold = 0.98, planes = 8, tables = 4)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |twins AS (
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |    list_transform(v, (x, i) -> x * (1.0 + ((vec_id + i - 1) % 7 - 3) / 1000.0)) AS v
+             |  FROM emb WHERE vec_id % 25 = 0),
+             |corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM twins),
+             |normed AS (
+             |  SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM corpus),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y)
+             |      / (a.nrm * b.nrm) AS cos
+             |  FROM normed a, normed b WHERE a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs
+             |WHERE cos >= 0.98 ORDER BY id_a, id_b""".stripMargin),
+      "embedding-cosine near-dup pairs: sign-LSH buckets + exact verify (property oracle)"),
+
     "q39_media_features" -> Q(
       (s, d) => {
         import s.implicits._

@@ -68,5 +68,23 @@ class MinutesPipelineSpec extends AnyFunSuite {
 
     // S5 cursor
     assert(out.nextPositions.collect().head._2.contains(6L))
+
+    // R26 default-off: no keyphrases unless opted in (minutes_spider.py:29)
+    assert(acts.head.keyphrases.isEmpty)
+  }
+
+  test("R26 opt-in: activities carry top-3 keyphrases of the joined speech") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(apiDoc("page1", body)))
+    val out = MinutesPipeline.run(spark, docs,
+      bills = Seq("Bill:dog" -> "犬法の一部を改正する法律案"),
+      members = Seq("逢沢一郎" -> "Member:aisawa"),
+      collectKeyphrases = true)
+    val acts = out.activities.collect()
+    assert(acts.length == 1)
+    // the member's raw speech is "○逢沢一郎君　質問です が"
+    assert(acts.head.keyphrases ==
+      graft.extract.Keyphrases.extract("○逢沢一郎君　質問です が", 3))
+    assert(acts.head.keyphrases.nonEmpty)
   }
 }
