@@ -13,7 +13,8 @@ import java.time.LocalDate
  * S1/S2 are plain seed lists; S3 enumerates dates; S4/S5 are *stateful*
  * cursor sources: the cursor lives in driver state, each wave fetches a
  * deterministic id batch in parallel, and the stop condition is evaluated
- * on the collected wave (order-sensitive run of failures — R20). Cursor
+ * on the wave's collected (seq, status) pairs — bodies stay distributed
+ * (order-sensitive run of failures — R20). Cursor
  * positions are persisted by the caller via the engine checkpoint
  * (`cursors` table, FIXTURES.md §2).
  */
@@ -38,8 +39,12 @@ object Sources {
       .map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#"))
       .map(SeedSpec(_, parseFn))
 
+  /** `fetched` stays a distributed Dataset (cached per wave): only the
+    * (seq, status) pairs ever reach the driver for the R20 stop scan, so
+    * page bodies/spans never ride a collect — at a 10^6-id cursor range
+    * the driver holds 16 bytes/id, not the corpus. */
   final case class CursorResult(
-      fetched: Seq[FetchResult],
+      fetched: Dataset[FetchResult],
       finalCursor: Long,
       stoppedByFailures: Boolean)
 
@@ -65,7 +70,7 @@ object Sources {
       maxId: Long = Long.MaxValue,
       partitions: Int = 8): CursorResult = {
     import spark.implicits._
-    val out = scala.collection.mutable.ArrayBuffer[FetchResult]()
+    val waves = scala.collection.mutable.ArrayBuffer[Dataset[FetchResult]]()
     var cursor = startId
     var trailingFailures = 0
     var stopped = false
@@ -86,24 +91,30 @@ object Sources {
             doc_id = doc.map(_.doc_id).getOrElse(canon),
             spans = doc.map(_.spans).getOrElse(Nil))
         }
-        .collect()
-        .sortBy(_.seq)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // only (seq, status) reaches the driver — materializes the wave
+      // cache, so each id is fetched exactly once
+      val statuses = wave.map(r => (r.seq, r.status)).collect().sortBy(_._1)
 
       // order-sensitive scan for the failure run (R20)
       var stopAt = -1L
-      for (r <- wave if stopAt < 0) {
-        if (r.ok) {
-          trailingFailures = 0
-          out += r
-        } else {
+      for ((seq, status) <- statuses if stopAt < 0) {
+        if (status >= 200 && status < 300) trailingFailures = 0
+        else {
           trailingFailures += 1
-          if (trailingFailures >= failureLimit) stopAt = r.seq
+          if (trailingFailures >= failureLimit) stopAt = seq
         }
       }
       if (stopAt >= 0) { stopped = true; cursor = stopAt + 1 }
       else cursor = hi + 1
+      // the reference's sequential scan never looks past the stop id
+      val bound = if (stopAt >= 0) stopAt else Long.MaxValue
+      waves += wave.filter(r => r.ok && r.seq < bound)
     }
-    CursorResult(out.toSeq, cursor, stopped)
+    val fetched = waves.reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[FetchResult])
+    CursorResult(fetched, cursor, stopped)
   }
 
   /**

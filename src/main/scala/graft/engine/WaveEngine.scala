@@ -86,28 +86,39 @@ final case class Candidate(
 
 /**
  * Per-bucket URL-seen state: the cuckoo pre-filter plus the exact
- * (url_hash → canonicals) map that makes dedup collision-proof — the
- * 64-bit hash alone would drop a distinct URL on a collision (~3 expected
- * at the 10^10-URL design scale by the birthday bound). The map is an
- * immutable persistent HashMap, so each wave's new state structurally
- * shares almost all of the previous wave's entries (O(novel · log n) new
- * nodes per wave, never a copy of the full set).
+ * 128-bit membership set ([[graft.seen.SeenSet128]]) that makes dedup
+ * collision-proof — a 64-bit key alone would drop a distinct URL on a
+ * collision (~3 expected at the 10^10-URL design scale by the birthday
+ * bound); the (seed-42, seed-7919) xxhash64 pair pushes that to ~10^-19
+ * (Scrapy's SHA1 fingerprint, same idea). Everything is primitive
+ * arrays: no per-entry heap nodes, so GC and Spark's SizeEstimator cost
+ * O(1) per bucket instead of O(seen) — the round-1 persistent-HashMap
+ * state put millions of nodes in the old generation and its stop-the-world
+ * GC was the measured Amdahl term that capped frontier scaling.
+ *
+ * (hashLog, canonLog) are flat parallel append-logs of the bucket's novel
+ * URLs in seq order — the durable seen-table flush (url_hash, canonical)
+ * is written from them, keeping the on-disk contract (and the URL-seen
+ * set equality check against the reference) byte-identical to round 1.
  *
  * At 10^10-URL scale one bucket holds |seen|/hostBuckets entries; the
  * state lives partitioned across executors (never on the driver, never
  * broadcast). A deployment whose per-executor seen share exceeds memory
- * would swap the map for a disk-backed store behind `isDup`/fold — the
- * partitioning and wave protocol stay identical.
+ * would page the SeenSet128 to SSD behind the cuckoo pre-filter (whose
+ * negatives skip the exact probe entirely) — the partitioning and wave
+ * protocol stay identical.
  */
 private[engine] final case class BucketSeen(
     bucket: Int,
     filter: CuckooFilter,
-    exact: Map[Long, List[String]],
+    seen: graft.seen.SeenSet128,
+    hashLog: Array[Long],
+    canonLog: Array[String],
     count: Long) {
   /** Exact membership; the filter short-circuits the common novel case
-    * (no false negatives; positives verified against the exact map). */
-  def isDup(h: Long, canon: String): Boolean =
-    filter.contains(h) && exact.get(h).exists(_.contains(canon))
+    * (no false negatives; positives verified against the exact set). */
+  def isDup(h1: Long, h2: Long): Boolean =
+    filter.contains(h1) && seen.contains(h1, h2)
 }
 
 /** One bucket's wave output: advanced state + novel rows (with assigned
@@ -135,6 +146,10 @@ private[engine] object WaveCore {
     if (!fr.ok) Iterator.empty
     else {
       val parser = parserMap.getOrElse(fr.parse_fn, FollowAllLinks)
+      // host→bucket memo: a page's links are mostly same-host, and the
+      // bucket hash of the one repeated host string is the same value
+      var lastHost: String = null
+      var lastBucket = 0
       parser.followUps(fr.document, fr.meta).iterator.zipWithIndex.flatMap { case (f, idx) =>
         val abs = UrlCanon.resolve(fr.url, f.url)
         val canon = UrlCanon.canonicalize(abs)
@@ -142,11 +157,17 @@ private[engine] object WaveCore {
         val allowed = !robotsEnabled || !robots.getOrElse(host, Nil).exists(p =>
           UrlCanon.parse(canon).path.startsWith(p))
         if (!allowed) Iterator.empty
-        else Iterator.single(Candidate(
-          url = abs, canonical = canon, url_hash = UrlCanon.urlHash(canon),
-          host = host, host_bucket = UrlCanon.hostBucket(host, buckets),
-          parse_fn = f.parse_fn, meta = f.meta, priority = f.priority,
-          parent_seq = fr.seq, emission_idx = idx))
+        else {
+          if (host != lastHost) {
+            lastHost = host
+            lastBucket = UrlCanon.hostBucket(host, buckets)
+          }
+          Iterator.single(Candidate(
+            url = abs, canonical = canon, url_hash = UrlCanon.urlHash(canon),
+            host = host, host_bucket = lastBucket,
+            parse_fn = f.parse_fn, meta = f.meta, priority = f.priority,
+            parent_seq = fr.seq, emission_idx = idx))
+        }
       }
     }
   }
@@ -164,15 +185,38 @@ private[engine] object WaveCore {
       fetchWave: Int,
       waveStartMs: Long,
       lineageAcc: CollectionAccumulator[(Int, Long, Long, Long)]): Iterator[FetchResult] = {
+    // one comparator sort groups hosts AND orders each host's run by
+    // (priority desc, seq) — replaces groupBy + per-host sortBy, which
+    // allocated a map, per-host arrays, and a tuple key per row
     val rows = it.toArray
-    val byHost = rows.groupBy(_.host)
+    java.util.Arrays.sort(rows, UrlRecordOrder)
     val pid = TaskContext.getPartitionId()
-    var nIn = 0L
-    var nOk = 0L
-    var nErr = 0L
-    val out = byHost.iterator.flatMap { case (_, hostRows) =>
-      val ordered = hostRows.sortBy(r => (-r.priority, r.seq))
-      ordered.iterator.zipWithIndex.map { case (r, slot) =>
+    // STREAMING: each FetchResult (page body + spans) is born when the
+    // downstream parse pulls it and is garbage right after — materializing
+    // the partition's results up front kept 100s of MB live per task and
+    // its survivor-copy cost dominated young-GC pauses (the measured
+    // Amdahl term of frontier scaling). Lineage is reported once, at
+    // exhaustion, before the final hasNext=false reaches the caller.
+    new Iterator[FetchResult] {
+      private var i = 0
+      private var slot = 0
+      private var prevHost: String = null
+      private var nIn = 0L
+      private var nOk = 0L
+      private var nErr = 0L
+      private var reported = false
+
+      def hasNext: Boolean = {
+        if (i < rows.length) true
+        else {
+          if (!reported) { reported = true; lineageAcc.add((pid, nIn, nOk, nErr)) }
+          false
+        }
+      }
+
+      def next(): FetchResult = {
+        val r = rows(i)
+        if (r.host != prevHost) { slot = 0; prevHost = r.host }
         val plannedMs = waveStartMs + math.round(slot * 1000.0 / rps)
         val fetchedAt = if (realtime) {
           val now = System.currentTimeMillis()
@@ -183,7 +227,7 @@ private[engine] object WaveCore {
         nIn += 1
         if (status >= 200 && status < 300) nOk += 1
         if (status >= 400) nErr += 1
-        FetchResult(
+        val out = FetchResult(
           url = r.url, canonical = r.canonical, url_hash = r.url_hash,
           host = r.host, host_bucket = r.host_bucket, parse_fn = r.parse_fn,
           meta = r.meta, wave = fetchWave, seq = r.seq, status = status,
@@ -191,11 +235,24 @@ private[engine] object WaveCore {
           partition_id = pid,
           doc_id = doc.map(_.doc_id).getOrElse(r.canonical),
           spans = doc.map(_.spans).getOrElse(Nil))
+        slot += 1
+        i += 1
+        out
       }
-    }.toArray // drain so the lineage counters are final before emitting
-    lineageAcc.add((pid, nIn, nOk, nErr))
-    out.iterator
+    }
   }
+
+  private val UrlRecordOrder: java.util.Comparator[UrlRecord] =
+    new java.util.Comparator[UrlRecord] with Serializable {
+      def compare(a: UrlRecord, b: UrlRecord): Int = {
+        val h = a.host.compareTo(b.host)
+        if (h != 0) h
+        else {
+          val p = Integer.compare(b.priority, a.priority) // desc
+          if (p != 0) p else java.lang.Long.compare(a.seq, b.seq)
+        }
+      }
+    }
 
   /** Advance every bucket of one partition through one wave: sort the
     * bucket's candidates into discovery order, drop within-wave duplicates
@@ -220,32 +277,50 @@ private[engine] object WaveCore {
       if (raw == null) {
         (b, BucketWave(st, Array.empty, 0L))
       } else {
-        val sorted = raw.toArray.sortBy(c => (c.parent_seq, c.emission_idx))
-        val seenNow = new java.util.HashSet[(Long, String)]()
+        val sorted = raw.toArray
+        // comparator sort: sortBy would allocate a tuple key per candidate
+        java.util.Arrays.sort(sorted, CandidateOrder)
         val novel = scala.collection.mutable.ArrayBuffer[Candidate]()
-        var exact = st.exact
         val filter = CuckooFilter.deserialize(st.filter.serialized) // copy-on-write
+        val seen = st.seen.copy() // copy-on-write (flat array clone)
         sorted.foreach { c =>
-          if (seenNow.add((c.url_hash, c.canonical)) && !st.isDup(c.url_hash, c.canonical)) {
-            novel += c
+          val h2 = UrlCanon.urlHash2(c.canonical)
+          // evolving copies: the same probe handles within-wave dups and
+          // the prior seen set in one pass
+          if (!(filter.contains(c.url_hash) && seen.contains(c.url_hash, h2))) {
+            seen.add(c.url_hash, h2)
             filter.insert(c.url_hash)
-            exact = exact.updated(c.url_hash, c.canonical :: exact.getOrElse(c.url_hash, Nil))
+            novel += c
           }
         }
-        val recs = new Array[UrlRecord](novel.length)
+        val nn = novel.length
+        val off = st.hashLog.length
+        val hashLog = java.util.Arrays.copyOf(st.hashLog, off + nn)
+        val canonLog = java.util.Arrays.copyOf(st.canonLog, off + nn)
+        val recs = new Array[UrlRecord](nn)
         var r = 0
-        while (r < novel.length) {
+        while (r < nn) {
           val c = novel(r)
+          hashLog(off + r) = c.url_hash
+          canonLog(off + r) = c.canonical
           recs(r) = UrlRecord(c.url, c.canonical, c.url_hash, c.host, c.host_bucket,
             c.parse_fn, c.meta, c.priority, is_seed = seedWave, wave = newWave,
             seq = base + r.toLong * nBuckets + b)
           r += 1
         }
-        (b, BucketWave(BucketSeen(b, filter, exact, st.count + novel.length),
+        (b, BucketWave(BucketSeen(b, filter, seen, hashLog, canonLog, st.count + nn),
           recs, sorted.length.toLong))
       }
     }
   }
+
+  private val CandidateOrder: java.util.Comparator[Candidate] =
+    new java.util.Comparator[Candidate] with Serializable {
+      def compare(a: Candidate, b: Candidate): Int = {
+        val c = java.lang.Long.compare(a.parent_seq, b.parent_seq)
+        if (c != 0) c else Integer.compare(a.emission_idx, b.emission_idx)
+      }
+    }
 
   /** Rebuild one partition's bucket states from durable seen rows
     * (resume path; the filter is re-derived from the hashes, so no filter
@@ -263,16 +338,19 @@ private[engine] object WaveCore {
       if (rs == null) (b, BucketWave(empty, Array.empty, 0L))
       else {
         val f = new CuckooFilter(capacity)
-        var exact = Map.empty[Long, List[String]]
-        var n = 0L
+        val seen = new graft.seen.SeenSet128(rs.size)
+        val hashBuf = new scala.collection.mutable.ArrayBuffer[Long](rs.size)
+        val canonBuf = new scala.collection.mutable.ArrayBuffer[String](rs.size)
         rs.foreach { case (h, c) =>
-          if (!exact.get(h).exists(_.contains(c))) {
+          if (seen.add(h, UrlCanon.urlHash2(c))) {
             f.insert(h)
-            exact = exact.updated(h, c :: exact.getOrElse(h, Nil))
-            n += 1
+            hashBuf += h
+            canonBuf += c
           }
         }
-        (b, BucketWave(BucketSeen(b, f, exact, n), Array.empty, 0L))
+        (b, BucketWave(
+          BucketSeen(b, f, seen, hashBuf.toArray, canonBuf.toArray, hashBuf.length.toLong),
+          Array.empty, 0L))
       }
     }
   }
@@ -442,7 +520,8 @@ class WaveEngine(
   private def emptyStateRdd(): RDD[(Int, BucketSeen)] = {
     val capacity = cfg.filterCapacityPerBucket
     sc.parallelize(0 until cfg.hostBuckets, cfg.fetchPartitions)
-      .map(b => (b, BucketSeen(b, new CuckooFilter(capacity), Map.empty, 0L)))
+      .map(b => (b, BucketSeen(b, new CuckooFilter(capacity),
+        new graft.seen.SeenSet128(16), Array.emptyLongArray, Array.empty[String], 0L)))
       .partitionBy(partitioner)
   }
 
@@ -467,7 +546,7 @@ class WaveEngine(
     // a changelog flush is the natural optimization at extreme scale)
     val w = wave
     val seenRows = state.flatMap { case (b, st) =>
-      st.exact.iterator.flatMap { case (h, cs) => cs.map(c => (h, c, b, w)) }
+      st.hashLog.indices.iterator.map(i => (st.hashLog(i), st.canonLog(i), b, w))
     }
     spark.createDataset(seenRows)
       .toDF("url_hash", "canonical", "host_bucket", "wave")
@@ -653,6 +732,12 @@ class WaveEngine(
       val newOut = state.zipPartitions(cands, preservesPartitioning = true) { (st, cd) =>
         WaveCore.advancePartition(st, cd, base, w1, seedWave = false, nBuckets = nB)
       }
+      // SER storage: the retained wave output (seen state + novel rows) is
+      // one Kryo byte[] per partition instead of millions of live objects —
+      // every young GC during the NEXT wave would otherwise re-copy that
+      // object graph through the survivor spaces (measured as the dominant
+      // stop-the-world serial term limiting N→4N frontier scaling)
+      newOut.persist(StorageLevel.MEMORY_AND_DISK_SER)
       newOut.localCheckpoint()
       val (novelCount, emitted) = newOut
         .map { case (_, bw) => (bw.novel.length.toLong, bw.nCandidates) }

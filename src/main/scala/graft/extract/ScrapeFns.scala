@@ -12,6 +12,9 @@ object ScrapeFns {
   /** Whitespace class incl. the ideographic space U+3000 — Python's
     * `str.split()` treats it as whitespace, Java's `\s` does not. */
   val WsRegex = "[\\s\\u3000]+"
+  // All patterns precompiled: String.split(regex)/replaceFirst compile a
+  // Pattern per call, which JFR showed at ~12% of crawl-bench CPU.
+  private val WsPattern = java.util.regex.Pattern.compile(WsRegex)
 
   /** `contains_word(s, words)` from the external politylink lib — pinned by
     * call sites (/root/reference/crawler/utils/common.py:13-16,
@@ -31,12 +34,12 @@ object ScrapeFns {
     * with no separator (/root/reference/crawler/utils/common.py:9-10;
     * golden: tests/utils/test_common.py:4-7). */
   def cleanSpeech(speech: String): String =
-    speech.trim.split(WsRegex).filter(_.nonEmpty).drop(1).mkString("")
+    WsPattern.split(speech.trim).filter(_.nonEmpty).drop(1).mkString("")
 
   /** E10 — speaker token contains 議長/委員長/会長/主査
     * (/root/reference/crawler/utils/common.py:13-16). */
   def isModerator(speech: String): Boolean = {
-    val toks = speech.trim.split(WsRegex).filter(_.nonEmpty)
+    val toks = WsPattern.split(speech.trim).filter(_.nonEmpty)
     if (toks.isEmpty) false
     else containsWord(toks(0), Seq("議長", "委員長", "会長", "主査"))
   }
@@ -45,13 +48,15 @@ object ScrapeFns {
     * (first, last, firstHira, lastHira); invalid input → None
     * (/root/reference/crawler/utils/common.py:19-34; golden:
     * tests/utils/test_common.py:10-12). */
+  private val NameFullRe = java.util.regex.Pattern.compile("([^（）]+)（([^（）]+)）")
+  private val NameSplitRe = java.util.regex.Pattern.compile("[ \\u3000（）]")
+
   def parseNameStr(nameStr: String): Option[(String, String, String, String)] = {
     val s = nameStr.trim
-    val full = "([^（）]+)（([^（）]+)）".r
-    if (!full.pattern.matcher(s).matches()) return None
+    if (!NameFullRe.matcher(s).matches()) return None
     // -1 keeps trailing empty strings — Python re.split does, and the
     // 5-part form relies on the trailing '' after the closing paren.
-    val parts = s.split("[ \\u3000（）]", -1).toSeq
+    val parts = NameSplitRe.split(s, -1).toSeq
     parts.length match {
       case 3 => Some((parts(0), "", parts(1), ""))
       case 5 => Some((parts(1), parts(0), parts(3), parts(2)))
@@ -62,10 +67,11 @@ object ScrapeFns {
   /** E6 — `(\d+)年(\d+)月(\d+)日` anywhere in the string → datetime; no
     * match → None (reference raises ValueError; the engine's null is the
     * quarantine channel) (/root/reference/crawler/utils/scrape.py:42-47). */
-  def extractDatetime(s: String): Option[LocalDateTime] = {
-    val re = "(\\d+)年(\\d+)月(\\d+)日".r
-    re.findFirstMatchIn(s).map(m => LocalDateTime.of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt, 0, 0))
-  }
+  private val DatetimeRe = "(\\d+)年(\\d+)月(\\d+)日".r
+
+  def extractDatetime(s: String): Option[LocalDateTime] =
+    DatetimeRe.findFirstMatchIn(s).map(m =>
+      LocalDateTime.of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt, 0, 0))
 
   /** E7 — parliamentary-group alias table
     * (/root/reference/crawler/utils/scrape.py:50-68). */
@@ -113,9 +119,10 @@ object ScrapeFns {
     * year supplied from the diet's start date
     * (/root/reference/crawler/spiders/shugiin_minutes_spider.py:74-80;
     * golden: tests/spiders/test_shugiin_minutes_spider.py:9-18). */
+  private val TitleRe = "第(\\d+)回国会(.*)月(.*)日".r
+
   def extractDatetimeFromTitle(title: String, year: Int): Option[LocalDateTime] = {
-    val re = "第(\\d+)回国会(.*)月(.*)日".r
-    re.findFirstMatchIn(title).flatMap { m =>
+    TitleRe.findFirstMatchIn(title).flatMap { m =>
       try Some(LocalDateTime.of(year, m.group(2).trim.toInt, m.group(3).trim.toInt, 0, 0))
       catch { case _: Exception => None }
     }
@@ -124,12 +131,28 @@ object ScrapeFns {
   /** E26 — squeeze all whitespace: `''.join(text.strip().split())`
     * (/root/reference/crawler/spiders/sangiin_minutes_spider.py:49). */
   def squeezeWhitespace(s: String): String =
-    s.trim.split(WsRegex).filter(_.nonEmpty).mkString("")
+    WsPattern.split(s.trim).filter(_.nonEmpty).mkString("")
+
+  /** `squeezeWhitespace(s).length` without building the string — the
+    * crawl bench calls this per text span (tens of millions of times), and
+    * the split+mkString allocation showed up directly in young-GC time.
+    * Char class is exactly WsRegex's `[\s　]` (Java `\s` is ASCII). */
+  def squeezedLength(s: String): Int = {
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != ' ' && c != '\t' && c != '\n' && c != '\u000B' && c != '\f' &&
+        c != '\r' && c != '　') n += 1
+      i += 1
+    }
+    n
+  }
 
   /** E18 — normalize whitespace runs to single spaces
     * (/root/reference/crawler/spiders/shugiin_spider.py:70-72). */
   def normalizeWhitespace(s: String): String =
-    s.trim.split(WsRegex).filter(_.nonEmpty).mkString(" ")
+    WsPattern.split(s.trim).filter(_.nonEmpty).mkString(" ")
 
   /** E20 — remove internal whitespace (member name cells)
     * (/root/reference/crawler/spiders/shugiin_member_spider.py:75). */
@@ -143,10 +166,11 @@ object ScrapeFns {
   // ------------------------------------------------------------------
   private val EraStarts = Seq("令和" -> 2018, "平成" -> 1988, "昭和" -> 1925, "大正" -> 1911, "明治" -> 1867)
 
+  private val EraRe = "(令和|平成|昭和|大正|明治)(元|\\d+)年(\\d+)月(\\d+)日".r
+
   def convertJapaneseDate(s: String): Option[LocalDateTime] = {
     val t = s.trim
-    val era = "(令和|平成|昭和|大正|明治)(元|\\d+)年(\\d+)月(\\d+)日".r
-    era.findFirstMatchIn(t) match {
+    EraRe.findFirstMatchIn(t) match {
       case Some(m) =>
         val base = EraStarts.find(_._1 == m.group(1)).get._2
         val y = if (m.group(2) == "元") 1 else m.group(2).toInt

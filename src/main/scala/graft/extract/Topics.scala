@@ -37,8 +37,16 @@ object Topics {
   }
 
   /** E12 — extract the ordered topic list from the first speech. */
-  def extractTopics(firstSpeech: String, clean: Boolean = true, split: Boolean = true): Seq[String] = {
-    val lines = firstSpeech.split("\n", -1).toSeq
+  def extractTopics(firstSpeech: String, clean: Boolean = true, split: Boolean = true): Seq[String] =
+    extractTopicsLines(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(firstSpeech.split("\n", -1)),
+      clean, split)
+
+  /** Line-sequence form of [[extractTopics]] — callers that already hold
+    * the page as lines (the crawl parse stage holds spans) skip building
+    * and re-splitting a page-sized string. */
+  def extractTopicsLines(lines: Seq[String], clean: Boolean = true,
+      split: Boolean = true): Seq[String] = {
 
     var topicLines: Seq[String] = Nil
     val idx = lines.indexWhere(l => ScrapeFns.containsWord(l, TopicSections))
@@ -80,14 +88,20 @@ object Topics {
 
   /** E13 — strip 〇 / 日程第N / kanji-numeral prefixes
     * (/root/reference/crawler/utils/topics.py:88-89). */
+  private val CleanTopicRe =
+    java.util.regex.Pattern.compile("^○?(日程)?第?(一|二|三|四|五|六|七|八|九|十)*、?")
+
   def cleanTopic(topic: String): String =
-    trimJa(topic.replaceFirst("^○?(日程)?第?(一|二|三|四|五|六|七|八|九|十)*、?", ""))
+    trimJa(CleanTopicRe.matcher(topic).replaceFirst(""))
 
   /** E14 — split on `）、` only outside parens; `）及び` → `）、` first; restore
     * the closing paren (/root/reference/crawler/utils/topics.py:92-99). */
+  private val SplitTopicRe =
+    java.util.regex.Pattern.compile("）、(?=(?:[^（）]|（[^（）]*）)*$)")
+
   def splitTopic(topic: String): Seq[String] = {
     val t = topic.replace("）及び", "）、")
-    val parts = t.split("）、(?=(?:[^（）]|（[^（）]*）)*$)", -1).toSeq
+    val parts = SplitTopicRe.split(t, -1).toSeq
     parts.dropRight(1).map(_ + "）") :+ parts.last
   }
 

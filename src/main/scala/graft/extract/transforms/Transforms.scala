@@ -429,6 +429,24 @@ object BillUrlJoin {
 }
 
 /**
+ * R17 — diet lookup (/root/reference/crawler/spiders/__init__.py:117-125):
+ * exact get by number when given, otherwise the latest diet = max number.
+ * The diets dim is tiny (~210 rows ever) so the top-1 is a single-partition
+ * sort of a broadcast-sized table — fine at any corpus scale because the
+ * table grows ~3 rows/year regardless of crawl volume.
+ */
+object Diets {
+  def getDiet(spark: SparkSession, diets: Dataset[Diet],
+      dietNumber: Option[Int] = None): Option[Diet] = {
+    import spark.implicits._
+    dietNumber match {
+      case Some(n) => diets.filter($"number" === n).collect().headOption
+      case None => diets.orderBy($"number".desc).limit(1).collect().headOption
+    }
+  }
+}
+
+/**
  * Statically-defined committees that have no crawlable list page
  * (/root/reference/crawler/spiders/manual_committee_spider.py:36-51):
  * the two plenary assemblies plus three shugiin review boards. The

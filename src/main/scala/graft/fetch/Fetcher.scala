@@ -65,12 +65,27 @@ final case class SyntheticSite(
     "法律案", "委員会", "質疑", "採決", "議事日程", "提出", "内閣", "承認", "調査", "予算",
     "報告", "審議", "可決", "附則", "理由", "国会", "議員", "会議録", "発言", "請願")
 
+  /** Zero-regex URL parse ("https://h<k>.example.jp/p<i>") — this runs
+    * once per fetch, i.e. millions of times per bench crawl; a per-call
+    * compiled regex here dominated the whole fetch path. */
   def parseUrl(url: String): Option[(Int, Int)] = {
-    val re = "https://h(\\d+)\\.example\\.jp/p(\\d+)".r
-    url match {
-      case re(k, i) => Some((k.toInt, i.toInt))
-      case _ => None
+    if (!url.startsWith("https://h")) return None
+    var i = 9
+    val n = url.length
+    var k = 0L
+    var kd = 0
+    while (i < n && url.charAt(i) >= '0' && url.charAt(i) <= '9') {
+      k = k * 10 + (url.charAt(i) - '0'); kd += 1; i += 1
     }
+    if (kd == 0 || k > Int.MaxValue || !url.startsWith(".example.jp/p", i)) return None
+    i += 13
+    var p = 0L
+    var pd = 0
+    while (i < n && url.charAt(i) >= '0' && url.charAt(i) <= '9') {
+      p = p * 10 + (url.charAt(i) - '0'); pd += 1; i += 1
+    }
+    if (pd == 0 || p > Int.MaxValue || i != n) return None
+    Some((k.toInt, p.toInt))
   }
 
   def fetch(url: String): (Int, Option[Document]) = parseUrl(url) match {

@@ -179,6 +179,24 @@ object UrlCanon {
     true
   }
 
+  /** True iff `path` (starting with '/') has no dot-segments, '//',
+    * %-escapes, query/fragment, or whitespace — so `removeDotSegments`
+    * and percent-normalization are the identity on it. */
+  private def isSimplePath(path: String): Boolean = {
+    var prev = ' '
+    var i = 0
+    val n = path.length
+    while (i < n) {
+      val c = path.charAt(i)
+      if (c == '%' || c == '?' || c == '#' || c <= ' ') return false
+      if (c == '/' && prev == '/') return false
+      if (c == '.' && prev == '/') return false
+      prev = c
+      i += 1
+    }
+    true
+  }
+
   /** Canonical form used as the dedup key (Scrapy-fingerprint analogue). */
   def canonicalize(url: String): String = {
     if (isCanonicalFast(url)) return url
@@ -206,6 +224,14 @@ object UrlCanon {
     // fast path: absolute http(s) ref with a clean path needs no merging
     // and removeDotSegments would be the identity
     if (isCanonicalFast(ref)) return ref
+    // fast path: root-relative simple ref against a canonical-fast base —
+    // RFC 3986 §5.2.2 reduces to scheme://host + ref (this is the dominant
+    // shape of same-site links on the crawl path)
+    if (ref.charAt(0) == '/' && isSimplePath(ref) && isCanonicalFast(base)) {
+      val start = if (base.charAt(4) == 's') 8 else 7
+      val slash = base.indexOf('/', start)
+      return base.substring(0, slash) + ref
+    }
     val r = parse(ref)
     val b = parse(base)
     var (scheme, auth, path, query) = (r.scheme, r.authority, r.path, r.query)
@@ -265,6 +291,12 @@ object UrlCanon {
     * shared by the DataFrame plane and the Scala-side cuckoo filter. */
   def urlHash(canonical: String): Long =
     XxHash64Function.hash(UTF8String.fromString(canonical), StringType, 42L)
+
+  /** Second, independent 64-bit hash (seed 7919): (urlHash, urlHash2) is
+    * the engine's 128-bit dedup key — collision-proof at 10^10-URL scale
+    * without retaining canonical strings in the membership structure. */
+  def urlHash2(canonical: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(canonical), StringType, 7919L)
 
   /** Host partitioning bucket (non-negative). */
   def hostBucket(host: String, buckets: Int): Int = {

@@ -34,8 +34,9 @@ class SourcesSpec extends AnyFunSuite {
       "https://v.example.jp/?sid=%d", startId = 0, batchSize = 16,
       failureLimit = 10, maxId = 100000)
     assert(res.stoppedByFailures)
-    assert(res.fetched.length == 47) // 50 minus 3 holes
-    assert(res.fetched.map(_.seq) == res.fetched.map(_.seq).sorted)
+    val fetched = res.fetched.collect()
+    assert(fetched.length == 47) // 50 minus 3 holes
+    assert(fetched.map(_.seq).toSet == ((0L until 50L).toSet -- Set(10L, 11L, 12L)))
     // stop position: failure run reaches 10 at id 59
     assert(res.finalCursor == 60)
   }

@@ -283,6 +283,19 @@ class TransformsSpec extends AnyFunSuite {
     assert(unmatched.collect().toSeq == Seq("猫法案"))
   }
 
+  test("R17: diet lookup — exact by number, latest otherwise") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-01-01 00:00:00")
+    val diets = spark.createDataset(Seq(
+      graft.model.Diet("Diet:203", 203, ts(2020)),
+      graft.model.Diet("Diet:205", 205, ts(2021)),
+      graft.model.Diet("Diet:204", 204, ts(2021))))
+    assert(Diets.getDiet(spark, diets, Some(204)).map(_.id).contains("Diet:204"))
+    assert(Diets.getDiet(spark, diets, None).map(_.number).contains(205))
+    assert(Diets.getDiet(spark, diets, Some(999)).isEmpty)
+  }
+
   test("manual committees: static rows with deterministic ids") {
     val cs = ManualCommittees.committees
     assert(cs.map(_.name) == Seq("衆議院本会議", "参議院本会議", "衆議院憲法審査会",
