@@ -80,6 +80,10 @@ object Bench {
       // its serialization cost vs JavaSerializer (deploys should set this)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.kryo.registrator", "graft.engine.GraftKryoRegistrator")
+      // shuffle files live on tmpfs here: LZ4 would trade scarce CPU for
+      // memory the shuffle doesn't need to save
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
     val s = fastLocalDir.fold(b)(d => b.config("spark.local.dir", d)).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -93,7 +97,7 @@ object Bench {
     * co-tenant VMs, invisible to steal%) otherwise turns a single-shot
     * efficiency ratio into a lottery. */
   def frontierRun(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long) = {
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "4").toInt
     val spark = session(cpus)
     try {
       def crawl(nHosts: Int, pages: Int): graft.engine.CrawlRunResult = {
@@ -101,8 +105,12 @@ object Bench {
           branching = 10, hotFactor = 4, textSpansPerPage = 8)
         val seeds = (0 until nHosts).map(k => SeedSpec(site.pageUrl(k, 0), parseFn = "diet"))
         val ckpt = java.nio.file.Files.createTempDirectory(s"bench$cpus").toString
-        val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 4 * cpus,
-          fetchPartitions = 2 * cpus, maxPerHostPerWave = Int.MaxValue,
+        // the JOB is identical at every parallelism level (same buckets,
+        // same partitions — sized for the largest level); only the executor
+        // thread count varies. Scaling the config with the level would hand
+        // the small level a cheaper job and corrupt the N→4N ratio.
+        val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 128,
+          fetchPartitions = 64, maxPerHostPerWave = Int.MaxValue,
           keepFetched = false, checkpointEvery = 1000000,
           filterCapacityPerBucket = 1 << 13)
         val engine = new WaveEngine(spark, site,

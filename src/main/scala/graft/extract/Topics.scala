@@ -48,31 +48,35 @@ object Topics {
   def extractTopicsLines(lines: Seq[String], clean: Boolean = true,
       split: Boolean = true): Seq[String] = {
 
-    var topicLines: Seq[String] = Nil
     val idx = lines.indexWhere(l => ScrapeFns.containsWord(l, TopicSections))
-    if (idx >= 0) topicLines = lines.drop(idx + 1)
+    val start = if (idx >= 0) idx + 1 else lines.length
 
     val topics = scala.collection.mutable.ArrayBuffer[String]()
-    var buffer = ""
+    val buffer = new java.lang.StringBuilder // string += per child line was hot
     var parentOffset = 0
 
     def flush(): Unit = {
-      if (ScrapeFns.containsWord(buffer, TopicWords)) {
-        var b = buffer
-        if (clean) b = cleanTopic(b)
-        if (split) topics ++= splitTopic(b) else topics += b
+      if (buffer.length > 0) {
+        val b0 = buffer.toString
+        if (ScrapeFns.containsWord(b0, TopicWords)) {
+          val b = if (clean) cleanTopic(b0) else b0
+          if (split) topics ++= splitTopic(b) else topics += b
+        }
+        buffer.setLength(0)
       }
-      buffer = ""
     }
 
-    for (rawLine <- topicLines :+ "") { // trailing sentinel flushes the buffer
+    var li = start
+    val end = lines.length + 1 // one-past sentinel flushes the buffer
+    while (li < end) {
+      val rawLine = if (li < lines.length) lines(li) else ""
       val offset = strOffset(rawLine)
       val line = trimJa(rawLine)
 
-      if (buffer.isEmpty) parentOffset = offset
+      if (buffer.length == 0) parentOffset = offset
 
       val (flushBuffer, appendLine) =
-        if (ScrapeFns.containsWord(line, IgnoreWords ++ TopicSections)) {
+        if (ScrapeFns.containsWord(line, IgnoreOrSection)) {
           parentOffset = 0 // next line re-establishes the parent offset
           (true, false)
         } else if (offset <= parentOffset) { // next parent line
@@ -81,10 +85,13 @@ object Topics {
         } else (false, true) // child line — continue the buffer
 
       if (flushBuffer) flush()
-      if (appendLine) buffer += line
+      if (appendLine) buffer.append(line)
+      li += 1
     }
     ScrapeFns.deduplicate(topics.toSeq)
   }
+
+  private val IgnoreOrSection: Seq[String] = IgnoreWords ++ TopicSections
 
   /** E13 — strip 〇 / 日程第N / kanji-numeral prefixes
     * (/root/reference/crawler/utils/topics.py:88-89). */

@@ -109,6 +109,26 @@ final case class SyntheticSite(
     children ++ cross ++ dup
   }
 
+  /** Pooled span texts: a page "server" should not dominate the engine
+    * measurement with text-construction garbage. 4096 distinct pre-built
+    * paragraphs (same word mix as before); pages reference shared String
+    * objects, so page generation allocates no text — the parse stage still
+    * scans every character of every span. @transient: rebuilt per JVM. */
+  @transient private lazy val SpanPool: Array[String] = Array.tabulate(4096) { t =>
+    val sb = new StringBuilder
+    var h = mix(t * 1315423911L)
+    var w = 0
+    val words = 6 + (h & 7).toInt
+    while (w < words) {
+      h = mix(h)
+      sb.append(WordBank(((h % WordBank.size) + WordBank.size).toInt % WordBank.size))
+      sb.append(if ((h & 3) == 0) "、" else "の")
+      w += 1
+    }
+    sb.append("に関する第").append((t % 9) + 1).append("項")
+    sb.toString
+  }
+
   def page(k: Int, i: Int): Document = {
     val spans = scala.collection.mutable.ArrayBuffer[Span]()
     var off = 0
@@ -117,20 +137,8 @@ final case class SyntheticSite(
     // text spans sized to mimic a real page body (a Diet bill/minutes page
     // carries tens of paragraphs the parse stage must scan)
     val nText = textSpansPerPage + (mix(k * 31L + i) & 3).toInt
-    for (t <- 0 until nText) {
-      val sb = new StringBuilder
-      var h = mix(k + i * 131L + t)
-      var w = 0
-      val words = 6 + (h & 7).toInt
-      while (w < words) {
-        h = mix(h)
-        sb.append(WordBank(((h % WordBank.size) + WordBank.size).toInt % WordBank.size))
-        sb.append(if ((h & 3) == 0) "、" else "の")
-        w += 1
-      }
-      sb.append(s"に関する第${t + 1}項")
-      add("text", sb.toString, "")
-    }
+    for (t <- 0 until nText)
+      add("text", SpanPool((mix(k + i * 131L + t) & 4095).toInt), "")
     for (l <- links(k, i)) add("link", s"リンク$l", l)
     if ((i & 7) == 0) add("media", "", s"https://${hostName(k)}/img$i.png")
     Document(pageUrl(k, i), spans.toSeq)
