@@ -171,8 +171,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val skipFrontier = sys.env.get("SPARK_GRAFT_SKIP_FRONTIER").contains("1")
 
-    // part 1: headline queries on the sf dir
+    // part 1: headline queries on the sf dir. One untimed warmup action
+    // first: the alphabetically-first query otherwise absorbs session
+    // bring-up (codegen compiler, parquet footer reads, block manager) —
+    // ~4s of noise booked against q01.
     val spark = session(cpus)
+    try {
+      spark.range(16).select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("id"))).write.format("noop").mode("overwrite").save()
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -183,11 +191,12 @@ object Bench {
     }
     spark.stop()
 
-    // part 2: frontier scaling on the same input at three parallelism
-    // levels. N→4N evidence comes in two flavors on this box (16 physical
-    // cores + SMT): local[2]→local[8] is 4x PHYSICAL cores (the clean
-    // executor-scaling proxy); local[8]→local[32] crosses into SMT, whose
-    // hardware ceiling we measure at ~0.78 (see BENCH/BASELINE.md).
+    // part 2: frontier scaling — the SAME job at three parallelism levels.
+    // The headline N→4N leg is local[2]→local[8] (both inside the box's
+    // memory-bandwidth scaling range); local[8]→local[32] crosses the
+    // box's measured bandwidth saturation (a pure memcpy scales only
+    // ~0.41 there) and is reported for completeness. See BASELINE.md for
+    // the measured machine envelope and methodology.
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSet
     // Each parallelism level runs in a FRESH child JVM: running the levels

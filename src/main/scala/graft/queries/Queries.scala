@@ -418,16 +418,14 @@ object Queries {
     // n-gram Jaccard near-dup pairs (word 3-grams, threshold 0.25)
     "q23_ngram_jaccard" -> Q(
       (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"), toks.as("ts"))
-        val shingles = docs.select(col("doc_id"),
-          explode(array_distinct(transform(
-            slice(col("ts"), 1, 1000000), // all
-            (x, i) => when(i < size(col("ts")) - 2,
-              concat_ws(" ", x,
-                element_at(col("ts"), i + 2),
-                element_at(col("ts"), i + 3))).otherwise(lit(null)))))
-            .as("sh"))
-          .filter(col("sh").isNotNull)
+        // shingle identity = 64-bit xxhash of the n-gram (native codegen'd
+        // XxShingleHashes, distinct per doc) — intersection counts equal
+        // the oracle's string-shingle counts absent a 64-bit collision
+        // (P < 1e-7 at these corpus sizes); the self-join shuffles 8-byte
+        // keys instead of n-gram strings
+        val shingles = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.ops.Dedup.shingleHashes(col("text"))).as("sh"))
         val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val pairs = shingles.as("x").join(shingles.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
