@@ -86,6 +86,58 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF-flat approximate top-k: the classic inverted-file ANN
+    * (Sivic & Zisserman 2003 / FAISS IVF) as the second scale path next
+    * to [[lshTopK]].
+    *
+    *  - coarse quantizer: `nlist` centroids picked deterministically
+    *    (corpus rows with the smallest xxhash64(id) — a hash-random
+    *    sample; a k-means refinement pass is the production upgrade and
+    *    changes nothing structural);
+    *  - every corpus vector is assigned to its nearest centroid — an
+    *    O(N·nlist) broadcast map-side pass, no shuffle of vectors;
+    *  - each query probes its `nprobe` nearest centroids and reranks
+    *    exactly within those inverted lists only.
+    *
+    * At 100 TB the inverted lists are the partition layout: corpus
+    * repartitioned by `cluster`, queries shuffled only to their probed
+    * clusters — cost O(N·nprobe/nlist) per query instead of O(N). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val v = asDouble(col(vecCol))
+    // deterministic centroid sample: nlist smallest xxhash64(id)
+    val centroids = corpus
+      .select(col(idCol).as("c_id"), v.as("cv"))
+      .withColumn("hk", xxhash64(col("c_id")))
+      .orderBy(col("hk"), col("c_id"))
+      .limit(nlist)
+      .withColumn("cluster", (row_number().over(
+        Window.orderBy(col("hk"), col("c_id"))) - 1).cast("int"))
+      .select(col("cluster"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
+    def assign(df: DataFrame, idAs: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("ccos").desc, col("cluster"))
+      df.select(col(idCol).as(idAs), v.as("dv"))
+        .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", dot(col("dv"), col("cv")) / (col("dn") * col("cn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idAs), col("cluster"), col("dv"), col("dn"))
+    }
+    val lists = assign(corpus, "neighbor_id", 1)
+      .withColumnRenamed("dv", "nv").withColumnRenamed("dn", "nn")
+    val probes = assign(queries, "query_id", nprobe)
+      .withColumnRenamed("dv", "qv").withColumnRenamed("dn", "qn")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(lists, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * `threshold`): sign-LSH bucket join for candidates, exact cosine
     * verify. Same shuffle discipline as [[lshTopK]] — the bucket join and

@@ -281,6 +281,41 @@ object QueriesC {
              |WHERE cos >= 0.98 ORDER BY id_a, id_b""".stripMargin),
       "embedding-cosine near-dup pairs: sign-LSH buckets + exact verify (property oracle)"),
 
+    // IVF-flat ANN (the second scale path next to q38's sign-LSH). The
+    // test embeddings are isotropic (no cluster structure), so any
+    // nprobe < nlist caps recall near nprobe/nlist — measured, and pinned
+    // as a property in OpsSpec. The oracle-checked configuration probes
+    // exhaustively (nprobe = nlist): the full IVF machinery (centroid
+    // sample, inverted-list assignment, probe join, rerank) runs and its
+    // output must equal brute-force top-3 exactly.
+    "q43_ann_ivf" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.ops.Ann.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+          "vec_id", "embedding", k = 3, nlist = 16, nprobe = 16)
+          .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |normed AS (
+             |  SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM emb),
+             |pairs AS (
+             |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip(q.v, n.v), p -> p[1] * p[2])), (a, b) -> a + b)
+             |      / (q.nrm * n.nrm) AS cos
+             |  FROM normed q, normed n
+             |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> n.vec_id)
+             |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos FROM (
+             |  SELECT query_id, neighbor_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM pairs) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      "IVF-flat ANN: hash-sampled centroids + inverted-list probe + exact rerank == brute-force top-3 (property oracle)"),
+
     "q39_media_features" -> Q(
       (s, d) => {
         import s.implicits._

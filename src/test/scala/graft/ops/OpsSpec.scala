@@ -59,6 +59,25 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("ANN: IVF exhaustive probe == brute force; partial probe recall ~ nprobe/nlist") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    // nprobe = nlist: the full IVF path must reproduce brute force exactly
+    val full = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 3, nlist = 8, nprobe = 8)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+    // isotropic embeddings have no cluster structure: partial probing can
+    // only find neighbors that landed in probed lists — recall should sit
+    // near nprobe/nlist, far above zero but below one
+    val part = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 3, nlist = 8, nprobe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pairs = exact.map(t => (t._1, t._3))
+    val recall = pairs.count(part.contains).toDouble / pairs.size
+    assert(recall >= 0.2 && recall <= 0.95, s"recall=$recall")
+  }
+
   test("text stats: counts, ratios, quality, lang id, fingerprint") {
     val df = Seq((1L, "the cat and the dog and the cat"), (2L, "uno dos tres"))
       .toDF("doc_id", "text")
