@@ -150,6 +150,10 @@ object Bench {
     // can fill up and deadlock the child
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+    // one measured crawl per child: cross-run robustness comes from the
+    // paired rounds in main, not from in-child repetition
+    pb.environment().put("SPARK_GRAFT_BENCH_REPEATS",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1"))
     val p = pb.start()
     val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
     p.waitFor()
@@ -204,15 +208,31 @@ object Bench {
     // full-GC pressure, fragmented old gen from the prior level's state)
     // and understated local[8] by ~1.6x. Warm-to-warm comparison comes
     // from the in-child warmup crawl, not JVM reuse.
+    //
+    // PAIRED rounds: the box's co-tenant bandwidth noise varies on a
+    // minutes scale and hits bandwidth-bound levels (8/32) harder than the
+    // CPU-bound local[2]; sampling each level in one contiguous block
+    // decorrelates the ratio's numerator and denominator. Instead, each
+    // round samples 2 → 8 → 32 back-to-back (shared noise environment) and
+    // the efficiency is the MEDIAN of per-round ratios; throughput numbers
+    // report each level's best round (peak protocol).
     def level(n: Int): (Double, Long, Long, Long) =
       if (skipFrontier || !levels.contains(n)) (0.0, 0L, 0L, 0L)
       else if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) frontierRun(n, hosts, basePages)
       else frontierRunInChildJvm(n, hosts, basePages)
-    val (qps2, _, _, ms2) = level(2)
-    val (qps8, _, _, ms8) = level(8)
-    val (qps32, fetched32, deduped32, ms32) = level(32)
-    val eff28 = qps8 / qps2 / 4.0
-    val eff832 = qps32 / qps8 / 4.0
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
+    val samples = (1 to rounds).map(_ => (level(2), level(8), level(32)))
+    def median(xs: Seq[Double]): Double = {
+      val clean = xs.filter(d => !d.isNaN && !d.isInfinite).sorted
+      if (clean.isEmpty) Double.NaN else clean(clean.length / 2)
+    }
+    def best(pick: ((Double, Long, Long, Long), (Double, Long, Long, Long), (Double, Long, Long, Long)) => (Double, Long, Long, Long)) =
+      samples.map(s => pick(s._1, s._2, s._3)).maxBy(_._1)
+    val (qps2, _, _, ms2) = best((a, _, _) => a)
+    val (qps8, _, _, ms8) = best((_, b, _) => b)
+    val (qps32, fetched32, deduped32, ms32) = best((_, _, c) => c)
+    val eff28 = median(samples.map(s => s._2._1 / s._1._1 / 4.0))
+    val eff832 = median(samples.map(s => s._3._1 / s._2._1 / 4.0))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
