@@ -30,6 +30,19 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming exact dedup on a key column: first occurrence wins, with a
+    * watermark bounding the dedup state (the streaming twin of the batch
+    * q12/q22 paths — at 100 TB-ingest the watermark is what keeps the
+    * state store from growing without bound). Batch DataFrames get plain
+    * dropDuplicates — identical first-wins semantics, tested batch≡stream. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame = {
+    val tz = events.withColumn("ts", col("ts").cast("timestamp"))
+    if (tz.isStreaming)
+      tz.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
+    else tz.dropDuplicates(keyCols)
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

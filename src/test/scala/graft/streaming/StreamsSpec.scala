@@ -28,6 +28,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming dedup: first-wins key set equals batch dropDuplicates") {
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val keys = Seq("user_id", "event_type")
+    val expected = Streams.streamingDedup(batch, keys)
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+
+    val dir = SparkTestSession.tmpDir("events-dedup")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val streaming = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val q = Streams.streamingDedup(streaming, keys)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("streamdedup")
+      .start()
+    q.processAllAvailable()
+    val got = spark.table("streamdedup")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+    q.stop()
+    // exactly one survivor per key, covering the same key set
+    assert(got.size == got.toSet.size)
+    assert(got.toSet == expected)
+  }
+
   test("streaming sessionization: event-time timeout flushes open sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // offset from epoch 0: a row at exactly the initial watermark (epoch)
