@@ -24,7 +24,8 @@ final class SeenSet128(expected: Int) extends Serializable {
 
   private var cap: Int = {
     var c = 16
-    while (c < expected * 2) c <<= 1 // load factor <= 0.5
+    // load factor <= 0.5; 2^30 caps the doubling (keys array = 2^34 bytes)
+    while (c < (1 << 30) && c.toLong < expected.toLong * 2) c <<= 1
     c
   }
   private var mask: Int = cap - 1
@@ -53,6 +54,8 @@ final class SeenSet128(expected: Int) extends Serializable {
   /** Insert; false if the key was already present. */
   def add(h1: Long, h2: Long): Boolean = {
     if ((used + 1) * 2 > cap) grow()
+    if (used + 1 >= cap) // only reachable at the 2^30 growth cap
+      throw new IllegalStateException("SeenSet128 full: repartition into more host buckets")
     var i = slot(h1)
     while (occupied(i)) {
       if (keys(2 * i) == h1 && keys(2 * i + 1) == h2) return false
@@ -66,6 +69,7 @@ final class SeenSet128(expected: Int) extends Serializable {
   }
 
   private def grow(): Unit = {
+    if (cap >= (1 << 30)) return // beyond any per-bucket share; load factor rises instead
     val oldKeys = keys
     val oldBits = bits
     val oldCap = cap
