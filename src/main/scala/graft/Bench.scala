@@ -222,9 +222,11 @@ object Bench {
       else frontierRunInChildJvm(n, hosts, basePages)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     val samples = (1 to rounds).map(_ => (level(2), level(8), level(32)))
+    // 0.0 (not NaN/Infinity) when a level is skipped — the output line must
+    // stay parseable JSON
     def median(xs: Seq[Double]): Double = {
-      val clean = xs.filter(d => !d.isNaN && !d.isInfinite).sorted
-      if (clean.isEmpty) Double.NaN else clean(clean.length / 2)
+      val clean = xs.filter(d => !d.isNaN && !d.isInfinite && d > 0.0).sorted
+      if (clean.isEmpty) 0.0 else clean(clean.length / 2)
     }
     def best(pick: ((Double, Long, Long, Long), (Double, Long, Long, Long), (Double, Long, Long, Long)) => (Double, Long, Long, Long)) =
       samples.map(s => pick(s._1, s._2, s._3)).maxBy(_._1)

@@ -42,11 +42,16 @@ object Sources {
   /** `fetched` stays a distributed Dataset (cached per wave): only the
     * (seq, status) pairs ever reach the driver for the R20 stop scan, so
     * page bodies/spans never ride a collect — at a 10^6-id cursor range
-    * the driver holds 16 bytes/id, not the corpus. */
+    * the driver holds 16 bytes/id, not the corpus. Call [[release]] once
+    * `fetched` has been materialized (written/consumed): the per-wave
+    * cache blocks otherwise live until the session stops. */
   final case class CursorResult(
       fetched: Dataset[FetchResult],
       finalCursor: Long,
-      stoppedByFailures: Boolean)
+      stoppedByFailures: Boolean,
+      retained: Seq[Dataset[FetchResult]] = Nil) {
+    def release(): Unit = retained.foreach(_.unpersist(blocking = false))
+  }
 
   /**
    * S4 + R20 — sequential-id cursor source: fetch template%id for
@@ -71,6 +76,7 @@ object Sources {
       partitions: Int = 8): CursorResult = {
     import spark.implicits._
     val waves = scala.collection.mutable.ArrayBuffer[Dataset[FetchResult]]()
+    val persisted = scala.collection.mutable.ArrayBuffer[Dataset[FetchResult]]()
     var cursor = startId
     var trailingFailures = 0
     var stopped = false
@@ -110,11 +116,12 @@ object Sources {
       else cursor = hi + 1
       // the reference's sequential scan never looks past the stop id
       val bound = if (stopAt >= 0) stopAt else Long.MaxValue
+      persisted += wave // the cached dataset (release() target)
       waves += wave.filter(r => r.ok && r.seq < bound)
     }
     val fetched = waves.reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[FetchResult])
-    CursorResult(fetched, cursor, stopped)
+    CursorResult(fetched, cursor, stopped, persisted.toSeq)
   }
 
   /**

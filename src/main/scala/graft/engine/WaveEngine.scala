@@ -501,8 +501,14 @@ class WaveEngine(
   // entry points
   // ------------------------------------------------------------------
 
-  def run(seeds: Seq[SeedSpec]): CrawlRunResult =
+  def run(seeds: Seq[SeedSpec]): CrawlRunResult = {
+    // S11 is a scalable-loop feature: the reference-order replay fetches
+    // live (its contract is the exact Scrapy request sequence). Refuse the
+    // combination rather than silently ignoring the cache dir.
+    require(!(cfg.referenceOrder && cfg.fetchCacheDir.isDefined),
+      "fetchCacheDir is not supported in referenceOrder mode")
     if (cfg.referenceOrder) runReference(seeds) else runScalable(seeds)
+  }
 
   def resume(): CrawlRunResult =
     if (cfg.referenceOrder) resumeReference() else resumeScalable()
@@ -660,20 +666,25 @@ class WaveEngine(
       val fetchWave = wave
 
       // batch selection: per-host politeness budget, partition-local
-      // (hosts never span buckets, buckets never span partitions)
-      val (batch, deferred, waveBatchCount) =
-        if (maxPerHost == Int.MaxValue) (pending.values, None, batchCount)
+      // (hosts never span buckets, buckets never span partitions). The
+      // per-host groupBy+sort runs ONCE, persisted tagged — batch (fetch
+      // job), its count, and the deferred complement all read the cached
+      // selection instead of re-sorting the partition three times.
+      val (batch, deferred, waveBatchCount, selRetained) =
+        if (maxPerHost == Int.MaxValue) (pending.values, None, batchCount, None)
         else {
-          val b = pending.mapPartitions(it =>
-            it.map(_._2).toArray.groupBy(_.host).valuesIterator.flatMap(
-              _.sortBy(r => (-r.priority, r.seq)).take(maxPerHost)),
+          val sel = pending.mapPartitions(it =>
+            it.map(_._2).toArray.groupBy(_.host).valuesIterator.flatMap { rows =>
+              rows.sortBy(r => (-r.priority, r.seq)).iterator.zipWithIndex
+                .map { case (r, i) => (i < maxPerHost, r) }
+            },
             preservesPartitioning = true)
-          val d = pending.mapPartitions(it =>
-            it.map(_._2).toArray.groupBy(_.host).valuesIterator.flatMap(
-              _.sortBy(r => (-r.priority, r.seq)).drop(maxPerHost))
-              .map(r => (r.host_bucket, r)),
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          val b = sel.mapPartitions(_.collect { case (true, r) => r },
             preservesPartitioning = true)
-          (b, Some(d), b.count()) // budget may defer part of pending
+          val d = sel.mapPartitions(_.collect { case (false, r) => (r.host_bucket, r) },
+            preservesPartitioning = true)
+          (b, Some(d), b.count(), Some(sel: RDD[_]))
         }
 
       // per-partition lineage via accumulator (at-least-once under task
@@ -769,6 +780,9 @@ class WaveEngine(
       if (cfg.keepFetched) fetched.unpersist(blocking = false)
       out.unpersist(blocking = false)
       pendingRetained.foreach(_.unpersist(blocking = false))
+      // the tagged selection was fully consumed by the fetch job and the
+      // deferred-union count above
+      selRetained.foreach(_.unpersist(blocking = false))
       out = newOut
       state = newOut.mapValues(_.state)
       pending = newPending

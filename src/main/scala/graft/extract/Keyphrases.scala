@@ -61,7 +61,11 @@ object Keyphrases {
     * collect, shuffle keys are (id, phrase) then id. */
   def phraseTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
       stopwords: Seq[String]): DataFrame = {
-    val stopRe = "\\s*\\b(?:" + stopwords.mkString("|") + ")\\b\\s*"
+    require(stopwords.nonEmpty, "phraseTopK needs at least one stopword delimiter")
+    // quote each stopword: regex metacharacters in a stopword ("c++", "a.b")
+    // must match literally, never rewrite the pattern
+    val stopRe = "\\s*\\b(?:" +
+      stopwords.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b\\s*"
     val runs = split(concat(lit(" "), col(textCol), lit(" ")), stopRe)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("first_pos"), col("keyphrase"))

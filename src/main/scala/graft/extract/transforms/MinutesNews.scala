@@ -122,8 +122,12 @@ object MinutesNews {
     import spark.implicits._
     val m = minutes.select($"id".as("minutes_id"), $"name".as("mname"),
       to_date($"start_date_time").as("mdate"))
+    // per-ITEM identity for the audit: the reference warns per scraped
+    // item (sangiin_minutes_spider.py:78-83); grouping by (name, date)
+    // alone would sum the counts of distinct items sharing a key
     val keyed = items.toDF()
       .withColumn("idate", to_date($"date"))
+      .withColumn("item_idx", monotonically_increasing_id())
     val joined = keyed.join(m,
         keyed("committee_name") === m("mname") && keyed("idate") === m("mdate"),
         "left_outer")
@@ -133,9 +137,10 @@ object MinutesNews {
       .select($"minutes_id", $"committee_name", $"date", $"summary", $"url", $"url_title")
       .as[ResolvedItem]
     val audit = joined
-      .groupBy($"committee_name", $"date")
+      .groupBy($"item_idx", $"committee_name", $"date")
       .agg(sum(when($"minutes_id".isNotNull, 1L).otherwise(0L)).as("n_matches"))
       .filter($"n_matches" =!= 1L)
+      .select($"committee_name", $"date", $"n_matches")
       .as[MatchAudit]
     (resolved, audit)
   }

@@ -99,19 +99,40 @@ object TvPages {
     texts.toSeq
   }
 
-  /** Row marks of every table of the doc, aligned with SpanTables.tables
-    * (the row spans' text field carries the spacer protocol marker). */
+  /** Row marks of every table of the doc, aligned 1:1 with
+    * SpanTables.tables (the row spans' text field carries the spacer
+    * protocol marker). Mirrors tables()' state machine exactly — in
+    * particular a row span with NO following table_cell is dropped there
+    * (flushRow keeps non-empty rows only), so its mark must be dropped
+    * here too or every later row pairs with the wrong mark. */
   def rowMarks(doc: Document): Seq[Seq[String]] = {
-    val out = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[String]]()
-    var cur: scala.collection.mutable.ArrayBuffer[String] = null
+    val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    var marks: scala.collection.mutable.ArrayBuffer[String] = null
+    var rowMark: String = null
+    var rowOpen = false
+    var rowHasCell = false
+    def flushRow(): Unit = {
+      if (rowOpen && rowHasCell) marks += rowMark
+      rowOpen = false; rowHasCell = false; rowMark = null
+    }
+    def flushTable(): Unit = {
+      flushRow()
+      if (marks != null) { out += marks.toSeq; marks = null }
+    }
     for (s <- doc.spans.sortBy(_.offset)) s.kind match {
-      case "caption" => cur = scala.collection.mutable.ArrayBuffer(); out += cur
-      case "row" => if (cur == null) { cur = scala.collection.mutable.ArrayBuffer(); out += cur }; cur += s.text
+      case "caption" =>
+        flushTable(); marks = scala.collection.mutable.ArrayBuffer()
+      case "row" =>
+        if (marks == null) marks = scala.collection.mutable.ArrayBuffer()
+        flushRow(); rowOpen = true; rowMark = s.text
+      case "table_cell" =>
+        if (marks == null) marks = scala.collection.mutable.ArrayBuffer()
+        if (!rowOpen) { rowOpen = true; rowMark = "" } // implicit row, no marker
+        rowHasCell = true
       case _ => ()
     }
-    // align with SpanTables.tables: tables with zero complete rows still
-    // appear there only if they had rows; mirror by dropping empty marks
-    out.map(_.toSeq).toSeq
+    flushTable()
+    out.toSeq
   }
 
   /** shugiin_tv minutes page (shugiin_tv_spider.py:79-112):
@@ -175,10 +196,9 @@ object TvPages {
         val summary = doc.spans.filter(_.kind == "text").sortBy(_.offset)
           .map(s => ScrapeFns.squeezeWhitespace(s.text)).mkString("")
         val topics = doc.spans.filter(_.kind == "list_item").sortBy(_.offset).map(_.text)
-        val speakers = ScrapeFns.deduplicate(
-          SpanTables.linkSpans(doc).map(_._1)).flatMap { nm =>
-          SpanTables.linkSpans(doc).find(_._1 == nm)
-        }
+        val links = SpanTables.linkSpans(doc) // once — not per speaker
+        val speakers = ScrapeFns.deduplicate(links.map(_._1))
+          .flatMap(nm => links.find(_._1 == nm))
         val dtStr = dt.toLocalDate.toString + " 00:00:00"
         Some(TvMinutes(
           minutes_id = ScrapeFns.minutesId(name, dtStr),

@@ -92,23 +92,54 @@ object GraftFunctions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", name)
 
+  /** Arity-checked builder: wrong argument counts get a plan-time
+    * AnalysisException instead of an IndexOutOfBounds (or, worse, a
+    * silently ignored argument). */
+  private def checked(name: String, arities: Set[Int])(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (!arities.contains(es.length))
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name,
+            "expectedNum" -> arities.toSeq.sorted.mkString(" or "),
+            "actualNum" -> es.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(es)
+    }
+
+  /** Literal int argument (e.g. the shingle width n). */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT, got $other")
+  }
+
   val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("canonicalize_url", info("canonicalize_url", "RFC 3986 canonical form"),
-      (es: Seq[Expression]) => CanonicalizeUrl(es.head)),
+      checked("canonicalize_url", Set(1))(es => CanonicalizeUrl(es.head))),
     ("resolve_url", info("resolve_url", "absolutize href against base"),
-      (es: Seq[Expression]) => ResolveUrl(es(0), es(1))),
+      checked("resolve_url", Set(2))(es => ResolveUrl(es(0), es(1)))),
     ("url_host", info("url_host", "host of a canonical url"),
-      (es: Seq[Expression]) => UrlHost(es.head)),
+      checked("url_host", Set(1))(es => UrlHost(es.head))),
     ("poly_hash", info("poly_hash", "portable polynomial code-point hash"),
-      (es: Seq[Expression]) => PolyHash(es.head)),
-    ("poly_shingle_hashes", info("poly_shingle_hashes", "distinct word n-gram polynomial hashes"),
-      (es: Seq[Expression]) => PolyShingleHashes(es.head, 3)),
-    ("xx_shingle_hashes", info("xx_shingle_hashes", "distinct word n-gram xxhash64"),
-      (es: Seq[Expression]) => XxShingleHashes(es.head, 3)),
+      checked("poly_hash", Set(1))(es => PolyHash(es.head))),
+    ("poly_shingle_hashes", info("poly_shingle_hashes",
+      "distinct word n-gram polynomial hashes (optional literal n, default 3)"),
+      checked("poly_shingle_hashes", Set(1, 2))(es =>
+        PolyShingleHashes(es.head,
+          if (es.length > 1) litInt("poly_shingle_hashes", es(1)) else 3))),
+    ("xx_shingle_hashes", info("xx_shingle_hashes",
+      "distinct word n-gram xxhash64 (optional literal n, default 3)"),
+      checked("xx_shingle_hashes", Set(1, 2))(es =>
+        XxShingleHashes(es.head,
+          if (es.length > 1) litInt("xx_shingle_hashes", es(1)) else 3))),
     ("simhash64", info("simhash64", "64-bit simhash of a token array"),
-      (es: Seq[Expression]) => SimHash64Expr(es.head)),
+      checked("simhash64", Set(1))(es => SimHash64Expr(es.head))),
     ("dot_f64", info("dot_f64", "dot product of two double arrays"),
-      (es: Seq[Expression]) => DotF64(es(0), es(1))))
+      checked("dot_f64", Set(2))(es => DotF64(es(0), es(1)))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -22,10 +22,13 @@ package graft.seen
  */
 final class SeenSet128(expected: Int) extends Serializable {
 
+  // 2^29 slots is the growth ceiling: the keys array is cap*2 longs, and
+  // 2^30 slots would need a 2^31-element array (> Int.MaxValue)
+  private val MaxCap = 1 << 29
+
   private var cap: Int = {
     var c = 16
-    // load factor <= 0.5; 2^30 caps the doubling (keys array = 2^34 bytes)
-    while (c < (1 << 30) && c.toLong < expected.toLong * 2) c <<= 1
+    while (c < MaxCap && c.toLong < expected.toLong * 2) c <<= 1
     c
   }
   private var mask: Int = cap - 1
@@ -54,7 +57,7 @@ final class SeenSet128(expected: Int) extends Serializable {
   /** Insert; false if the key was already present. */
   def add(h1: Long, h2: Long): Boolean = {
     if ((used + 1) * 2 > cap) grow()
-    if (used + 1 >= cap) // only reachable at the 2^30 growth cap
+    if (used + 1 >= cap) // only reachable at the growth ceiling
       throw new IllegalStateException("SeenSet128 full: repartition into more host buckets")
     var i = slot(h1)
     while (occupied(i)) {
@@ -69,7 +72,7 @@ final class SeenSet128(expected: Int) extends Serializable {
   }
 
   private def grow(): Unit = {
-    if (cap >= (1 << 30)) return // beyond any per-bucket share; load factor rises instead
+    if (cap >= MaxCap) return // beyond any per-bucket share; load factor rises instead
     val oldKeys = keys
     val oldBits = bits
     val oldCap = cap

@@ -47,4 +47,16 @@ class UrlExprsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("nx") == 2)
     assert(r.getAs[Double]("dp") == 11.0)
   }
+
+  test("SQL registration: optional shingle width is honored; wrong arity fails at plan time") {
+    // 4 tokens: 3 bigrams, 2 trigrams
+    assert(spark.sql("SELECT size(xx_shingle_hashes(array('a','b','c','d'), 2)) AS n")
+      .head().getAs[Int]("n") == 3)
+    assert(spark.sql("SELECT size(poly_shingle_hashes(array('a','b','c','d'), 2)) AS n")
+      .head().getAs[Int]("n") == 3)
+    val e = intercept[Exception](spark.sql("SELECT dot_f64(array(1.0d))").head())
+    assert(e.getMessage.contains("dot_f64"))
+    val e2 = intercept[Exception](spark.sql("SELECT url_host('a', 'b')").head())
+    assert(e2.getMessage.contains("url_host"))
+  }
 }
