@@ -233,17 +233,26 @@ object Bench {
     val (qps2, _, _, ms2) = best((a, _, _) => a)
     val (qps8, _, _, ms8) = best((_, b, _) => b)
     val (qps32, fetched32, deduped32, ms32) = best((_, _, c) => c)
-    val eff28 = median(samples.map(s => s._2._1 / s._1._1 / 4.0))
-    val eff832 = median(samples.map(s => s._3._1 / s._2._1 / 4.0))
+    def ratio(n: Double, d: Double): Double = if (d > 0.0 && n > 0.0) n / d / 4.0 else 0.0
+    val eff28 = median(samples.map(s => ratio(s._2._1, s._1._1)))
+    val eff832 = median(samples.map(s => ratio(s._3._1, s._2._1)))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // per-round paired samples: the efficiency estimator (median of
+    // per-round ratios over rounds sampled 2→8→32 back-to-back) is
+    // self-evidencing from this one artifact — no out-of-band protocol
+    val roundsJson = samples.map { case (a, b, c) =>
+      s"""{"qps_2":${a._1},"qps_8":${b._1},"qps_32":${c._1},""" +
+        s""""eff_2_8":${ratio(b._1, a._1)},"eff_8_32":${ratio(c._1, b._1)}}"""
+    }.mkString("[", ",", "]")
     val frontier =
       s"""{"hosts":$hosts,"base_pages":$basePages,""" +
         s""""fetched":$fetched32,"deduped":$deduped32,""" +
         s""""urls_per_sec_2":$qps2,"elapsed_ms_2":$ms2,""" +
         s""""urls_per_sec_8":$qps8,"elapsed_ms_8":$ms8,""" +
         s""""urls_per_sec_32":$qps32,"elapsed_ms_32":$ms32,""" +
+        s""""rounds":$roundsJson,""" +
         s""""scaling_efficiency_2_to_8":$eff28,""" +
         s""""scaling_efficiency_8_to_32":$eff832,""" +
         s""""scaling_efficiency":$eff28}"""

@@ -22,6 +22,8 @@ class GraftKryoRegistrator extends KryoRegistrator {
     kryo.register(classOf[BucketWave])
     kryo.register(classOf[graft.seen.CuckooFilter])
     kryo.register(classOf[graft.seen.SeenSet128])
+    kryo.register(classOf[graft.seen.SeenChunk])
+    kryo.register(classOf[Array[Int]])
     kryo.register(classOf[Array[graft.model.UrlRecord]])
     kryo.register(classOf[Array[graft.model.Span]])
     kryo.register(classOf[Array[String]])

@@ -96,10 +96,21 @@ final case class Candidate(
  * state put millions of nodes in the old generation and its stop-the-world
  * GC was the measured Amdahl term that capped frontier scaling.
  *
- * (hashLog, canonLog) are flat parallel append-logs of the bucket's novel
- * URLs in seq order — the durable seen-table flush (url_hash, canonical)
- * is written from them, keeping the on-disk contract (and the URL-seen
- * set equality check against the reference) byte-identical to round 1.
+ * `log` is the bucket's append-only (url_hash, canonical) record as a
+ * list of immutable per-wave [[graft.seen.SeenChunk]]s (newest first):
+ * a wave APPENDS one packed chunk and shares the rest by reference —
+ * O(novel) per wave, not the round-2 O(total seen) full-array copy —
+ * and the durable seen-table flush writes only chunks newer than the
+ * last flush (a changelog: O(novel since flush), never O(seen)).
+ *
+ * `pace` (realtime politeness continuity) maps hostHash → the host's
+ * next-allowed fetch time in epoch ms, fed by per-host pace marks
+ * emitted at the end of each wave's parse stage — so the first fetch of
+ * wave W+1 on a host still honors 1/rps spacing from the host's LAST
+ * fetch of wave W (the reference's global 1 rps can never violate this;
+ * per-wave slot resets could). Keyed by hash, not String: a collision
+ * merely couples two hosts' pacing (strictly more polite, never less).
+ * Empty in simulated mode — the bench path carries no pace state.
  *
  * At 10^10-URL scale one bucket holds |seen|/hostBuckets entries; the
  * state lives partitioned across executors (never on the driver, never
@@ -112,9 +123,9 @@ private[engine] final case class BucketSeen(
     bucket: Int,
     filter: CuckooFilter,
     seen: graft.seen.SeenSet128,
-    hashLog: Array[Long],
-    canonLog: Array[String],
-    count: Long) {
+    log: List[graft.seen.SeenChunk],
+    count: Long,
+    pace: Map[Long, Long] = Map.empty) {
   /** Exact membership; the filter short-circuits the common novel case
     * (no false negatives; positives verified against the exact set). */
   def isDup(h1: Long, h2: Long): Boolean =
@@ -184,7 +195,8 @@ private[engine] object WaveCore {
       realtime: Boolean,
       fetchWave: Int,
       waveStartMs: Long,
-      lineageAcc: CollectionAccumulator[(Int, Long, Long, Long)]): Iterator[FetchResult] = {
+      lineageAcc: CollectionAccumulator[(Int, Long, Long, Long)],
+      pace: Map[Long, Long] = Map.empty): Iterator[FetchResult] = {
     // one comparator sort groups hosts AND orders each host's run by
     // (priority desc, seq) — replaces groupBy + per-host sortBy, which
     // allocated a map, per-host arrays, and a tuple key per row
@@ -195,16 +207,23 @@ private[engine] object WaveCore {
     // downstream parse pulls it and is garbage right after — materializing
     // the partition's results up front kept 100s of MB live per task and
     // its survivor-copy cost dominated young-GC pauses (the measured
-    // Amdahl term of frontier scaling). Lineage is reported once, at
-    // exhaustion, before the final hasNext=false reaches the caller.
+    // Amdahl term of frontier scaling). Lineage is reported once: at
+    // exhaustion, or — when a downstream consumer stops early (take/limit
+    // short-circuit) — from the task-completion listener, so partial
+    // consumption still emits the partition's lineage row (ADVICE r2).
     new Iterator[FetchResult] {
       private var i = 0
       private var slot = 0
       private var prevHost: String = null
+      private var hostStartMs = waveStartMs
       private var nIn = 0L
       private var nOk = 0L
       private var nErr = 0L
       private var reported = false
+
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        if (!reported) { reported = true; lineageAcc.add((pid, nIn, nOk, nErr)) }
+      })
 
       def hasNext: Boolean = {
         if (i < rows.length) true
@@ -216,8 +235,16 @@ private[engine] object WaveCore {
 
       def next(): FetchResult = {
         val r = rows(i)
-        if (r.host != prevHost) { slot = 0; prevHost = r.host }
-        val plannedMs = waveStartMs + math.round(slot * 1000.0 / rps)
+        if (r.host != prevHost) {
+          slot = 0
+          prevHost = r.host
+          // cross-wave politeness continuity: the host's first slot this
+          // wave starts no earlier than its carried next-allowed time
+          hostStartMs =
+            if (pace.isEmpty) waveStartMs
+            else math.max(waveStartMs, pace.getOrElse(UrlCanon.urlHash(r.host), 0L))
+        }
+        val plannedMs = hostStartMs + math.round(slot * 1000.0 / rps)
         val fetchedAt = if (realtime) {
           val now = System.currentTimeMillis()
           if (plannedMs > now) Thread.sleep(plannedMs - now)
@@ -261,6 +288,16 @@ private[engine] object WaveCore {
     * parallelism), and fold the novel keys into a fresh copy of the
     * bucket's filter plus the structurally-shared exact map. Pure function
     * of (state, candidates): deterministic, safe to recompute on retry. */
+  /** Pace-mark pseudo-candidate marker (realtime politeness continuity):
+    * `url_hash` carries the host hash, `parent_seq` the host's
+    * next-allowed fetch ms. One per (host, wave) — never enters dedup. */
+  val PaceFn = "__pace__"
+
+  def paceMark(host: String, bucket: Int, nextAllowedMs: Long): Candidate =
+    Candidate(url = "", canonical = "", url_hash = UrlCanon.urlHash(host),
+      host = host, host_bucket = bucket, parse_fn = PaceFn,
+      meta = Map.empty, priority = 0, parent_seq = nextAllowedMs, emission_idx = 0)
+
   def advancePartition(
       states: Iterator[(Int, BucketSeen)],
       cands: Iterator[(Int, Candidate)],
@@ -269,10 +306,18 @@ private[engine] object WaveCore {
       seedWave: Boolean,
       nBuckets: Long): Iterator[(Int, BucketWave)] = {
     val byBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Candidate]]()
+    val paceByBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Candidate]]()
     cands.foreach { case (b, c) =>
-      byBucket.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[Candidate]) += c
+      val m = if (c.parse_fn == PaceFn) paceByBucket else byBucket
+      m.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[Candidate]) += c
     }
-    states.map { case (b, st) =>
+    states.map { case (b, st0) =>
+      // fold pace marks first (independent of candidate novelty)
+      val paceRows = paceByBucket.get(b)
+      val st =
+        if (paceRows == null) st0
+        else st0.copy(pace = st0.pace ++ paceRows.iterator.map(c =>
+          c.url_hash -> math.max(st0.pace.getOrElse(c.url_hash, 0L), c.parent_seq)))
       val raw = byBucket.get(b)
       if (raw == null) {
         (b, BucketWave(st, Array.empty, 0L))
@@ -294,21 +339,26 @@ private[engine] object WaveCore {
           }
         }
         val nn = novel.length
-        val off = st.hashLog.length
-        val hashLog = java.util.Arrays.copyOf(st.hashLog, off + nn)
-        val canonLog = java.util.Arrays.copyOf(st.canonLog, off + nn)
+        val hashes = new Array[Long](nn)
+        val canons = new Array[String](nn)
         val recs = new Array[UrlRecord](nn)
         var r = 0
         while (r < nn) {
           val c = novel(r)
-          hashLog(off + r) = c.url_hash
-          canonLog(off + r) = c.canonical
+          hashes(r) = c.url_hash
+          canons(r) = c.canonical
           recs(r) = UrlRecord(c.url, c.canonical, c.url_hash, c.host, c.host_bucket,
             c.parse_fn, c.meta, c.priority, is_seed = seedWave, wave = newWave,
             seq = base + r.toLong * nBuckets + b)
           r += 1
         }
-        (b, BucketWave(BucketSeen(b, filter, seen, hashLog, canonLog, st.count + nn),
+        // append ONE packed chunk; prior chunks shared by reference —
+        // O(novel) per wave, and the SER persist re-serializes only
+        // primitive arrays (no per-URL String objects)
+        val log =
+          if (nn == 0) st.log
+          else graft.seen.SeenChunk.pack(newWave, hashes, canons) :: st.log
+        (b, BucketWave(BucketSeen(b, filter, seen, log, st.count + nn, st.pace),
           recs, sorted.length.toLong))
       }
     }
@@ -325,10 +375,15 @@ private[engine] object WaveCore {
   /** Rebuild one partition's bucket states from durable seen rows
     * (resume path; the filter is re-derived from the hashes, so no filter
     * blobs need checkpointing). */
+  /** Rebuilt entries are packed into ONE chunk tagged `resumedWave`: they
+    * are already durable (read from flush dirs ≤ resumedWave), so later
+    * changelog flushes — which write only chunks with wave > the last
+    * flushed wave — never rewrite them. */
   def rebuildPartition(
       states: Iterator[(Int, BucketSeen)],
       rows: Iterator[(Int, (Long, String))],
-      capacity: Int): Iterator[(Int, BucketWave)] = {
+      capacity: Int,
+      resumedWave: Int): Iterator[(Int, BucketWave)] = {
     val byBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]()
     rows.foreach { case (b, hc) =>
       byBucket.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[(Long, String)]) += hc
@@ -348,8 +403,9 @@ private[engine] object WaveCore {
             canonBuf += c
           }
         }
+        val chunk = graft.seen.SeenChunk.pack(resumedWave, hashBuf.toArray, canonBuf.toArray)
         (b, BucketWave(
-          BucketSeen(b, f, seen, hashBuf.toArray, canonBuf.toArray, hashBuf.length.toLong),
+          BucketSeen(b, f, seen, chunk :: Nil, hashBuf.length.toLong),
           Array.empty, 0L))
       }
     }
@@ -527,7 +583,7 @@ class WaveEngine(
     val capacity = cfg.filterCapacityPerBucket
     sc.parallelize(0 until cfg.hostBuckets, cfg.fetchPartitions)
       .map(b => (b, BucketSeen(b, new CuckooFilter(capacity),
-        new graft.seen.SeenSet128(16), Array.emptyLongArray, Array.empty[String], 0L)))
+        new graft.seen.SeenSet128(16), Nil, 0L)))
       .partitionBy(partitioner)
   }
 
@@ -539,20 +595,25 @@ class WaveEngine(
       _.flatMap { case (b, bw) => bw.novel.iterator.map(r => (b, r)) },
       preservesPartitioning = true)
 
+  /** CHANGELOG seen flush: writes only the log chunks created after
+    * `sinceWave` (the last flushed wave) — checkpoint write size is
+    * O(novel since last flush), never O(accumulated seen). Resume unions
+    * all flush dirs ≤ LATEST; the committed-LATEST bound keeps a flush
+    * that landed without its state file invisible (and resume deletes such
+    * orphans so a replay at different wave numbers can't double them). */
   private def writeScalableCheckpoint(
       wave: Int,
       state: RDD[(Int, BucketSeen)],
       pending: RDD[(Int, UrlRecord)],
       nextSeq: Long,
       totalFetched: Long,
-      totalDeduped: Long): Unit = {
+      totalDeduped: Long,
+      sinceWave: Int): Unit = {
     spark.createDataset(pending.values)
       .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/pending_w$wave")
-    // full seen snapshot from the state (resume reads only the newest one;
-    // a changelog flush is the natural optimization at extreme scale)
-    val w = wave
     val seenRows = state.flatMap { case (b, st) =>
-      st.hashLog.indices.iterator.map(i => (st.hashLog(i), st.canonLog(i), b, w))
+      st.log.iterator.filter(_.wave > sinceWave).flatMap(ch =>
+        (0 until ch.size).iterator.map(i => (ch.hashes(i), ch.canonical(i), b, ch.wave)))
     }
     spark.createDataset(seenRows)
       .toDF("url_hash", "canonical", "host_bucket", "wave")
@@ -576,8 +637,8 @@ class WaveEngine(
     val nextSeq = (nSeeds + 1) * nB
     val state0 = out0.mapValues(_.state)
     val pending0 = novelOf(out0)
-    writeScalableCheckpoint(0, state0, pending0, nextSeq, 0L, 0L)
-    loopScalable(0, out0, pending0, None, nextSeq, 0L, 0L)
+    writeScalableCheckpoint(0, state0, pending0, nextSeq, 0L, 0L, sinceWave = -1)
+    loopScalable(0, out0, pending0, None, nextSeq, 0L, 0L, lastFlushed0 = 0)
   }
 
   private def resumeScalable(): CrawlRunResult = {
@@ -585,18 +646,26 @@ class WaveEngine(
       throw new IllegalStateException(s"no checkpoint under $ckpt"))
     val (nextSeq, fetched, deduped) = readState(wave)
     val capacity = cfg.filterCapacityPerBucket
-    // newest durable seen snapshot at or before the committed wave
-    // (each flush is a full dump, so only the latest is needed)
+    // delete orphan flushes from a crash window (flush landed, state file
+    // did not): a replay may checkpoint at different wave numbers, and a
+    // later resume must never union stale marks twice
+    Option(new java.io.File(s"$ckpt/seen").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .filter(_.getName.stripPrefix("flush_").toInt > wave)
+      .foreach(deleteRecursively)
+    // the durable seen set = UNION of all changelog flushes ≤ the
+    // committed wave (each flush carries only the delta since its
+    // predecessor); rebuildPartition dedups, so a replayed overlap is safe
     val dirs = seenFlushDirs(wave)
     val seenRows: RDD[(Int, (Long, String))] =
       if (dirs.isEmpty) sc.emptyRDD[(Int, (Long, String))].partitionBy(partitioner)
-      else spark.read.schema(seenSchema).parquet(dirs.last)
+      else spark.read.schema(seenSchema).parquet(dirs: _*)
         .select($"host_bucket", $"url_hash", $"canonical")
         .as[(Int, Long, String)].rdd
         .map { case (b, h, c) => (b, (h, c)) }
         .partitionBy(partitioner)
     val out0 = emptyStateRdd().zipPartitions(seenRows, preservesPartitioning = true) {
-      (st, rows) => WaveCore.rebuildPartition(st, rows, capacity)
+      (st, rows) => WaveCore.rebuildPartition(st, rows, capacity, wave)
     }
     out0.localCheckpoint()
     out0.count()
@@ -604,7 +673,13 @@ class WaveEngine(
       .parquet(s"$ckpt/pending_w$wave").as[UrlRecord].rdd
       .map(r => (r.host_bucket, r)).partitionBy(partitioner)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    loopScalable(wave, out0, pendingKeyed, Some(pendingKeyed), nextSeq, fetched, deduped)
+    loopScalable(wave, out0, pendingKeyed, Some(pendingKeyed), nextSeq, fetched, deduped,
+      lastFlushed0 = wave)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /**
@@ -620,10 +695,12 @@ class WaveEngine(
       pending0Retained: Option[RDD[_]],
       nextSeq0: Long,
       fetched0: Long,
-      deduped0: Long): CrawlRunResult = {
+      deduped0: Long,
+      lastFlushed0: Int): CrawlRunResult = {
     val t0 = System.currentTimeMillis()
     val nB = cfg.hostBuckets.toLong
     var wave = startWave
+    var lastFlushed = lastFlushed0
     var nextSeq = nextSeq0
     var totalFetched = fetched0
     var totalDeduped = deduped0
@@ -695,7 +772,22 @@ class WaveEngine(
       // fetch (serving fresh cache hits without politeness slots — S11)
       val fetchedRdd: RDD[FetchResult] = cacheDF match {
         case None =>
-          batch.mapPartitions(it =>
+          if (realtime)
+            // realtime: seed each host's first slot from the carried
+            // per-host next-allowed time (cross-wave politeness
+            // continuity). The pace map rides the already-persisted state
+            // blocks; simulated mode skips this read entirely.
+            state.zipPartitions(batch) { (st, it) =>
+              var pace = Map.empty[Long, Long]
+              st.foreach { case (_, bs) =>
+                pace = bs.pace.foldLeft(pace) { case (m, (h, ms)) =>
+                  m.updatedWith(h)(prev => Some(math.max(prev.getOrElse(0L), ms)))
+                }
+              }
+              WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs,
+                lineageAcc, pace)
+            }
+          else batch.mapPartitions(it =>
             WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs, lineageAcc))
         case Some(cache) =>
           val batchDS = spark.createDataset(batch)
@@ -730,12 +822,32 @@ class WaveEngine(
         } else fetchedRdd
 
       // parse → candidates → the wave's ONE shuffle (bucket-partitioned,
-      // sized by the wave, never by the accumulated seen set)
-      val cands = fetched
-        .flatMap(fr =>
-          WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots))
-        .map(c => (c.host_bucket, c))
-        .partitionBy(partitioner)
+      // sized by the wave, never by the accumulated seen set). In realtime
+      // mode the parse stage also emits one pace mark per host (its
+      // last fetch time + 1/rps) so the state advance can carry per-host
+      // next-allowed times into the next wave — O(hosts) extra shuffle
+      // rows, nothing on the simulated/bench path.
+      val candsRaw: RDD[(Int, Candidate)] =
+        if (realtime) fetched.mapPartitions { it =>
+          val lastMs = new java.util.HashMap[String, (Int, Long)]()
+          val main = it.flatMap { fr =>
+            val prev = lastMs.get(fr.host)
+            if (prev == null || prev._2 < fr.fetched_at_ms)
+              lastMs.put(fr.host, (fr.host_bucket, fr.fetched_at_ms))
+            WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots)
+              .map(c => (c.host_bucket, c))
+          }
+          // ++ is by-name: the marks build AFTER `main` is exhausted
+          main ++ lastMs.entrySet().iterator().asScala.map { e =>
+            val (b, ms) = e.getValue
+            (b, WaveCore.paceMark(e.getKey, b, ms + math.round(1000.0 / rps)))
+          }
+        }
+        else fetched
+          .flatMap(fr =>
+            WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots))
+          .map(c => (c.host_bucket, c))
+      val cands = candsRaw.partitionBy(partitioner)
 
       // advance the seen state: dedup + seq + filter fold in one pass
       val base = nextSeq
@@ -792,13 +904,17 @@ class WaveEngine(
       wave += 1
 
       if (wave % cfg.checkpointEvery == 0 || done) {
-        writeScalableCheckpoint(wave, state, pending, nextSeq, totalFetched, totalDeduped)
+        writeScalableCheckpoint(wave, state, pending, nextSeq, totalFetched, totalDeduped,
+          sinceWave = lastFlushed)
+        lastFlushed = wave
         flushLineage(wave, lineageBuf)
       }
     }
     if (latestCheckpointWave.forall(_ < wave)) {
       // loop exited on maxWaves/maxUrls between checkpoints
-      writeScalableCheckpoint(wave, state, pending, nextSeq, totalFetched, totalDeduped)
+      writeScalableCheckpoint(wave, state, pending, nextSeq, totalFetched, totalDeduped,
+        sinceWave = lastFlushed)
+      lastFlushed = wave
       flushLineage(wave, lineageBuf)
     }
     val totalSeen = state.map(_._2.count).reduce(_ + _)

@@ -62,8 +62,13 @@ object Keyphrases {
   def phraseTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
       stopwords: Seq[String]): DataFrame = {
     require(stopwords.nonEmpty, "phraseTopK needs at least one stopword delimiter")
-    // quote each stopword: regex metacharacters in a stopword ("c++", "a.b")
-    // must match literally, never rewrite the pattern
+    // word-character stopwords only: the \b delimiters below require a
+    // word-char edge, so a stopword like "c++" or "a.b" would silently
+    // never match. Lookaround would fix that but is not RE2-expressible
+    // (the DuckDB oracle mirrors this exact pattern), so reject instead.
+    val bad = stopwords.filterNot(_.matches("\\w+"))
+    require(bad.isEmpty,
+      s"phraseTopK stopwords must be word characters only (got: ${bad.mkString(", ")})")
     val stopRe = "\\s*\\b(?:" +
       stopwords.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b\\s*"
     val runs = split(concat(lit(" "), col(textCol), lit(" ")), stopRe)

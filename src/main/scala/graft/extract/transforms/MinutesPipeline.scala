@@ -74,19 +74,16 @@ object MinutesPipeline {
       .filter($"name".isNotNull && $"date".isNotNull && size($"recs") > 0)
       .cache()
 
-    val billsB = spark.sparkContext.broadcast(bills)
     val membersB = spark.sparkContext.broadcast(members.toMap)
 
     // Minutes entity: topics from the first speech (= 会議録情報, E12);
-    // topic ids via name-containment lookup (R6/E16).
-    val minutes = meetings.map { row =>
+    // topic ids filled below via the R6/E16 containment join.
+    val minutesBase = meetings.map { row =>
       val name = row.getAs[String]("name")
       val date = row.getAs[String]("date")
       val recs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("recs"))
       val firstSpeech = recs.headOption.map(_.getAs[String]("speech")).getOrElse("")
       val topics = Topics.extractTopics(firstSpeech)
-      val topicIds = topics.flatMap(t =>
-        billsB.value.collectFirst { case (id, bn) if t.contains(bn) || bn.contains(t) => id })
       val speakers = ScrapeFns.deduplicate(recs.drop(1).map(_.getAs[String]("speaker")))
       Minutes(
         id = ScrapeFns.minutesId(name, date),
@@ -95,10 +92,39 @@ object MinutesPipeline {
         ndl_min_id = Option(row.getAs[String]("issue_id")),
         ndl_url = Option(row.getAs[String]("meeting_url")),
         topics = topics,
-        topic_ids = ScrapeFns.deduplicate(topicIds),
+        topic_ids = Nil,
         speakers = speakers,
         speaker_ids = speakers.flatMap(membersB.value.get))
     }.cache()
+
+    // R6/E16 — topic→bill containment lookup as a declarative broadcast
+    // join (the SangiinPipeline R8 shape — SangiinPipeline.scala:48-53):
+    // posexplode topics, broadcast nested-loop join on two-way
+    // containment, keep the FIRST matching bill in dim order per topic
+    // (the reference's collectFirst semantics, via min_by on the dim
+    // index), then order-preserving dedup of ids in topic order. No
+    // per-topic linear scan over a driver-collected Seq.
+    val billDim = bills.zipWithIndex
+      .map { case ((id, bn), i) => (id, bn, i) }
+      .toDF("bill_id", "bn", "bidx")
+    val topicIdsById = minutesBase
+      .select($"id", posexplode($"topics").as(Seq("tpos", "topic")))
+      .join(broadcast(billDim),
+        instr($"topic", $"bn") > 0 || instr($"bn", $"topic") > 0)
+      .groupBy($"id", $"tpos")
+      .agg(min_by($"bill_id", $"bidx").as("bill_id"))
+      .groupBy($"id")
+      .agg(transform(array_sort(collect_list(struct($"tpos", $"bill_id"))),
+        x => x.getField("bill_id")).as("tids"))
+      .select($"id".as("_1"), $"tids".as("_2"))
+      .as[(String, Seq[String])]
+
+    val minutes = minutesBase
+      .joinWith(topicIdsById, minutesBase("id") === topicIdsById("_1"), "left_outer")
+      .map { case (m, hit) =>
+        m.copy(topic_ids = ScrapeFns.deduplicate(Option(hit).map(_._2).getOrElse(Nil)))
+      }
+      .cache()
 
     // explode speeches (skip record 0 = 会議録情報)
     val speechRows = meetings.flatMap { row =>

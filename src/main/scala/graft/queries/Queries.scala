@@ -415,7 +415,13 @@ object Queries {
              |FROM documents GROUP BY text ORDER BY 1""".stripMargin),
       "exact dedup: group by content, keep first (training-data op)"),
 
-    // n-gram Jaccard near-dup pairs (word 3-grams, threshold 0.25)
+    // n-gram Jaccard near-dup pairs (word 3-grams, threshold 0.25) over
+    // RARE shingles: shingles with document frequency > 64 are dropped
+    // before the posting-list self-join (mirrored in the oracle). A shingle
+    // in f documents emits f² join rows, so one hot boilerplate 3-gram
+    // otherwise dominates the whole job at scale (the r2 bench's 14 s
+    // worst case); hot shingles also carry ~no near-dup signal. Jaccard is
+    // computed over the capped sets on BOTH sides (sizes too).
     "q23_ngram_jaccard" -> Q(
       (s, d) => {
         // shingle identity = 64-bit xxhash of the n-gram (native codegen'd
@@ -423,9 +429,13 @@ object Queries {
         // the oracle's string-shingle counts absent a 64-bit collision
         // (P < 1e-7 at these corpus sizes); the self-join shuffles 8-byte
         // keys instead of n-gram strings
-        val shingles = t(s, d, "documents")
+        val allShingles = t(s, d, "documents")
           .select(col("doc_id"),
             explode(graft.ops.Dedup.shingleHashes(col("text"))).as("sh"))
+        val shingles = allShingles
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+          .filter(col("df") <= 64).drop("df")
         val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val pairs = shingles.as("x").join(shingles.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -440,11 +450,14 @@ object Queries {
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some("""WITH sh AS (
+      Some("""WITH sh0 AS (
              |  SELECT doc_id, unnest(list_distinct(list_filter(
              |    list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),
              |    s -> s IS NOT NULL))) AS sh
              |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)),
+             |sh AS (
+             |  SELECT doc_id, sh FROM sh0
+             |  QUALIFY count(*) OVER (PARTITION BY sh) <= 64),
              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
              |pairs AS (
              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
@@ -455,7 +468,7 @@ object Queries {
              |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
              |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.25
              |ORDER BY doc_a, doc_b""".stripMargin),
-      "n-gram Jaccard near-dup join (training-data op)"),
+      "rare-shingle (df<=64) n-gram Jaccard near-dup join (training-data op)"),
 
     // MERGE-style upsert semantics (SURVEY K1): full-outer coalesce
     "q24_merge_upsert" -> Q(

@@ -32,7 +32,7 @@ object QueriesB {
   private def polyHash(c: Column): Column = HashFns.polyHash(c)
 
   /** DuckDB: same polynomial char hash (SQL fragment over expression e). */
-  private def polyHashSql(e: String): String =
+  private[queries] def polyHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), ch -> CAST(unicode(ch) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
 
   /** Spark side of the shingle pipeline: documents -> (doc_id, h) with h

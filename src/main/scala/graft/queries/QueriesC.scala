@@ -100,11 +100,50 @@ object QueriesC {
              |ORDER BY doc_a, doc_b""".stripMargin),
       "xxhash64 MinHash-LSH pairs + exact Jaccard verify, >=0.5 (scale path; property oracle)"),
 
-    "q37_simhash_pairs_x64" -> Q(
-      (s, d) => graft.ops.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 18).orderBy(col("doc_a"), col("doc_b")),
-      None,
-      "xxhash64 SimHash blocked near-dup pairs (scale path)"),
+    // SimHash blocked near-dup pairs, PROPERTY-oracled: the portable
+    // 32-bit simhash (q27's exact formula, DuckDB-computable) runs through
+    // Dedup.simhashPairsFor with maxHamming=3 → 4 pigeonhole blocks of 8
+    // bits, where candidate generation is provably complete — so the
+    // blocked result EQUALS the brute-force thresholded pair set the
+    // oracle recomputes. (Round 2 called the 4-block join with
+    // maxHamming=18, beyond the pigeonhole guarantee, with no oracle to
+    // catch the silently dropped pairs; the 64-bit xx scale twin
+    // Dedup.simhashPairs shares this exact code path and is pinned by
+    // OpsSpec's brute-force equality test.)
+    "q37_simhash_pairs_blocked" -> Q(
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .withColumn("h", graft.functions.HashFns.polyHash(col("tok")))
+        val bitSums = (0 until 32).map(j =>
+          sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j"))
+        val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        val sim = (0 until 32).map(j =>
+          when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))).reduce(_ + _)
+        val sigs = agg.select(col("doc_id"), sim.as("simhash"))
+        graft.ops.Dedup.simhashPairsFor(sigs, "doc_id", "simhash",
+            bits = 32, maxHamming = 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val bitSums = (0 until 32)
+          .map(j => s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val sim = (0 until 32)
+          .map(j => s"CASE WHEN b$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+           |hashed AS (SELECT doc_id, ${QueriesB.polyHashSql("tok")} AS h FROM tok),
+           |agg AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $sim AS simhash FROM agg)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+      "SimHash pigeonhole-blocked pairs == brute-force thresholded set (property oracle)"),
 
     // LSH ANN, PROPERTY-oracled: with enough independent sign tables the
     // bucket recall of the true top-3 reaches 1.0 on this data (asserted

@@ -57,13 +57,16 @@ final class SeenSet128(expected: Int) extends Serializable {
   /** Insert; false if the key was already present. */
   def add(h1: Long, h2: Long): Boolean = {
     if ((used + 1) * 2 > cap) grow()
-    if (used + 1 >= cap) // only reachable at the growth ceiling
-      throw new IllegalStateException("SeenSet128 full: repartition into more host buckets")
+    // probe BEFORE the full-set check: a duplicate add of a present key is
+    // always `false`, even at the growth ceiling (used < cap guarantees at
+    // least one empty slot, so the probe terminates)
     var i = slot(h1)
     while (occupied(i)) {
       if (keys(2 * i) == h1 && keys(2 * i + 1) == h2) return false
       i = (i + 1) & mask
     }
+    if (used + 1 >= cap) // genuinely new key at the growth ceiling
+      throw new IllegalStateException("SeenSet128 full: repartition into more host buckets")
     keys(2 * i) = h1
     keys(2 * i + 1) = h2
     setOccupied(i)

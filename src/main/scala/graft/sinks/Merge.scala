@@ -7,12 +7,16 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /**
  * Sink semantics of the reference (SURVEY.md §2.2), re-expressed over
- * snapshot-versioned parquet tables:
+ * snapshot-versioned, BUCKET-PARTITIONED parquet tables:
  *
  *  - K1 `merge`: upsert by id with partial-field semantics — an update row
  *    only overwrites the fields it carries non-null (the reference MERGEs
  *    partial entities, e.g. a Bill with only id+reason:
- *    /root/reference/crawler/spiders/shugiin_spider.py:87-90).
+ *    /root/reference/crawler/spiders/shugiin_spider.py:87-90). Duplicate
+ *    update rows for one id are applied deterministically: per field,
+ *    the last non-null value in `seqCol` order wins (the reference applies
+ *    them in arrival order); without a seqCol the tiebreak is the total
+ *    order on row content — deterministic either way.
  *  - K2 `mergeEdges`: distinct (from_id, to_id) accumulation
  *    (gql_client.link/bulk_link, crawler/spiders/__init__.py:34-108).
  *  - K3 `deleteThenInsert`: delete all rows matching a predicate, then
@@ -23,14 +27,23 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  *  - K6 `validateOrQuarantine`: required-fields check; failures go to a
  *    quarantine table instead of the sink (crawler/utils/validate.py).
  *
- * Iceberg's runtime jar is not present in this sandbox, so the table
- * layout is an Iceberg-like snapshot directory tree
- * (`<table>/snapshots/v<N>/` + a CURRENT pointer); every MERGE writes a
- * new immutable snapshot — time travel = reading an older vN. A later
- * swap to Iceberg `MERGE INTO` is mechanical (documented deviation,
- * SURVEY.md §4).
+ * Iceberg's runtime jar is not present in this sandbox, so the table is an
+ * Iceberg-like manifest tree: rows live in `data/v<N>/_bucket=<b>/` files,
+ * keyed by `pmod(xxhash64(bucketCol), nBuckets)`, and each version's
+ * manifest maps bucket → the list of data versions holding its current
+ * rows. A MERGE rewrites ONLY the buckets its update ids touch (untouched
+ * buckets keep pointing at older data files — at the 10^8-entity design
+ * point a single-entity commit rewrites |table|/nBuckets rows, not the
+ * table); `append` is a fast-append (new files only, no rewrite). Time
+ * travel = reading an older manifest. A later swap to Iceberg `MERGE INTO`
+ * is mechanical (documented deviation, SURVEY.md §4).
  */
-class SnapshotTable(spark: SparkSession, root: String) {
+class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
+
+  private final case class Manifest(
+      nBuckets: Int,
+      bucketCol: String,
+      buckets: Map[Int, Seq[Int]]) // bucket -> data versions (read in order)
 
   private def currentPath = Paths.get(s"$root/CURRENT")
 
@@ -39,60 +52,148 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   def exists: Boolean = currentVersion > 0
 
-  def read(): DataFrame = readVersion(currentVersion)
-
-  def readVersion(v: Int): DataFrame = {
-    require(v > 0, s"no snapshot v$v under $root")
-    spark.read.parquet(s"$root/snapshots/v$v")
+  private def writeManifest(v: Int, m: Manifest): Unit = {
+    val bs = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, vs) => s""""$b":[${vs.mkString(",")}]""" }
+      .mkString(",")
+    Files.writeString(Paths.get(s"$root/manifest_v$v.json"),
+      s"""{"n_buckets":${m.nBuckets},"bucket_col":"${m.bucketCol}","buckets":{$bs}}""")
   }
 
-  private def commit(df: DataFrame): Int = {
+  private def readManifest(v: Int): Manifest = {
+    val s = Files.readString(Paths.get(s"$root/manifest_v$v.json"))
+    val nb = """"n_buckets":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+    val bc = """"bucket_col":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
+    val buckets = """"(\d+)":\[([\d,]*)\]""".r.findAllMatchIn(s).map { m =>
+      m.group(1).toInt ->
+        m.group(2).split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    }.toMap
+    Manifest(nb, bc, buckets)
+  }
+
+  private def bucketOf(c: Column, n: Int): Column = pmod(xxhash64(c), lit(n))
+
+  private def bucketPaths(m: Manifest, bs: Iterable[Int]): Seq[String] =
+    (for (b <- bs.toSeq.sorted; v <- m.buckets.getOrElse(b, Nil))
+      yield s"$root/data/v$v/_bucket=$b")
+
+  private def readPaths(paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  def read(): DataFrame = readVersion(currentVersion)
+
+  /** Time travel: the table as of manifest version `v`. */
+  def readVersion(v: Int): DataFrame = {
+    require(v > 0, s"no snapshot v$v under $root")
+    val m = readManifest(v)
+    readPaths(bucketPaths(m, m.buckets.keys))
+  }
+
+  /** Write `df` into `data/v<next>` partitioned by bucket; returns the new
+    * version and the set of buckets written. `update` folds them into the
+    * previous manifest. */
+  private def commit(df: DataFrame, bucketCol: String,
+      update: (Map[Int, Seq[Int]], Set[Int], Int) => Map[Int, Seq[Int]]): Int = {
     val v = currentVersion + 1
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/snapshots/v$v")
+    val prev = if (exists) readManifest(currentVersion)
+      else Manifest(nBuckets, bucketCol, Map.empty)
+    require(prev.bucketCol == bucketCol,
+      s"table $root is bucketed by '${prev.bucketCol}', not '$bucketCol'")
+    df.withColumn("_bucket", bucketOf(col(bucketCol), prev.nBuckets))
+      .write.partitionBy("_bucket").mode(SaveMode.Overwrite)
+      .parquet(s"$root/data/v$v")
+    val written = Option(new java.io.File(s"$root/data/v$v").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .map(_.getName.stripPrefix("_bucket=").toInt).toSet
+    writeManifest(v, prev.copy(buckets = update(prev.buckets, written, v)))
     Files.createDirectories(Paths.get(root))
     Files.writeString(currentPath, v.toString,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
     v
   }
 
-  /** K1 — MERGE by `id`: non-null update fields overwrite, missing/null
-    * update fields keep the current value; unmatched ids are inserted.
-    * Schema = union of both sides' columns. */
-  def merge(updates: DataFrame, idCol: String = "id"): Int = {
-    val merged =
-      if (!exists) updates.dropDuplicates(idCol)
-      else {
-        val cur = read()
-        val allCols = (cur.columns ++ updates.columns).distinct.filter(_ != idCol)
-        def withAll(df: DataFrame): DataFrame =
-          allCols.foldLeft(df)((d, c) =>
-            if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
-        val c = withAll(cur).as("c")
-        val u = withAll(updates.dropDuplicates(idCol)).as("u")
-        c.join(u, col(s"c.$idCol") === col(s"u.$idCol"), "full_outer")
-          .select(
-            coalesce(col(s"u.$idCol"), col(s"c.$idCol")).as(idCol) +:
-              allCols.map(x => coalesce(col(s"u.$x"), col(s"c.$x")).as(x)): _*)
-      }
-    commit(merged)
+  /** Touched buckets point only at the new version; untouched buckets keep
+    * their old data files (the K1 partial-rewrite path). */
+  private def replaceTouched(prev: Map[Int, Seq[Int]], written: Set[Int], v: Int) =
+    prev ++ written.map(_ -> Seq(v))
+
+  /** The new version is the whole table (full-rewrite ops). */
+  private def replaceAll(prev: Map[Int, Seq[Int]], written: Set[Int], v: Int) =
+    written.map(_ -> Seq(v)).toMap
+
+  /** Fast-append: written buckets gain one more data version. */
+  private def appendTouched(prev: Map[Int, Seq[Int]], written: Set[Int], v: Int) =
+    prev ++ written.map(b => b -> (prev.getOrElse(b, Nil) :+ v))
+
+  /** Deterministic collapse of duplicate update rows for one id: per
+    * field, the value of the last row (in `ord` order) that carries the
+    * field non-null — so two partial updates for one id MERGE their
+    * fields, in arrival order when `seqCol` is given (reference
+    * semantics), by row-content order otherwise. */
+  private def collapse(updates: DataFrame, idCol: String, seqCol: Option[String]): DataFrame = {
+    val dataCols = updates.columns.filter(c => c != idCol && !seqCol.contains(c))
+    if (dataCols.isEmpty) updates.select(col(idCol)).dropDuplicates(idCol)
+    else {
+      val ord = seqCol.map(col).getOrElse(struct(dataCols.map(col): _*))
+      val aggs = dataCols.map(f => max_by(col(f), when(col(f).isNotNull, ord)).as(f))
+      updates.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    }
   }
 
-  /** K2 — distinct edge accumulation. */
+  /** K1 — MERGE by `id`: non-null update fields overwrite, missing/null
+    * update fields keep the current value; unmatched ids are inserted.
+    * Schema = union of both sides' columns. Only buckets containing update
+    * ids are rewritten. `seqCol` (not stored) orders duplicate updates. */
+  def merge(updates: DataFrame, idCol: String = "id",
+      seqCol: Option[String] = None): Int = {
+    val collapsed = collapse(updates, idCol, seqCol)
+    if (!exists) commit(collapsed, idCol, replaceTouched)
+    else {
+      val m = readManifest(currentVersion)
+      val touched = collapsed
+        .select(bucketOf(col(idCol), m.nBuckets).as("b")).distinct()
+        .collect().map(_.getLong(0).toInt)
+      val paths = bucketPaths(m, touched)
+      val merged =
+        if (paths.isEmpty) collapsed
+        else {
+          val cur = readPaths(paths)
+          val allCols = (cur.columns ++ collapsed.columns).distinct.filter(_ != idCol)
+          def withAll(df: DataFrame): DataFrame =
+            allCols.foldLeft(df)((d, c) =>
+              if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+          val c = withAll(cur).as("c")
+          val u = withAll(collapsed).as("u")
+          c.join(u, col(s"c.$idCol") === col(s"u.$idCol"), "full_outer")
+            .select(
+              coalesce(col(s"u.$idCol"), col(s"c.$idCol")).as(idCol) +:
+                allCols.map(x => coalesce(col(s"u.$x"), col(s"c.$x")).as(x)): _*)
+        }
+      commit(merged, idCol, replaceTouched)
+    }
+  }
+
+  /** K2 — distinct edge accumulation (bucketed by from_id). */
   def mergeEdges(edges: DataFrame): Int = {
     val all = if (exists) read().unionByName(edges).distinct() else edges.distinct()
-    commit(all)
+    commit(all, "from_id", replaceAll)
   }
 
   /** K3 — delete rows matching `pred`, then insert `replacements`. */
   def deleteThenInsert(pred: Column, replacements: DataFrame): Int = {
+    val bucketCol =
+      if (exists) readManifest(currentVersion).bucketCol else replacements.columns.head
     val kept = if (exists) read().filter(!pred) else replacements.limit(0)
-    commit(kept.unionByName(replacements, allowMissingColumns = true))
+    commit(kept.unionByName(replacements, allowMissingColumns = true),
+      bucketCol, replaceAll)
   }
 
-  /** Plain append (text-doc index K5). */
+  /** Plain append (text-doc index K5) — fast-append: writes only the new
+    * rows; prior data files are untouched. */
   def append(rows: DataFrame): Int = {
-    val all = if (exists) read().unionByName(rows, allowMissingColumns = true) else rows
-    commit(all)
+    val bucketCol =
+      if (exists) readManifest(currentVersion).bucketCol else rows.columns.head
+    commit(rows, bucketCol, appendTouched)
   }
 }
 

@@ -100,6 +100,30 @@ class WaveEngineSpec extends AnyFunSuite {
     })
   }
 
+  test("realtime politeness: same-host spacing >= 1/rps holds ACROSS wave boundaries") {
+    // budget 1/host/wave → every same-host gap is a wave-boundary gap.
+    // Without carried per-host pace state, wave W+1's slot-0 restarts at
+    // the wave start (~Spark's per-wave overhead after W's last fetch),
+    // violating 1 rps; with continuity the first slot is seeded from the
+    // host's last actual fetch time + 1/rps.
+    val s1 = SyntheticSite(nHosts = 1, basePagesPerHost = 2, branching = 2, hotFactor = 1)
+    val ckpt = SparkTestSession.tmpDir("rtpace")
+    val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 2, fetchPartitions = 2,
+      maxPerHostPerWave = 1, politenessRps = 1.0, realtime = true)
+    val engine = new WaveEngine(spark, s1, parsers, cfg)
+    engine.run(Seq(SeedSpec(s1.pageUrl(0, 0))))
+    import spark.implicits._
+    val rows = engine.fetchedTable()
+      .select($"host", $"wave", $"fetched_at_ms").as[(String, Int, Long)].collect()
+    assert(rows.map(_._2).distinct.length >= 2) // a boundary was actually crossed
+    rows.groupBy(_._1).values.foreach { hostRows =>
+      val sorted = hostRows.map(_._3).sorted
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b - a >= 1000L, s"same-host fetches ${b - a}ms apart (< 1/rps)")
+      }
+    }
+  }
+
   test("resume from checkpoint completes identically to an uninterrupted run") {
     val ckptFull = SparkTestSession.tmpDir("full")
     val full = new WaveEngine(spark, site, parsers,
@@ -121,6 +145,32 @@ class WaveEngineSpec extends AnyFunSuite {
     assert(resResumed.seen == resFull.seen) // resume reports the cumulative seen count
     // strict: final seen sets equal
     assert(seenHashSet(ckptFull) == seenHashSet(ckptPart))
+  }
+
+  test("seen flushes are a changelog: each flush holds only its delta, union = seen set") {
+    import spark.implicits._
+    val ckpt = SparkTestSession.tmpDir("changelog")
+    val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = 4,
+      checkpointEvery = 1)
+    val engine = new WaveEngine(spark, site, parsers, cfg)
+    val res = engine.run(seeds)
+    val dirs = Option(new java.io.File(s"$ckpt/seen").listFiles()).get
+      .filter(_.isDirectory).map(d => d.getName.stripPrefix("flush_").toInt -> d.getPath)
+      .sortBy(_._1)
+    assert(dirs.length >= 3) // several waves, one flush each
+    var total = 0L
+    for ((w, path) <- dirs) {
+      val marks = spark.read.parquet(path).select($"wave").as[Int].collect()
+      total += marks.length
+      // delta-only: a flush carries marks enqueued since the previous
+      // flush, never the accumulated history (flush_0 = the seed wave)
+      assert(marks.forall(_ <= w))
+      if (dirs.exists(d => d._1 < w)) {
+        val prevW = dirs.filter(_._1 < w).map(_._1).max
+        assert(marks.forall(_ > prevW), s"flush_$w re-wrote marks from <= $prevW")
+      }
+    }
+    assert(total == res.seen) // union (disjoint) = exactly the seen set
   }
 
   test("404s are data: cursor past the last page does not kill the crawl") {

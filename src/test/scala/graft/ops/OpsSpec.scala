@@ -46,6 +46,23 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhashPairs == brute-force thresholded pair set (pigeonhole completeness)") {
+    // real corpus so block values actually collide and diverge; several
+    // thresholds including ones the old fixed-4-block join silently broke
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = real.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .as[(Long, Long)].collect()
+    for (h <- Seq(3, 8, 18)) {
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (a, b)).toSet
+      val blocked = Dedup.simhashPairs(real, "doc_id", "text", maxHamming = h)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(blocked == brute, s"maxHamming=$h: blocked=${blocked.size} brute=${brute.size}")
+    }
+  }
+
   test("ANN: LSH top-k recalls brute-force neighbors on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)

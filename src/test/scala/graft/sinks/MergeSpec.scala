@@ -32,6 +32,56 @@ class MergeSpec extends AnyFunSuite {
     assert(t.readVersion(1).columns.toSet == Set("id", "name", "category"))
   }
 
+  test("K1 duplicate updates for one id are applied deterministically") {
+    // with a sequence column: per field, last non-null in seq order wins
+    // (reference arrival-order semantics); fields from different partial
+    // updates MERGE instead of one row winning wholesale
+    val t = new SnapshotTable(spark, SparkTestSession.tmpDir("merge-dup"))
+    t.merge(Seq(("Bill:1", Some("first"), None, 1L),
+        ("Bill:1", Some("second"), Some("KAKUHOU"), 2L),
+        ("Bill:1", None, Some("SHUHOU"), 3L))
+      .toDF("id", "reason", "category", "seq"), seqCol = Some("seq"))
+    val r = t.read().head()
+    assert(r.getAs[String]("reason") == "second") // seq 3 carried no reason
+    assert(r.getAs[String]("category") == "SHUHOU")
+    assert(!t.read().columns.contains("seq")) // seq is metadata, not stored
+    // without a sequence column: still deterministic (row-content order)
+    val u = new SnapshotTable(spark, SparkTestSession.tmpDir("merge-dup2"))
+    val batch = Seq(("Bill:1", "b"), ("Bill:1", "a"), ("Bill:1", "c"))
+    for (perm <- batch.permutations.take(6)) {
+      u.merge(perm.toDF("id", "name"))
+      assert(u.read().head().getAs[String]("name") == "c") // max content order
+    }
+  }
+
+  test("K1 merge rewrites only the buckets its update ids touch") {
+    val dir = SparkTestSession.tmpDir("merge-buckets")
+    val t = new SnapshotTable(spark, dir, nBuckets = 8)
+    t.merge((1 to 64).map(i => (s"Bill:$i", s"name$i")).toDF("id", "name"))
+    val v1Buckets = Option(new java.io.File(s"$dir/data/v1").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(v1Buckets.size > 1) // ids actually span buckets
+    t.merge(Seq(("Bill:7", "renamed")).toDF("id", "name"))
+    val v2Buckets = Option(new java.io.File(s"$dir/data/v2").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(v2Buckets.size == 1) // one update id -> one bucket rewritten
+    val rows = t.read().orderBy("id").as[(String, String)].collect()
+    assert(rows.length == 64)
+    assert(rows.toMap.apply("Bill:7") == "renamed")
+    assert(rows.toMap.apply("Bill:8") == "name8") // untouched bucket intact
+  }
+
+  test("K5 append is a fast-append: new files only, old data untouched") {
+    val dir = SparkTestSession.tmpDir("append")
+    val t = new SnapshotTable(spark, dir)
+    t.append(Seq(("Doc:1", "t1")).toDF("id", "body"))
+    t.append(Seq(("Doc:2", "t2")).toDF("id", "body"))
+    assert(t.read().count() == 2)
+    // v2 holds only the appended row
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data/v2").count() == 1)
+  }
+
   test("K2 edge merge is distinct-accumulating") {
     val t = new SnapshotTable(spark, SparkTestSession.tmpDir("edges"))
     t.mergeEdges(Seq(("a", "b"), ("a", "c")).toDF("from_id", "to_id"))
