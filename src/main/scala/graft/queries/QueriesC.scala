@@ -7,9 +7,10 @@ import graft.queries.Queries.Q
 /**
  * Query batch C: streaming-semantics operators (batch-equivalent form —
  * the Structured-Streaming path is verified batch-vs-stream in
- * StreamsSpec) and the xxhash64 production ops (rows-only checks: their
- * hash is not reproducible in the oracle engine; semantics are pinned by
- * the portable-hash twins in batch B and by OpsSpec).
+ * StreamsSpec) and the production dedup/ANN ops, property-oracled where
+ * the hash itself is not reproducible in the oracle engine (q36/q38/q42
+ * assert equality with the brute-force result; q37 runs the blocked join
+ * on the portable simhash so DuckDB can brute-force it exactly).
  */
 object QueriesC {
 
