@@ -139,8 +139,11 @@ object Dedup {
         $("l.blk") === $("r.blk") && $("l.bv") === $("r.bv") && $("l.doc") < $("r.doc"))
       .select($("l.doc").as("doc_a"), $("r.doc").as("doc_b"),
         bit_count($("l.sig").bitwiseXOR($("r.sig"))).cast("long").as("hamming"))
-      .distinct()
+      // verify BEFORE distinct: the hamming filter is codegen'd and highly
+      // selective, so the distinct's shuffle carries matches only — not
+      // every candidate a clustered corpus generates
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash near-dup pairs from text: 64-bit xxhash SimHash + pigeonhole
