@@ -331,8 +331,12 @@ object QueriesC {
     "q43_ann_ivf" -> Q(
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        // kmeansIters exercises the distributed Lloyd refinement inside
+        // the oracled path: with nprobe = nlist the output equals brute
+        // force REGARDLESS of where the centroids land, so the oracle
+        // pins the probe/rerank machinery while the refinement runs
         graft.ops.Ann.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
-          "vec_id", "embedding", k = 3, nlist = 16, nprobe = 16)
+          "vec_id", "embedding", k = 3, nlist = 16, nprobe = 16, kmeansIters = 2)
           .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
             round(col("cos"), 4).as("cos"))
           .orderBy(col("query_id"), col("rank"))

@@ -95,6 +95,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2 && recall <= 0.95, s"recall=$recall")
   }
 
+  test("ANN: IVF k-means refinement — exhaustive probe stays exact, centroids move") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    // exhaustive probing is centroid-independent: refinement must not
+    // perturb the result set
+    val full = Ann.ivfTopK(queries, emb, "vec_id", "embedding", 3,
+        nlist = 8, nprobe = 8, kmeansIters = 2)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+    // the Lloyd passes actually refine: centroids are means, not corpus
+    // rows, and differ from the hash-sampled seeds; dimensionality kept
+    val seed = Ann.ivfCentroids(emb, "vec_id", "embedding", 8, iters = 0)
+      .select($"cluster", $"cv").as[(Int, Seq[Double])].collect().toMap
+    val refined = Ann.ivfCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+      .select($"cluster", $"cv").as[(Int, Seq[Double])].collect().toMap
+    assert(refined.keySet == seed.keySet)
+    assert(refined.values.forall(v => v.length == seed(0).length))
+    assert(seed.keys.count(k => refined(k) != seed(k)) >= 6) // most moved
+  }
+
   test("text stats: counts, ratios, quality, lang id, fingerprint") {
     val df = Seq((1L, "the cat and the dog and the cat"), (2L, "uno dos tres"))
       .toDF("doc_id", "text")
