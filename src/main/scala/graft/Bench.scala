@@ -124,7 +124,7 @@ object Bench {
         val engine = new WaveEngine(spark, site,
           Map[String, PageParser]("diet" -> DietParser), cfg)
         val res = engine.run(seeds)
-        delete(new java.io.File(ckpt))
+        graft.util.Fs.deleteRecursively(new java.io.File(ckpt))
         res
       }
       // warmup at 1/16 of the real job's URL volume (hosts/4 × pages/4):
@@ -136,11 +136,6 @@ object Bench {
         .maxBy(_.urlsPerSec)
       (best.urlsPerSec, best.fetched, best.deduped, best.elapsedMs)
     } finally spark.stop()
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
-    f.delete()
   }
 
   /** Run one frontier level in a fresh JVM (same classpath + JVM flags as

@@ -670,8 +670,20 @@ class WaveEngine(
     writeState(wave, nextSeq, totalFetched, totalDeduped)
   }
 
+  /** A FRESH run must not inherit durable seen/lineage dirs from a prior
+    * run in the same checkpoint dir: since flushes are changelogs, resume
+    * UNIONS every flush ≤ LATEST — a stale flush whose wave number the
+    * new run never overwrites would smuggle a dead run's URLs into the
+    * seen set (round 2's full-snapshot read was immune; the changelog
+    * read is not, so clear first). */
+  private def clearDurableSeen(): Unit = {
+    graft.util.Fs.deleteRecursively(new java.io.File(s"$ckpt/seen"))
+    graft.util.Fs.deleteRecursively(new java.io.File(s"$ckpt/lineage"))
+  }
+
   private def runScalable(seeds: Seq[SeedSpec]): CrawlRunResult = {
     Files.createDirectories(Paths.get(ckpt))
+    clearDurableSeen()
     val nB = cfg.hostBuckets.toLong
     val seedCands = sc.parallelize(seedCandidates(seeds), cfg.fetchPartitions)
       .map(c => (c.host_bucket, c)).partitionBy(partitioner)
@@ -701,7 +713,7 @@ class WaveEngine(
     Option(new java.io.File(s"$ckpt/seen").listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory)
       .filter(_.getName.stripPrefix("flush_").toInt > wave)
-      .foreach(deleteRecursively)
+      .foreach(graft.util.Fs.deleteRecursively)
     // the durable seen set = UNION of all changelog flushes ≤ the
     // committed wave (each flush carries only the delta since its
     // predecessor); rebuildPartition dedups, so a replayed overlap is safe
@@ -724,11 +736,6 @@ class WaveEngine(
       .persist(StorageLevel.MEMORY_AND_DISK)
     loopScalable(wave, out0, pendingKeyed, Some(pendingKeyed), nextSeq, fetched, deduped,
       lastFlushed0 = wave)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
   }
 
   /**
@@ -818,26 +825,29 @@ class WaveEngine(
       val lineageAcc = new CollectionAccumulator[(Int, Long, Long, Long)]()
       sc.register(lineageAcc, s"lineage_w$wave")
 
+      // live-fetch an already-bucket-partitioned batch with politeness
+      // slots. In realtime mode each host's first slot is seeded from the
+      // carried per-host next-allowed time (cross-wave politeness
+      // continuity); the pace map rides the already-persisted state
+      // blocks, and simulated mode skips that read entirely.
+      def liveFetch(rows: RDD[UrlRecord]): RDD[FetchResult] =
+        if (realtime)
+          state.zipPartitions(rows) { (st, it) =>
+            var pace = Map.empty[Long, Long]
+            st.foreach { case (_, bs) =>
+              pace = bs.pace.foldLeft(pace) { case (m, (h, ms)) =>
+                m.updatedWith(h)(prev => Some(math.max(prev.getOrElse(0L), ms)))
+              }
+            }
+            WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs,
+              lineageAcc, pace)
+          }
+        else rows.mapPartitions(it =>
+          WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs, lineageAcc))
+
       // fetch (serving fresh cache hits without politeness slots — S11)
       val fetchedRdd: RDD[FetchResult] = cacheDF match {
-        case None =>
-          if (realtime)
-            // realtime: seed each host's first slot from the carried
-            // per-host next-allowed time (cross-wave politeness
-            // continuity). The pace map rides the already-persisted state
-            // blocks; simulated mode skips this read entirely.
-            state.zipPartitions(batch) { (st, it) =>
-              var pace = Map.empty[Long, Long]
-              st.foreach { case (_, bs) =>
-                pace = bs.pace.foldLeft(pace) { case (m, (h, ms)) =>
-                  m.updatedWith(h)(prev => Some(math.max(prev.getOrElse(0L), ms)))
-                }
-              }
-              WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs,
-                lineageAcc, pace)
-            }
-          else batch.mapPartitions(it =>
-            WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs, lineageAcc))
+        case None => liveFetch(batch)
         case Some(cache) =>
           val batchDS = spark.createDataset(batch)
           val hits = batchDS.joinWith(cache,
@@ -858,9 +868,9 @@ class WaveEngine(
               Seq("url_hash", "canonical"), "left_anti")
             .as[UrlRecord].rdd
             .map(r => (r.host_bucket, r)).partitionBy(partitioner).values
-          misses.mapPartitions(it =>
-              WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs, lineageAcc))
-            .union(hits)
+          // cache misses go through the same pace-seeded live fetch, so
+          // realtime politeness continuity holds on the S11 path too
+          liveFetch(misses).union(hits)
       }
       val fetched =
         if (cfg.keepFetched) {

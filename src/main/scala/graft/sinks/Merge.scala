@@ -91,7 +91,9 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
 
   /** Write `df` into `data/v<next>` partitioned by bucket; returns the new
     * version and the set of buckets written. `update` folds them into the
-    * previous manifest. */
+    * previous manifest. Rows that lack the table's bucket column (legal
+    * for append/deleteThenInsert payloads) hash a null key — they all
+    * land in one well-defined bucket instead of failing analysis. */
   private def commit(df: DataFrame, bucketCol: String,
       update: (Map[Int, Seq[Int]], Set[Int], Int) => Map[Int, Seq[Int]]): Int = {
     val v = currentVersion + 1
@@ -99,7 +101,9 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
       else Manifest(nBuckets, bucketCol, Map.empty)
     require(prev.bucketCol == bucketCol,
       s"table $root is bucketed by '${prev.bucketCol}', not '$bucketCol'")
-    df.withColumn("_bucket", bucketOf(col(bucketCol), prev.nBuckets))
+    val key = if (df.columns.contains(bucketCol)) col(bucketCol)
+      else lit(null).cast("string")
+    df.withColumn("_bucket", bucketOf(key, prev.nBuckets))
       .write.partitionBy("_bucket").mode(SaveMode.Overwrite)
       .parquet(s"$root/data/v$v")
     val written = Option(new java.io.File(s"$root/data/v$v").listFiles())
@@ -146,43 +150,55 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     * ids are rewritten. `seqCol` (not stored) orders duplicate updates. */
   def merge(updates: DataFrame, idCol: String = "id",
       seqCol: Option[String] = None): Int = {
-    val collapsed = collapse(updates, idCol, seqCol)
-    if (!exists) commit(collapsed, idCol, replaceTouched)
-    else {
-      val m = readManifest(currentVersion)
-      val touched = collapsed
-        .select(bucketOf(col(idCol), m.nBuckets).as("b")).distinct()
-        .collect().map(_.getLong(0).toInt)
-      val paths = bucketPaths(m, touched)
-      val merged =
-        if (paths.isEmpty) collapsed
-        else {
-          val cur = readPaths(paths)
-          val allCols = (cur.columns ++ collapsed.columns).distinct.filter(_ != idCol)
-          def withAll(df: DataFrame): DataFrame =
-            allCols.foldLeft(df)((d, c) =>
-              if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
-          val c = withAll(cur).as("c")
-          val u = withAll(collapsed).as("u")
-          c.join(u, col(s"c.$idCol") === col(s"u.$idCol"), "full_outer")
-            .select(
-              coalesce(col(s"u.$idCol"), col(s"c.$idCol")).as(idCol) +:
-                allCols.map(x => coalesce(col(s"u.$x"), col(s"c.$x")).as(x)): _*)
-        }
-      commit(merged, idCol, replaceTouched)
-    }
+    // cached: read once for the touched-bucket collect, again by the join
+    // and the commit write — without the cache the groupBy/max_by
+    // aggregation would re-shuffle the updates per consumer
+    val collapsed = collapse(updates, idCol, seqCol).cache()
+    try {
+      if (!exists) commit(collapsed, idCol, replaceTouched)
+      else {
+        val m = readManifest(currentVersion)
+        val touched = collapsed
+          .select(bucketOf(col(idCol), m.nBuckets).as("b")).distinct()
+          .collect().map(_.getLong(0).toInt)
+        val paths = bucketPaths(m, touched)
+        val merged =
+          if (paths.isEmpty) collapsed
+          else {
+            val cur = readPaths(paths)
+            val allCols = (cur.columns ++ collapsed.columns).distinct.filter(_ != idCol)
+            def withAll(df: DataFrame): DataFrame =
+              allCols.foldLeft(df)((d, c) =>
+                if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+            val c = withAll(cur).as("c")
+            val u = withAll(collapsed).as("u")
+            c.join(u, col(s"c.$idCol") === col(s"u.$idCol"), "full_outer")
+              .select(
+                coalesce(col(s"u.$idCol"), col(s"c.$idCol")).as(idCol) +:
+                  allCols.map(x => coalesce(col(s"u.$x"), col(s"c.$x")).as(x)): _*)
+          }
+        commit(merged, idCol, replaceTouched)
+      }
+    } finally collapsed.unpersist(blocking = false)
   }
+
+  /** Bucket column for a first-commit through a non-merge op: prefer the
+    * conventional `id` column when present (so a later `merge(_, "id")`
+    * finds the table bucketed as it expects), else the first column. */
+  private def inferBucketCol(cols: Array[String]): String =
+    if (exists) readManifest(currentVersion).bucketCol
+    else cols.find(_ == "id").getOrElse(cols.head)
 
   /** K2 — distinct edge accumulation (bucketed by from_id). */
   def mergeEdges(edges: DataFrame): Int = {
     val all = if (exists) read().unionByName(edges).distinct() else edges.distinct()
-    commit(all, "from_id", replaceAll)
+    commit(all, if (exists) readManifest(currentVersion).bucketCol else "from_id",
+      replaceAll)
   }
 
   /** K3 — delete rows matching `pred`, then insert `replacements`. */
   def deleteThenInsert(pred: Column, replacements: DataFrame): Int = {
-    val bucketCol =
-      if (exists) readManifest(currentVersion).bucketCol else replacements.columns.head
+    val bucketCol = inferBucketCol(replacements.columns)
     val kept = if (exists) read().filter(!pred) else replacements.limit(0)
     commit(kept.unionByName(replacements, allowMissingColumns = true),
       bucketCol, replaceAll)
@@ -190,11 +206,8 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
 
   /** Plain append (text-doc index K5) — fast-append: writes only the new
     * rows; prior data files are untouched. */
-  def append(rows: DataFrame): Int = {
-    val bucketCol =
-      if (exists) readManifest(currentVersion).bucketCol else rows.columns.head
-    commit(rows, bucketCol, appendTouched)
-  }
+  def append(rows: DataFrame): Int =
+    commit(rows, inferBucketCol(rows.columns), appendTouched)
 }
 
 object MergeOps {

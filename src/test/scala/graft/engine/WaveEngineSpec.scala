@@ -173,6 +173,29 @@ class WaveEngineSpec extends AnyFunSuite {
     assert(total == res.seen) // union (disjoint) = exactly the seen set
   }
 
+  test("fresh run in a reused checkpoint dir does not inherit stale seen flushes") {
+    // run A crawls 3 hosts; run B reuses the dir with ONE seed. With
+    // changelog flushes, resume UNIONS all dirs ≤ LATEST — if run B left
+    // run A's flushes behind, a resume of B would treat A's URLs as seen
+    // and silently skip them.
+    val ckpt = SparkTestSession.tmpDir("reuse")
+    def cfg(maxW: Int = 10000) = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8,
+      fetchPartitions = 4, maxWaves = maxW)
+    new WaveEngine(spark, site, parsers, cfg()).run(seeds) // run A (all hosts)
+    val runB = new WaveEngine(spark, site, parsers, cfg(maxW = 1))
+    runB.run(Seq(seeds.head)) // fresh partial run B, host 0 only
+    val resumedB = new WaveEngine(spark, site, parsers, cfg())
+    val resB = resumedB.resume()
+    // resumed B must complete host 0's whole tree: nothing of A's seen
+    // state may leak into B's dedup
+    val refCkpt = SparkTestSession.tmpDir("reuse-ref")
+    val ref = new WaveEngine(spark, site, parsers,
+      CrawlConfig(checkpointDir = refCkpt, hostBuckets = 8, fetchPartitions = 4))
+    val resRef = ref.run(Seq(seeds.head))
+    assert(resB.seen == resRef.seen)
+    assert(seenHashSet(ckpt) == seenHashSet(refCkpt))
+  }
+
   test("404s are data: cursor past the last page does not kill the crawl") {
     val ckpt = SparkTestSession.tmpDir("e404")
     val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = 2)

@@ -82,6 +82,19 @@ class MergeSpec extends AnyFunSuite {
       .parquet(s"$dir/data/v2").count() == 1)
   }
 
+  test("K5/K1 interop: append-first table prefers the id column for bucketing") {
+    val t = new SnapshotTable(spark, SparkTestSession.tmpDir("append-id"))
+    // id is NOT the first column — bucketing must still pick it so a
+    // later merge by id finds the layout it expects
+    t.append(Seq(("body text", "Doc:1")).toDF("body", "id"))
+    t.merge(Seq(("Doc:1", Some("t2")), ("Doc:2", Some("t3")))
+      .toDF("id", "title"))
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[String]("body") == "body text") // append survived merge
+    assert(rows.head.getAs[String]("title") == "t2")
+  }
+
   test("K2 edge merge is distinct-accumulating") {
     val t = new SnapshotTable(spark, SparkTestSession.tmpDir("edges"))
     t.mergeEdges(Seq(("a", "b"), ("a", "c")).toDF("from_id", "to_id"))
