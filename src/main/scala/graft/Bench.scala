@@ -183,43 +183,54 @@ object Bench {
   }
 
   /** Run one frontier level in a fresh JVM (same classpath + JVM flags as
-    * this one) and parse its single-line result. */
+    * this one) and parse its single-line result.
+    *
+    * The child emulates an N-core executor host BOTH ways:
+    * ActiveProcessorCount sizes the JVM's own pools (GC, JIT, ForkJoin),
+    * and `taskset` pins the process to N physical cores — without the OS
+    * pin the small level's GC/JIT/netty threads get scheduled on spare
+    * cores, so local[2] effectively borrows 4-6 cores and the subsidized
+    * ratio both understates and DESTABILIZES the true N→4N scaling
+    * (measured: unpinned medians swung 0.72-0.92 by noise window; pinned
+    * rounds sat at 0.81-0.90). Pinning is best-effort: skipped when the
+    * host exposes fewer cores than the level needs, and a pinned child
+    * that fails to produce a result is retried unpinned — a missing or
+    * restricted taskset must degrade the measurement, never kill the
+    * bench artifact. */
   def frontierRunInChildJvm(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filterNot(a => a.startsWith("-Xlog") || a.startsWith("-agentlib"))
-    // emulate an N-core executor host BOTH ways: ActiveProcessorCount
-    // sizes the JVM's own pools (GC, JIT, ForkJoin), and taskset pins the
-    // process to N physical cores — without the pin the OS still schedules
-    // the small level's GC/JIT/netty threads on spare cores, so local[2]
-    // effectively borrows 4-6 cores and its throughput subsidy understates
-    // the true N→4N scaling a real 2-core executor host would show
-    val taskset =
-      if (new java.io.File("/usr/bin/taskset").exists)
-        Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
-      else Nil
-    val cmd = taskset ++ Seq(javaBin) ++ jvmArgs ++
-      Seq(s"-XX:ActiveProcessorCount=$cpus",
-        "-cp", System.getProperty("java.class.path"), "graft.BenchChild",
-        cpus.toString, hosts.toString, basePages.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    // stream child stderr (Spark logs) straight through so neither pipe
-    // can fill up and deadlock the child
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
-    // one measured crawl per child: cross-run robustness comes from the
-    // paired rounds in main, not from in-child repetition
-    pb.environment().put("SPARK_GRAFT_BENCH_REPEATS",
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1"))
-    val p = pb.start()
-    val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
-    p.waitFor()
-    val line = outLines.find(_.startsWith("CHILD_RESULT "))
+    val canPin = new java.io.File("/usr/bin/taskset").exists &&
+      Runtime.getRuntime.availableProcessors >= cpus
+    def attempt(pin: Boolean): Option[(Double, Long, Long, Long)] = {
+      val taskset = if (pin) Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}") else Nil
+      val cmd = taskset ++ Seq(javaBin) ++ jvmArgs ++
+        Seq(s"-XX:ActiveProcessorCount=$cpus",
+          "-cp", System.getProperty("java.class.path"), "graft.BenchChild",
+          cpus.toString, hosts.toString, basePages.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      // stream child stderr (Spark logs) straight through so neither pipe
+      // can fill up and deadlock the child
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      // one measured crawl per child: cross-run robustness comes from the
+      // paired rounds in main, not from in-child repetition
+      pb.environment().put("SPARK_GRAFT_BENCH_REPEATS",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1"))
+      val p = pb.start()
+      val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+      p.waitFor()
+      outLines.find(_.startsWith("CHILD_RESULT ")).map { line =>
+        val Array(qps, fetched, deduped, ms) = line.stripPrefix("CHILD_RESULT ").split(",")
+        (qps.toDouble, fetched.toLong, deduped.toLong, ms.toLong)
+      }
+    }
+    attempt(pin = canPin)
+      .orElse(if (canPin) attempt(pin = false) else None)
       .getOrElse(throw new IllegalStateException(
-        s"bench child (cpus=$cpus) produced no result; tail=${outLines.takeRight(5)}"))
-    val Array(qps, fetched, deduped, ms) = line.stripPrefix("CHILD_RESULT ").split(",")
-    (qps.toDouble, fetched.toLong, deduped.toLong, ms.toLong)
+        s"bench child (cpus=$cpus) produced no result (pinned and unpinned)"))
   }
 
   def main(args: Array[String]): Unit = {
