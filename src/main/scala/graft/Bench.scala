@@ -197,38 +197,50 @@ object Bench {
     * that fails to produce a result is retried unpinned — a missing or
     * restricted taskset must degrade the measurement, never kill the
     * bench artifact. */
-  def frontierRunInChildJvm(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long) = {
+  /** (qps, fetched, deduped, elapsedMs, pinned) — `pinned` records whether
+    * the sample actually ran under OS affinity, and is emitted per sample
+    * in the rounds array: a silently-degraded unpinned fallback must be
+    * visible in the artifact, not pass itself off as a pinned measurement. */
+  def frontierRunInChildJvm(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long, Boolean) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filterNot(a => a.startsWith("-Xlog") || a.startsWith("-agentlib"))
     val canPin = new java.io.File("/usr/bin/taskset").exists &&
       Runtime.getRuntime.availableProcessors >= cpus
-    def attempt(pin: Boolean): Option[(Double, Long, Long, Long)] = {
-      val taskset = if (pin) Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}") else Nil
-      val cmd = taskset ++ Seq(javaBin) ++ jvmArgs ++
-        Seq(s"-XX:ActiveProcessorCount=$cpus",
-          "-cp", System.getProperty("java.class.path"), "graft.BenchChild",
-          cpus.toString, hosts.toString, basePages.toString)
-      val pb = new ProcessBuilder(cmd: _*)
-      // stream child stderr (Spark logs) straight through so neither pipe
-      // can fill up and deadlock the child
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
-      // one measured crawl per child: cross-run robustness comes from the
-      // paired rounds in main, not from in-child repetition
-      pb.environment().put("SPARK_GRAFT_BENCH_REPEATS",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1"))
-      val p = pb.start()
-      val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
-      p.waitFor()
-      outLines.find(_.startsWith("CHILD_RESULT ")).map { line =>
-        val Array(qps, fetched, deduped, ms) = line.stripPrefix("CHILD_RESULT ").split(",")
-        (qps.toDouble, fetched.toLong, deduped.toLong, ms.toLong)
-      }
-    }
+    // any failure of one attempt (exec denied, malformed output, child
+    // crash) degrades to the next attempt — never kills the artifact
+    def attempt(pin: Boolean): Option[(Double, Long, Long, Long, Boolean)] =
+      scala.util.Try {
+        val taskset = if (pin) Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}") else Nil
+        val cmd = taskset ++ Seq(javaBin) ++ jvmArgs ++
+          Seq(s"-XX:ActiveProcessorCount=$cpus",
+            "-cp", System.getProperty("java.class.path"), "graft.BenchChild",
+            cpus.toString, hosts.toString, basePages.toString)
+        val pb = new ProcessBuilder(cmd: _*)
+        // stream child stderr (Spark logs) straight through so neither pipe
+        // can fill up and deadlock the child
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+        // one measured crawl per child: cross-run robustness comes from the
+        // paired rounds in main, not from in-child repetition
+        pb.environment().put("SPARK_GRAFT_BENCH_REPEATS",
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1"))
+        val p = pb.start()
+        val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+        p.waitFor()
+        outLines.find(_.startsWith("CHILD_RESULT ")).map { line =>
+          val Array(qps, fetched, deduped, ms) = line.stripPrefix("CHILD_RESULT ").split(",")
+          (qps.toDouble, fetched.toLong, deduped.toLong, ms.toLong, pin)
+        }
+      }.toOption.flatten
     attempt(pin = canPin)
-      .orElse(if (canPin) attempt(pin = false) else None)
+      .orElse {
+        if (canPin) {
+          System.err.println(s"BENCH: pinned child (cpus=$cpus) failed; retrying unpinned")
+          attempt(pin = false)
+        } else None
+      }
       .getOrElse(throw new IllegalStateException(
         s"bench child (cpus=$cpus) produced no result (pinned and unpinned)"))
   }
@@ -285,9 +297,13 @@ object Bench {
     // round samples 2 → 8 → 32 back-to-back (shared noise environment) and
     // the efficiency is the MEDIAN of per-round ratios; throughput numbers
     // report each level's best round (peak protocol).
-    def level(n: Int): (Double, Long, Long, Long) =
-      if (skipFrontier || !levels.contains(n)) (0.0, 0L, 0L, 0L)
-      else if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) frontierRun(n, hosts, basePages)
+    def level(n: Int): (Double, Long, Long, Long, Boolean) =
+      if (skipFrontier || !levels.contains(n)) (0.0, 0L, 0L, 0L, false)
+      else if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) {
+        // in-process debug path: Bench itself was not OS-pinned
+        val (q, f, d, ms) = frontierRun(n, hosts, basePages)
+        (q, f, d, ms, false)
+      }
       else frontierRunInChildJvm(n, hosts, basePages)
     // 5 rounds (odd): the efficiency estimator is the median of per-round
     // paired ratios, and an odd count makes it an actual sample value
@@ -299,11 +315,12 @@ object Bench {
       val clean = xs.filter(d => !d.isNaN && !d.isInfinite && d > 0.0).sorted
       if (clean.isEmpty) 0.0 else clean(clean.length / 2)
     }
-    def best(pick: ((Double, Long, Long, Long), (Double, Long, Long, Long), (Double, Long, Long, Long)) => (Double, Long, Long, Long)) =
+    type S = (Double, Long, Long, Long, Boolean)
+    def best(pick: (S, S, S) => S) =
       samples.map(s => pick(s._1, s._2, s._3)).maxBy(_._1)
-    val (qps2, _, _, ms2) = best((a, _, _) => a)
-    val (qps8, _, _, ms8) = best((_, b, _) => b)
-    val (qps32, fetched32, deduped32, ms32) = best((_, _, c) => c)
+    val (qps2, _, _, ms2, _) = best((a, _, _) => a)
+    val (qps8, _, _, ms8, _) = best((_, b, _) => b)
+    val (qps32, fetched32, deduped32, ms32, _) = best((_, _, c) => c)
     def ratio(n: Double, d: Double): Double = if (d > 0.0 && n > 0.0) n / d / 4.0 else 0.0
     val eff28 = median(samples.map(s => ratio(s._2._1, s._1._1)))
     val eff832 = median(samples.map(s => ratio(s._3._1, s._2._1)))
@@ -315,6 +332,7 @@ object Bench {
     // self-evidencing from this one artifact — no out-of-band protocol
     val roundsJson = samples.map { case (a, b, c) =>
       s"""{"qps_2":${a._1},"qps_8":${b._1},"qps_32":${c._1},""" +
+        s""""pinned_2":${a._5},"pinned_8":${b._5},"pinned_32":${c._5},""" +
         s""""eff_2_8":${ratio(b._1, a._1)},"eff_8_32":${ratio(c._1, b._1)}}"""
     }.mkString("[", ",", "]")
     val envelope = if (skipFrontier) "{}" else envelopeProbe()

@@ -670,20 +670,38 @@ class WaveEngine(
     writeState(wave, nextSeq, totalFetched, totalDeduped)
   }
 
-  /** A FRESH run must not inherit durable seen/lineage dirs from a prior
-    * run in the same checkpoint dir: since flushes are changelogs, resume
-    * UNIONS every flush ≤ LATEST — a stale flush whose wave number the
-    * new run never overwrites would smuggle a dead run's URLs into the
-    * seen set (round 2's full-snapshot read was immune; the changelog
-    * read is not, so clear first). */
-  private def clearDurableSeen(): Unit = {
-    graft.util.Fs.deleteRecursively(new java.io.File(s"$ckpt/seen"))
-    graft.util.Fs.deleteRecursively(new java.io.File(s"$ckpt/lineage"))
+  /** A FRESH run must not inherit ANY durable state from a prior run in
+    * the same checkpoint dir:
+    *  - seen flushes are changelogs, and resume UNIONS every flush ≤
+    *    LATEST — a stale flush whose wave number the new run never
+    *    overwrites would smuggle a dead run's URLs into the seen set
+    *    (round 2's full-snapshot read was immune; the changelog read is
+    *    not);
+    *  - the resume lineage (LATEST + state/pending/filters files) goes
+    *    FIRST: if only the seen dirs were wiped and the new run crashed
+    *    before its first checkpoint, resume() would revive the OLD run's
+    *    pending against an empty seen set — now it fails fast ("no
+    *    checkpoint") instead;
+    *  - `fetched/` is cleared too (fetchedTable() must not union a dead
+    *    run's waves), unless the fetch cache reads from inside this very
+    *    checkpoint dir. */
+  private def clearStaleRun(): Unit = {
+    val dir = new java.io.File(ckpt)
+    new java.io.File(dir, "LATEST").delete()
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("state_w") || f.getName.startsWith("pending_w") ||
+        f.getName.startsWith("filters_w"))
+      .foreach(graft.util.Fs.deleteRecursively)
+    graft.util.Fs.deleteRecursively(new java.io.File(dir, "seen"))
+    graft.util.Fs.deleteRecursively(new java.io.File(dir, "lineage"))
+    val cacheInside = cfg.fetchCacheDir.exists(d =>
+      new java.io.File(d).getCanonicalPath.startsWith(dir.getCanonicalPath))
+    if (!cacheInside) graft.util.Fs.deleteRecursively(new java.io.File(dir, "fetched"))
   }
 
   private def runScalable(seeds: Seq[SeedSpec]): CrawlRunResult = {
     Files.createDirectories(Paths.get(ckpt))
-    clearDurableSeen()
+    clearStaleRun()
     val nB = cfg.hostBuckets.toLong
     val seedCands = sc.parallelize(seedCandidates(seeds), cfg.fetchPartitions)
       .map(c => (c.host_bucket, c)).partitionBy(partitioner)
@@ -1109,6 +1127,9 @@ class WaveEngine(
 
   private def runReference(seeds: Seq[SeedSpec]): CrawlRunResult = {
     Files.createDirectories(Paths.get(ckpt))
+    // same must-not-inherit invariant as runScalable: the reference path's
+    // flushes are per-wave deltas too, and seenSoFar() unions them
+    clearStaleRun()
     val seedRows = seedCandidates(seeds).map { c =>
       UrlRecord(c.url, c.canonical, c.url_hash, c.host, c.host_bucket,
         c.parse_fn, c.meta, c.priority, is_seed = true, wave = 0, seq = c.parent_seq)

@@ -156,8 +156,12 @@ object Ann {
         Window.orderBy(col("hk"), col("c_id"))) - 1).cast("int"))
       .select(col("cluster"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
     if (iters > 0) {
+      // loop-invariant: cache the normed corpus once — every Lloyd pass
+      // re-reads it for assignment, and without the cache each pass would
+      // rescan the source and recompute every norm
       val vecs = corpus.select(col(idCol).as("vid"), v.as("dv"))
         .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+        .cache()
       var it = 0
       while (it < iters) {
         val w = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cluster"))
@@ -179,9 +183,10 @@ object Ann {
           .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
           // small (nlist rows): materialize per pass so the lineage does
           // not stack iters crossJoins into one plan
-          .localCheckpoint()
+          .localCheckpoint(eager = true)
         it += 1
       }
+      vecs.unpersist(blocking = false)
     }
     cents
   }
