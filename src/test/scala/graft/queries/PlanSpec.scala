@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan shape assertions for the scale-critical operators: the
+ * correctness gates pin WHAT the queries compute; these pin HOW Catalyst
+ * executes them — the properties that decide whether the same code
+ * survives a 100× scale-up. A regression that flips a broadcast join to
+ * a shuffle or sneaks a cartesian product into a bucketed path passes
+ * every value-equality test and only shows up here (or in production).
+ */
+class PlanSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // AQE finalizes the plan only on execution
+    df.queryExecution.executedPlan
+  }
+
+  private def treeNames(p: SparkPlan): Seq[String] = {
+    val b = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(n: SparkPlan): Unit = {
+      b += n.nodeName
+      n.children.foreach(walk)
+      n.subqueries.foreach(walk)
+      // adaptive wrappers hide the real subtree behind executedPlan fields
+      n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+          walk(r.child)
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(c.relation.cachedPlan) // the join shape hides inside .cache()
+        case _ => ()
+      }
+    }
+    walk(p)
+    b.toSeq
+  }
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("LSH band join is an equi-join, never a cartesian product") {
+    val names = treeNames(executed(
+      graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 16, bands = 8)))
+    assert(!names.exists(n => n.contains("CartesianProduct")), names.distinct)
+    assert(names.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")
+      || n.contains("BroadcastHashJoin")), names.distinct)
+  }
+
+  test("blocked SimHash pair join is an equi-join, never a cartesian product") {
+    val names = treeNames(executed(
+      graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)))
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+  }
+
+  test("IVF assignment broadcasts the centroids (no shuffle of corpus vectors)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val names = treeNames(executed(
+      graft.ops.Ann.ivfTopK(emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+        emb, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)))
+    assert(names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct) // vs broadcast centroids
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+  }
+
+  test("predicate pushdown and column pruning reach the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val q = docs.filter(col("lang") === "ja").select(col("doc_id"))
+    val p = executed(q)
+    def scansOf(n: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = n match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case _ => Nil
+      }
+      here ++ n.children.flatMap(scansOf)
+    }
+    val scan = scansOf(p).headOption.getOrElse(fail("no FileSourceScanExec found"))
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("IsNotNull(lang)")),
+      scan.metadata.get("PushedFilters"))
+    // column pruning: the scan must read only the referenced columns
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("doc_id", "lang"), readCols)
+  }
+
+  test("SangiinPipeline dim joins broadcast the dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val meisai = Seq(graft.model.BillMeisai(
+      bill_id = "Bill:1", committee_names = Seq("参議院内閣委員会"),
+      submitter_text = Some("逢沢一郎君"))).toDS()
+    val committees = Seq(graft.model.Committee("Committee:1", "参議院内閣委員会")).toDS()
+    val members = Seq(graft.model.Member("Member:1", "逢沢一郎")).toDS()
+    val out = graft.extract.transforms.SangiinPipeline.run(spark, meisai, committees, members)
+    val edgeNames = treeNames(executed(out.billCommitteeEdges.toDF()))
+    assert(edgeNames.exists(_.contains("BroadcastHashJoin")), edgeNames.distinct)
+    val memberNames = treeNames(executed(out.memberBillEdges.toDF()))
+    // containment (non-equi) joins must broadcast the dim, never shuffle
+    assert(memberNames.exists(_.contains("BroadcastNestedLoopJoin")), memberNames.distinct)
+    assert(!memberNames.exists(_.contains("CartesianProduct")), memberNames.distinct)
+  }
+}
