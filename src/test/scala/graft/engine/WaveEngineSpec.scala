@@ -124,6 +124,36 @@ class WaveEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("realtime politeness continuity holds on the fetch-cache path too") {
+    // stale cache (ttl=0): every batch row is a cache MISS, so the fetch
+    // runs through the S11 path's live-fetch branch — which must seed
+    // per-host slots from the carried pace state exactly like the
+    // uncached branch (the r3 review caught this branch dropping it)
+    val s1 = SyntheticSite(nHosts = 1, basePagesPerHost = 2, branching = 2, hotFactor = 1)
+    val warmCkpt = SparkTestSession.tmpDir("rtcache-warm")
+    new WaveEngine(spark, s1, parsers,
+      CrawlConfig(checkpointDir = warmCkpt, hostBuckets = 2, fetchPartitions = 2))
+      .run(Seq(SeedSpec(s1.pageUrl(0, 0))))
+    val ckpt = SparkTestSession.tmpDir("rtcache")
+    val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 2, fetchPartitions = 2,
+      maxPerHostPerWave = 1, politenessRps = 1.0, realtime = true,
+      fetchCacheDir = Some(s"$warmCkpt/fetched"), cacheTtlSec = 0)
+    val engine = new WaveEngine(spark, s1, parsers, cfg)
+    engine.run(Seq(SeedSpec(s1.pageUrl(0, 0))))
+    import spark.implicits._
+    val rows = engine.fetchedTable()
+      .select($"host", $"wave", $"fetched_at_ms", $"from_cache")
+      .as[(String, Int, Long, Boolean)].collect()
+    assert(rows.forall(!_._4)) // ttl 0: everything was a live miss
+    assert(rows.map(_._2).distinct.length >= 2)
+    rows.groupBy(_._1).values.foreach { hostRows =>
+      val sorted = hostRows.map(_._3).sorted
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b - a >= 1000L, s"same-host fetches ${b - a}ms apart (< 1/rps)")
+      }
+    }
+  }
+
   test("resume from checkpoint completes identically to an uninterrupted run") {
     val ckptFull = SparkTestSession.tmpDir("full")
     val full = new WaveEngine(spark, site, parsers,
