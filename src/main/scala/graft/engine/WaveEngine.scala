@@ -167,12 +167,14 @@ private[engine] object WaveCore {
       parser.followUps(fr.document, fr.meta).iterator.zipWithIndex.flatMap { case (f, idx) =>
         val abs = UrlCanon.resolve(fr.url, f.url)
         val canon = UrlCanon.canonicalize(abs)
-        val host = UrlCanon.hostOf(canon)
+        // reference-identical when the host repeats (the common case) —
+        // no substring allocated, and `ne` skips the re-bucketing
+        val host = UrlCanon.hostOfOrSame(canon, lastHost)
         val allowed = !robotsEnabled || !robots.getOrElse(host, Nil).exists(p =>
           UrlCanon.parse(canon).path.startsWith(p))
         if (!allowed) Iterator.empty
         else {
-          if (host != lastHost) {
+          if (host ne lastHost) {
             lastHost = host
             lastBucket = UrlCanon.hostBucket(host, buckets)
           }

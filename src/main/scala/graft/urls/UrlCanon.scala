@@ -269,6 +269,22 @@ object UrlCanon {
   }
 
   /** Lowercased host of a URL ("" if none). */
+  /** [[hostOf]] that returns `prev` ITSELF (zero allocation) when the
+    * URL's host region is exactly `prev`. The parse stage's links are
+    * overwhelmingly same-host, so the per-candidate host substring — one
+    * of the last per-link allocations on the crawl hot path — disappears;
+    * callers detect the match with `eq` and skip re-bucketing too. */
+  def hostOfOrSame(url: String, prev: String): String = {
+    if (prev != null && isCanonicalFast(url)) {
+      val start = if (url.charAt(4) == 's') 8 else 7
+      val end = url.indexOf('/', start)
+      if (end - start == prev.length && url.regionMatches(start, prev, 0, prev.length))
+        return prev
+      return url.substring(start, end)
+    }
+    hostOf(url)
+  }
+
   def hostOf(url: String): String = {
     if (isCanonicalFast(url)) { // zero-parse fast path
       val start = if (url.charAt(4) == 's') 8 else 7

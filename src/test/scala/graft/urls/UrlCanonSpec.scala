@@ -92,4 +92,20 @@ class UrlCanonSpec extends AnyFunSuite {
     val sparkHashes = vals.toDF("s").select(xxhash64($"s")).as[Long].collect().toSeq
     assert(sparkHashes == vals.map(UrlCanon.urlHash))
   }
+
+  test("hostOfOrSame: same reference on host match, correct value otherwise") {
+    val prev = "h7.example.jp"
+    // match → the EXACT same reference (the allocation-free contract)
+    assert(UrlCanon.hostOfOrSame("https://h7.example.jp/p3", prev) eq prev)
+    assert(UrlCanon.hostOfOrSame("http://h7.example.jp/x/y", prev) eq prev)
+    // different host → fresh correct value
+    assert(UrlCanon.hostOfOrSame("https://h8.example.jp/p3", prev) == "h8.example.jp")
+    // prefix/suffix near-misses must NOT match
+    assert(UrlCanon.hostOfOrSame("https://h7.example.jp2/p3", prev) == "h7.example.jp2")
+    assert(UrlCanon.hostOfOrSame("https://xh7.example.jp/p3", prev) == "xh7.example.jp")
+    // slow-path URLs agree with hostOf
+    for (u <- Seq("HTTPS://H7.Example.JP:443/p", "https://user@h.jp/p", "relative/path"))
+      assert(UrlCanon.hostOfOrSame(u, prev) == UrlCanon.hostOf(u))
+    assert(UrlCanon.hostOfOrSame("https://h.jp/p", null) == "h.jp")
+  }
 }
