@@ -143,6 +143,34 @@ object HashImpl {
     sig
   }
 
+  /** 32-bit SimHash over polyHash(token) — the PORTABLE (DuckDB-oracle
+    * matching) twin of [[simhash64]]: bit j of each token's polynomial
+    * hash votes +1/-1, the result bit is set where the tally is >= 0.
+    * Identical to the explode + 32-aggregate-column composition it
+    * replaces (q27's original form): one loop per document instead of a
+    * shuffle of every token. */
+  def simhashPoly32(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < m) {
+      val h = polyHash(arr.getUTF8String(i))
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Sequential-order dot product of two double arrays (fold order matches
     * aggregate(zip_with(...)) so doubles are bit-identical). Iterates over
     * the shorter length. */
@@ -236,6 +264,19 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Portable 32-bit SimHash of a token array (polyHash votes; oracle twin). */
+case class SimHashPoly32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_poly32"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.simhashPoly32(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhashPoly32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashPoly32Expr =
+    copy(child = newChild)
+}
+
 /** Sign-LSH signature of an array<double> column (see HashImpl.signSignature). */
 case class SignSignatureExpr(child: Expression, planes: Int, table: Int)
     extends UnaryExpression {
@@ -274,6 +315,7 @@ object HashFns {
   def xxShingleHashes(tokens: Column, n: Int = 3): Column =
     ColumnBridge.column(XxShingleHashes(ex(tokens), n))
   def simhash64(tokens: Column): Column = ColumnBridge.column(SimHash64Expr(ex(tokens)))
+  def simhashPoly32(tokens: Column): Column = ColumnBridge.column(SimHashPoly32Expr(ex(tokens)))
   def dotF64(a: Column, b: Column): Column = ColumnBridge.column(DotF64(ex(a), ex(b)))
   def signSignature(v: Column, planes: Int, table: Int): Column =
     ColumnBridge.column(SignSignatureExpr(ex(v), planes, table))

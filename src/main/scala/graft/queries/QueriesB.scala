@@ -131,17 +131,12 @@ object QueriesB {
 
     // --- SimHash (32-bit) ----------------------------------------------
     "q27_simhash" -> Q(
-      (s, d) => {
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"), explode(toks).as("tok"))
-          .withColumn("h", polyHash(col("tok")))
-        val bitSums = (0 until 32).map(j =>
-          sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j"))
-        val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        val sim = (0 until 32).map(j =>
-          when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))).reduce(_ + _)
-        agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
-      },
+      // native one-pass SimHashPoly32 (same math as the original explode +
+      // 32-aggregate-column form — pinned in HashExprsSpec): no shuffle of
+      // every token, the whole query is a scan + map
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), HashFns.simhashPoly32(toks).as("simhash"))
+        .orderBy(col("doc_id")),
       Some {
         val bitSums = (0 until 32)
           .map(j => s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")

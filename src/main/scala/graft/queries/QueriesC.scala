@@ -113,15 +113,13 @@ object QueriesC {
     // OpsSpec's brute-force equality test.)
     "q37_simhash_pairs_blocked" -> Q(
       (s, d) => {
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-          .withColumn("h", graft.functions.HashFns.polyHash(col("tok")))
-        val bitSums = (0 until 32).map(j =>
-          sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j"))
-        val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        val sim = (0 until 32).map(j =>
-          when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))).reduce(_ + _)
-        val sigs = agg.select(col("doc_id"), sim.as("simhash"))
+        // cached: the block join reads the sigs relation once per side;
+        // without the materialization each branch would re-scan the corpus
+        // and recompute every signature (8 bytes/doc cached — trivial)
+        val sigs = t(s, d, "documents")
+          .select(col("doc_id"), graft.functions.HashFns.simhashPoly32(
+            split(trim(col("text")), "\\s+")).as("simhash"))
+          .cache()
         graft.ops.Dedup.simhashPairsFor(sigs, "doc_id", "simhash",
             bits = 32, maxHamming = 3)
           .orderBy(col("doc_a"), col("doc_b"))

@@ -99,6 +99,22 @@ class HashExprsSpec extends AnyFunSuite {
     df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("SimHashPoly32Expr matches the explode + 32-aggregate composition (q27's original form)") {
+    def oldPoly32(text: Column): Column = {
+      val hs = transform(toks(text), t => HashFns.polyHash(t))
+      val bitSums = (0 until 32).map { j =>
+        aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      }
+      (0 until 32).map(j =>
+        when(bitSums(j) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))).reduce(_ + _)
+    }
+    val df = sampleDf.select(
+      HashFns.simhashPoly32(toks(col("text"))).as("fast"),
+      oldPoly32(col("text")).as("slow"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("DotF64 matches aggregate(zip_with) fold bit-exactly on doubles") {
     import spark.implicits._
     val df = Seq(
