@@ -93,7 +93,7 @@ object Sources {
           val (status, doc) = f.fetch(url)
           FetchResult(url, canon, UrlCanon.urlHash(canon), UrlCanon.hostOf(canon),
             0, "cursor", Map("id" -> id.toString), 0, id, status,
-            from_cache = false, fetched_at_ms = 0L, slot = 0, partition_id = 0,
+            from_cache = false, fetched_at_ms = 0L, stored_at_ms = 0L, slot = 0, partition_id = 0,
             doc_id = doc.map(_.doc_id).getOrElse(canon),
             spans = doc.map(_.spans).getOrElse(Nil))
         }

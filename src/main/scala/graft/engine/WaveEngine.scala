@@ -235,8 +235,9 @@ private[engine] object WaveCore {
   /** Per-partition politeness + fetch: per host, slots in (priority desc,
     * seq) order, paced at `rps`. In realtime mode the pace is enforced
     * with actual sleeps against the wall clock and `fetched_at_ms` records
-    * the true fetch time (feeds the fetch-cache TTL); in simulated mode
-    * the planned timestamp is recorded (deterministic). */
+    * the true fetch time; in simulated mode the planned timestamp is
+    * recorded (deterministic). `stored_at_ms` is wall-clock in BOTH modes
+    * — it alone feeds the fetch-cache TTL (S11). */
   def fetchIter(
       it: Iterator[UrlRecord],
       f: Fetcher,
@@ -300,6 +301,10 @@ private[engine] object WaveCore {
           System.currentTimeMillis() // the ACTUAL fetch time
         } else plannedMs
         val (status, doc) = f.fetch(r.url)
+        // wall-clock store time in BOTH modes: the S11 TTL predicate must
+        // never see a simulated planned stamp (those are future-dated on
+        // any warm run and would defeat the cutoff)
+        val storedAt = if (realtime) fetchedAt else System.currentTimeMillis()
         nIn += 1
         if (status >= 200 && status < 300) nOk += 1
         if (status >= 400) nErr += 1
@@ -307,7 +312,7 @@ private[engine] object WaveCore {
           url = r.url, canonical = r.canonical, url_hash = r.url_hash,
           host = r.host, host_bucket = r.host_bucket, parse_fn = r.parse_fn,
           meta = r.meta, wave = fetchWave, seq = r.seq, status = status,
-          from_cache = false, fetched_at_ms = fetchedAt, slot = slot,
+          from_cache = false, fetched_at_ms = fetchedAt, stored_at_ms = storedAt, slot = slot,
           partition_id = pid,
           doc_id = doc.map(_.doc_id).getOrElse(r.canonical),
           spans = doc.map(_.spans).getOrElse(Nil))
@@ -434,12 +439,23 @@ private[engine] object WaveCore {
       states: Iterator[(Int, BucketSeen)],
       rows: Iterator[(Int, (Long, String))],
       capacity: Int,
-      resumedWave: Int): Iterator[(Int, BucketWave)] = {
+      resumedWave: Int,
+      paceRows: Iterator[(Int, (Long, Long))] = Iterator.empty): Iterator[(Int, BucketWave)] = {
     val byBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]()
     rows.foreach { case (b, hc) =>
       byBucket.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[(Long, String)]) += hc
     }
-    states.map { case (b, empty) =>
+    // checkpointed per-host pace (realtime politeness continuity across a
+    // resume): hostHash -> next-allowed fetch ms, max-merged like the
+    // in-run pace-mark fold
+    val paceByBucket = new java.util.HashMap[Int, Map[Long, Long]]()
+    paceRows.foreach { case (b, (h, ms)) =>
+      val m = paceByBucket.getOrDefault(b, Map.empty)
+      paceByBucket.put(b, m.updated(h, math.max(m.getOrElse(h, 0L), ms)))
+    }
+    states.map { case (b, empty0) =>
+      val pace = paceByBucket.getOrDefault(b, Map.empty)
+      val empty = if (pace.isEmpty) empty0 else empty0.copy(pace = pace)
       val rs = byBucket.get(b)
       if (rs == null) (b, BucketWave(empty, Array.empty, 0L))
       else {
@@ -456,7 +472,7 @@ private[engine] object WaveCore {
         }
         val chunk = graft.seen.SeenChunk.pack(resumedWave, hashBuf.toArray, canonBuf.toArray)
         (b, BucketWave(
-          BucketSeen(b, f, seen, chunk :: Nil, hashBuf.length.toLong),
+          BucketSeen(b, f, seen, chunk :: Nil, hashBuf.length.toLong, empty.pace),
           Array.empty, 0L))
       }
     }
@@ -669,6 +685,17 @@ class WaveEngine(
     spark.createDataset(seenRows)
       .toDF("url_hash", "canonical", "host_bucket", "wave")
       .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/seen/flush_$wave")
+    // realtime politeness continuity across resume: persist the per-host
+    // pace map (O(hosts) rows — tiny next to the seen flush). Simulated
+    // mode carries no pace, so the bench path skips the extra write job.
+    if (cfg.realtime) {
+      val paceRows = state.flatMap { case (b, st) =>
+        st.pace.iterator.map { case (h, ms) => (b, h, ms) }
+      }
+      spark.createDataset(paceRows)
+        .toDF("host_bucket", "host_hash", "next_allowed_ms")
+        .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/pace_w$wave")
+    }
     writeState(wave, nextSeq, totalFetched, totalDeduped)
   }
 
@@ -692,7 +719,7 @@ class WaveEngine(
     new java.io.File(dir, "LATEST").delete()
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("state_w") || f.getName.startsWith("pending_w") ||
-        f.getName.startsWith("filters_w"))
+        f.getName.startsWith("filters_w") || f.getName.startsWith("pace_w"))
       .foreach(graft.util.Fs.deleteRecursively)
     graft.util.Fs.deleteRecursively(new java.io.File(dir, "seen"))
     graft.util.Fs.deleteRecursively(new java.io.File(dir, "lineage"))
@@ -745,8 +772,19 @@ class WaveEngine(
         .as[(Int, Long, String)].rdd
         .map { case (b, h, c) => (b, (h, c)) }
         .partitionBy(partitioner)
-    val out0 = emptyStateRdd().zipPartitions(seenRows, preservesPartitioning = true) {
-      (st, rows) => WaveCore.rebuildPartition(st, rows, capacity, wave)
+    // restore the per-host pace map (absent for simulated-mode checkpoints
+    // and checkpoints from before the pace file existed → empty, the
+    // pre-round-4 behavior)
+    val paceDir = new java.io.File(s"$ckpt/pace_w$wave")
+    val paceRows: RDD[(Int, (Long, Long))] =
+      if (!paceDir.isDirectory) sc.emptyRDD[(Int, (Long, Long))].partitionBy(partitioner)
+      else spark.read.parquet(paceDir.getPath)
+        .select($"host_bucket", $"host_hash", $"next_allowed_ms")
+        .as[(Int, Long, Long)].rdd
+        .map { case (b, h, ms) => (b, (h, ms)) }
+        .partitionBy(partitioner)
+    val out0 = emptyStateRdd().zipPartitions(seenRows, paceRows, preservesPartitioning = true) {
+      (st, rows, pace) => WaveCore.rebuildPartition(st, rows, capacity, wave, pace)
     }
     out0.localCheckpoint()
     out0.count()
@@ -800,11 +838,15 @@ class WaveEngine(
     // S11 fetch cache: fresh rows of a prior run's fetched table
     val cacheDF: Option[DataFrame] = cfg.fetchCacheDir.map { dir =>
       val cutoff = System.currentTimeMillis() - cfg.cacheTtlSec * 1000L
+      // TTL on the WALL-CLOCK store time — never the politeness-plan stamp
+      // (simulated-mode fetched_at_ms are wave-indexed planned times that
+      // outrun the wall clock on any warm run)
       spark.read.schema(fetchResultSchema)
         .option("recursiveFileLookup", "true").parquet(dir)
-        .filter($"fetched_at_ms" >= cutoff && $"status" >= 200 && $"status" < 300)
+        .filter($"stored_at_ms" >= cutoff && $"status" >= 200 && $"status" < 300)
         .select($"url_hash", $"canonical".as("c_canonical"), $"status".as("c_status"),
-          $"fetched_at_ms".as("c_fetched_at_ms"), $"doc_id".as("c_doc_id"),
+          $"fetched_at_ms".as("c_fetched_at_ms"), $"stored_at_ms".as("c_stored_at_ms"),
+          $"doc_id".as("c_doc_id"),
           $"spans".as("c_spans"))
         .dropDuplicates("url_hash", "c_canonical")
         .cache()
@@ -877,7 +919,10 @@ class WaveEngine(
               FetchResult(r.url, r.canonical, r.url_hash, r.host, r.host_bucket,
                 r.parse_fn, r.meta, fetchWave, r.seq,
                 status = c.getAs[Int]("c_status"), from_cache = true,
-                fetched_at_ms = c.getAs[Long]("c_fetched_at_ms"), slot = -1,
+                fetched_at_ms = c.getAs[Long]("c_fetched_at_ms"),
+                // original write time survives: a chain of cache-served
+                // runs ages the entry from its REAL fetch, never refreshes
+                stored_at_ms = c.getAs[Long]("c_stored_at_ms"), slot = -1,
                 partition_id = -1, doc_id = c.getAs[String]("c_doc_id"),
                 spans = c.getAs[scala.collection.Seq[Row]]("c_spans")
                   .map(sp => Span(sp.getAs[String]("kind"), sp.getAs[String]("text"),

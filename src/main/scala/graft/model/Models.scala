@@ -58,7 +58,20 @@ final case class UrlRecord(
     wave: Int,
     seq: Long)
 
-/** Result of fetching one frontier row. `doc` is None on HTTP error. */
+/** Result of fetching one frontier row. `doc` is None on HTTP error.
+  *
+  * Two timestamps, deliberately distinct (S11 vs politeness/goldens):
+  *  - `fetched_at_ms` is the POLITENESS-PLAN time — in realtime mode the
+  *    actual wall-clock fetch moment, in simulated mode the deterministic
+  *    planned slot time (wave-indexed; may lie in the future relative to
+  *    the wall clock when the crawl runs faster than one wave per second).
+  *    Ordering tests and goldens read this.
+  *  - `stored_at_ms` is the ACTUAL wall-clock time the row was produced,
+  *    in both modes. The S11 fetch-cache TTL cutoff compares against this
+  *    (the reference's cache keys on real fetch time,
+  *    /root/reference/crawler/settings.py:84-86); comparing the planned
+  *    stamp against a wall-clock cutoff let a "stale" cache serve
+  *    future-dated rows as fresh. */
 final case class FetchResult(
     url: String,
     canonical: String,
@@ -72,6 +85,7 @@ final case class FetchResult(
     status: Int,
     from_cache: Boolean,
     fetched_at_ms: Long,
+    stored_at_ms: Long,
     slot: Int, // politeness slot within (host, wave): per-host fetch order
     partition_id: Int, // executing partition — per-partition lineage
     doc_id: String,

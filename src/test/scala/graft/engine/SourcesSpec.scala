@@ -70,7 +70,7 @@ class SourcesSpec extends AnyFunSuite {
 
     // rewrite fetched timestamps to "now" so they are fresh for run 2
     val fresh = SparkTestSession.tmpDir("freshcache")
-    e1.fetchedTable().withColumn("fetched_at_ms", lit(System.currentTimeMillis()))
+    e1.fetchedTable().withColumn("stored_at_ms", lit(System.currentTimeMillis()))
       .write.mode("overwrite").parquet(s"$fresh/wave_all")
 
     // run 2: cache pointed at run 1's pages

@@ -154,6 +154,33 @@ class WaveEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("realtime politeness: same-host spacing >= 1/rps holds ACROSS a kill/resume boundary") {
+    // rps 0.25 → 4 s same-host spacing. The partial run is killed after 2
+    // waves (maxWaves); resume() must seed per-host slots from the
+    // CHECKPOINTED pace map — without it the resumed run's first fetch
+    // restarts at its own wave start and lands well inside the 4 s window
+    // (resume setup on a warm JVM is ~1-2 s).
+    val s1 = SyntheticSite(nHosts = 1, basePagesPerHost = 3, branching = 2, hotFactor = 1)
+    val ckpt = SparkTestSession.tmpDir("rtresume")
+    def cfgOf(maxW: Int) = CrawlConfig(checkpointDir = ckpt, hostBuckets = 2,
+      fetchPartitions = 2, maxPerHostPerWave = 1, politenessRps = 0.25,
+      realtime = true, maxWaves = maxW)
+    new WaveEngine(spark, s1, parsers, cfgOf(2)).run(Seq(SeedSpec(s1.pageUrl(0, 0))))
+    val resumed = new WaveEngine(spark, s1, parsers, cfgOf(10000))
+    resumed.resume()
+    import spark.implicits._
+    val rows = resumed.fetchedTable()
+      .select($"host", $"wave", $"fetched_at_ms").as[(String, Int, Long)].collect()
+    assert(rows.length.toLong == s1.totalPages) // the resume finished the crawl
+    assert(rows.map(_._2).distinct.length >= 3) // boundary actually crossed
+    rows.groupBy(_._1).values.foreach { hostRows =>
+      val sorted = hostRows.map(_._3).sorted
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b - a >= 4000L, s"same-host fetches ${b - a}ms apart (< 1/rps) across resume")
+      }
+    }
+  }
+
   test("resume from checkpoint completes identically to an uninterrupted run") {
     val ckptFull = SparkTestSession.tmpDir("full")
     val full = new WaveEngine(spark, site, parsers,
