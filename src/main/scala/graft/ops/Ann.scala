@@ -96,8 +96,10 @@ object Ann {
     *    spherical-k-means passes ([[ivfCentroids]]) — better-balanced
     *    inverted lists and higher recall at the same nprobe, with
     *    nothing structural changed;
-    *  - every corpus vector is assigned to its nearest centroid — an
-    *    O(N·nlist) broadcast map-side pass, no shuffle of vectors;
+    *  - every corpus vector is assigned to its nearest centroid by a
+    *    per-row argmax over the centroid LITERAL ([[ivfAssign]]) — an
+    *    O(N·nlist) pure map inside the scan stage; the assignment subplan
+    *    contains no join and no Exchange at all (pinned in PlanSpec);
     *  - each query probes its `nprobe` nearest centroids and reranks
     *    exactly within those inverted lists only.
     *
@@ -106,22 +108,12 @@ object Ann {
     * clusters — cost O(N·nprobe/nlist) per query instead of O(N). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 0): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
-    def assign(df: DataFrame, idAs: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("ccos").desc, col("cluster"))
-      df.select(col(idCol).as(idAs), v.as("dv"))
-        .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
-        .crossJoin(broadcast(centroids))
-        .withColumn("ccos", dot(col("dv"), col("cv")) / (col("dn") * col("cn")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(idAs), col("cluster"), col("dv"), col("dn"))
-    }
-    val lists = assign(corpus, "neighbor_id", 1)
+    val cents = centroidLiteralOf(ivfCentroidSeq(corpus, idCol, vecCol, nlist, kmeansIters))
+    val lists = ivfAssign(corpus, idCol, vecCol, cents, keep = 1)
+      .withColumnRenamed(idCol, "neighbor_id")
       .withColumnRenamed("dv", "nv").withColumnRenamed("dn", "nn")
-    val probes = assign(queries, "query_id", nprobe)
+    val probes = ivfAssign(queries, idCol, vecCol, cents, keep = nprobe)
+      .withColumnRenamed(idCol, "query_id")
       .withColumnRenamed("dv", "qv").withColumnRenamed("dn", "qn")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(lists, Seq("cluster"))
@@ -132,63 +124,131 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** One coarse-quantizer centroid (driver-resident: the whole set is
+    * O(nlist·dim) doubles — 2^4..2^12 rows, never data-scale). */
+  private[graft] final case class Centroid(cluster: Int, cv: Seq[Double], cn: Double)
+
+  /** The centroid set as ONE literal `array<struct<cluster,cv,cn>>`
+    * column — the same materialization `broadcast(centroids)` performs
+    * internally, but as a literal the scoring becomes a per-row
+    * expression: no join operator, no Exchange anywhere in the
+    * assignment subplan. */
+  private def centroidLiteralOf(cents: Seq[Centroid]): Column =
+    array(cents.sortBy(_.cluster).map { c =>
+      struct(lit(c.cluster).as("cluster"),
+        typedLit(c.cv).as("cv"),
+        lit(c.cn).as("cn"))
+    }: _*)
+
+  /** DataFrame adapter of [[centroidLiteralOf]] (collects nlist rows). */
+  private[graft] def centroidLiteral(centroids: DataFrame): Column =
+    centroidLiteralOf(centroids.select(col("cluster"), col("cv"), col("cn"))
+      .collect()
+      .map(r => Centroid(r.getInt(0), r.getSeq[Double](1), r.getDouble(2))).toSeq)
+
+  /** Nearest-centroid assignment as a PURE MAP: per row, score every
+    * centroid of the literal with the native dot kernel and keep the top
+    * `keep` by (cosine desc, cluster asc) — a transform + array_sort over
+    * an nlist-length array, fully inside the stage that scans the
+    * vectors. Replaces the round-3 crossJoin(broadcast) + row_number
+    * window, whose per-id window Exchange shuffled N·nlist candidate rows
+    * EACH carrying the full vector (an nlist-fold duplication of the
+    * corpus through the exchange — the very thing the doc comment
+    * promised not to do). Output: (idCol, cluster, dv, dn); `keep > 1`
+    * explodes to one row per probed cluster. */
+  private[graft] def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      cents: Column, keep: Int): DataFrame = {
+    val v = asDouble(col(vecCol))
+    // struct order (ccos, negc, cluster): lexicographic max = highest
+    // cosine, ties to the LOWEST cluster id (negc), matching the old
+    // window's (ccos desc, cluster asc)
+    val base = df.select(col(idCol), v.as("dv"))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+      .withColumn("scored", transform(cents, c =>
+        struct((dot(col("dv"), c.getField("cv")) / (col("dn") * c.getField("cn"))).as("ccos"),
+          (-c.getField("cluster")).as("negc"),
+          c.getField("cluster").as("cluster"))))
+    if (keep == 1)
+      base.select(col(idCol), array_max(col("scored")).getField("cluster").as("cluster"),
+        col("dv"), col("dn"))
+    else
+      base.select(col(idCol),
+          explode(slice(reverse(array_sort(col("scored"))), 1, keep)).as("s"),
+          col("dv"), col("dn"))
+        .select(col(idCol), col("s.cluster").as("cluster"), col("dv"), col("dn"))
+  }
+
   /** Coarse-quantizer centroids for [[ivfTopK]]: a deterministic
     * hash-random seed (nlist corpus rows with the smallest xxhash64(id))
     * optionally refined by `iters` spherical-k-means (Lloyd) passes.
     *
-    * Each pass is fully distributed: assignment is the same broadcast
-    * O(N·nlist) map-side pass the index build uses (vectors never
-    * shuffle), and the new centroid means are computed by posexploding
-    * assigned vectors and aggregating per (cluster, dim) — shuffle rows
-    * are (cluster, dim, partial sum), dimension-wise, never whole
-    * vectors. A cluster that loses all members keeps its seed centroid
-    * (the standard empty-cluster fallback). Output schema matches the
-    * seed: (cluster, cv, cn). */
-  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 0): DataFrame = {
+    * Each pass is fully distributed where it matters — the per-VECTOR
+    * work: assignment is the same zero-shuffle per-row argmax the index
+    * build uses (vectors never shuffle, no Exchange in the subplan), and
+    * the new centroid means are computed by posexploding assigned
+    * vectors and aggregating per (cluster, dim) — partial aggregation
+    * collapses map-side to O(nlist·dim) rows per partition before the
+    * shuffle, never whole vectors. Only the O(nlist·dim) centroid set
+    * itself lives on the driver between passes (the FAISS coarse-quantizer
+    * training layout), which makes each Lloyd pass exactly ONE Spark job
+    * ending in an nlist-row collect — the round-3 DataFrame-resident loop
+    * spent more time dispatching its per-pass localCheckpoint/broadcast
+    * jobs than computing. A cluster that loses all members keeps its
+    * previous centroid (the standard empty-cluster fallback). */
+  private[graft] def ivfCentroidSeq(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 0): Seq[Centroid] = {
     val v = asDouble(col(vecCol))
-    var cents = corpus
+    // deterministic hash-random seed: nlist corpus rows with the smallest
+    // xxhash64(id); TakeOrderedAndProject returns them already in (hk, id)
+    // order, which defines the cluster numbering
+    val seedRows = corpus
       .select(col(idCol).as("c_id"), v.as("cv"))
       .withColumn("hk", xxhash64(col("c_id")))
       .orderBy(col("hk"), col("c_id"))
       .limit(nlist)
-      .withColumn("cluster", (row_number().over(
-        Window.orderBy(col("hk"), col("c_id"))) - 1).cast("int"))
-      .select(col("cluster"), col("cv"), sqrt(dot(col("cv"), col("cv"))).as("cn"))
-    if (iters > 0) {
-      // loop-invariant: cache the normed corpus once — every Lloyd pass
-      // re-reads it for assignment, and without the cache each pass would
-      // rescan the source and recompute every norm
-      val vecs = corpus.select(col(idCol).as("vid"), v.as("dv"))
-        .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
-        .cache()
+      .select(col("cv"))
+      .collect()
+    var cents: Seq[Centroid] = seedRows.zipWithIndex.map { case (r, i) =>
+      val cv = r.getSeq[Double](0)
+      Centroid(i, cv, math.sqrt(cv.iterator.map(x => x * x).sum))
+    }.toSeq
+    if (iters > 0 && cents.nonEmpty) {
+      // loop-invariant: cache the corpus vectors once — every Lloyd pass
+      // re-reads them for assignment
+      val vecs = corpus.select(col(idCol).as("vid"), v.as("dv")).cache()
       var it = 0
       while (it < iters) {
-        val w = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cluster"))
-        val assigned = vecs
-          .crossJoin(broadcast(cents))
-          .withColumn("ccos", dot(col("dv"), col("cv")) / (col("dn") * col("cn")))
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") === 1)
+        val assigned = ivfAssign(vecs, "vid", "dv", centroidLiteralOf(cents), keep = 1)
           .select(col("cluster"), col("dv"))
-        val means = assigned
+        val meanRows = assigned
           .select(col("cluster"), posexplode(col("dv")).as(Seq("dim", "x")))
           .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
           .groupBy(col("cluster"))
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
             e => e.getField("m")).as("mv"))
-        cents = cents.select(col("cluster"), col("cv").as("seed_cv"))
-          .join(means, Seq("cluster"), "left_outer")
-          .select(col("cluster"), coalesce(col("mv"), col("seed_cv")).as("cv"))
-          .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-          // small (nlist rows): materialize per pass so the lineage does
-          // not stack iters crossJoins into one plan
-          .localCheckpoint(eager = true)
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cents = cents.map { c =>
+          meanRows.get(c.cluster) match {
+            case Some(mv) => Centroid(c.cluster, mv, math.sqrt(mv.iterator.map(x => x * x).sum))
+            case None => c // empty cluster keeps its previous centroid
+          }
+        }
         it += 1
       }
       vecs.unpersist(blocking = false)
     }
     cents
+  }
+
+  /** [[ivfCentroidSeq]] as a DataFrame (cluster, cv, cn) — the public
+    * centroid-table surface. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    ivfCentroidSeq(corpus, idCol, vecCol, nlist, iters)
+      .map(c => (c.cluster, c.cv, c.cn)).toDF("cluster", "cv", "cn")
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
@@ -198,14 +258,26 @@ object Ann {
     * the verify of deduplicated candidates only. At near-dup thresholds
     * (≥ 0.9, angle ≤ 26°) per-table bucket-collision probability is
     * (1 - θ/π)^planes, so a handful of independent tables reaches
-    * recall ≈ 1 while random pairs (θ ≈ π/2) almost never collide. */
+    * recall ≈ 1 while random pairs (θ ≈ π/2) almost never collide.
+    *
+    * `maxBucketSize` caps degenerate buckets BEFORE the b² pair expansion
+    * — a corpus with many near-identical embeddings (exactly the near-dup
+    * input) or all-zero vectors puts b docs into one (table, signature)
+    * bucket and would emit b² join rows; pairs inside a dropped bucket
+    * are sacrificed knowingly (same documented skew-guard semantics as
+    * [[graft.ops.Dedup.minhashLshPairs]] / `simhashPairsFor`), never
+    * silently exploded. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 8, tables: Int = 4): DataFrame = {
+      planes: Int = 8, tables: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
     val v = asDouble(col(vecCol))
-    val signed = df.select(col(idCol).as("id"),
+    val bucketed = df.select(col(idCol).as("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"), signSignature(v, planes, t).as("sig"))): _*)).as("x"))
       .select(col("id"), col("x.tbl"), col("x.sig"))
+    val signed = bucketed.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("tbl"), col("sig"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val cand = signed.as("a").join(signed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))

@@ -61,13 +61,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
   }
 
-  test("IVF assignment broadcasts the centroids (no shuffle of corpus vectors)") {
+  test("IVF assignment is a pure map: no Exchange, no join in the subplan") {
+    // the round-3 plan shuffled N·nlist vector-carrying rows through a
+    // per-id row_number window; the assignment must stay inside the scan
+    // stage (per-row argmax over the centroid literal)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.ops.Ann.ivfCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val names = treeNames(executed(
+      graft.ops.Ann.ivfAssign(emb, "vec_id", "embedding",
+        graft.ops.Ann.centroidLiteral(cents), keep = 1)))
+    assert(!names.exists(_.contains("Exchange")), names.distinct)
+    assert(!names.exists(_.contains("Join")), names.distinct)
+    assert(!names.exists(_.contains("Window")), names.distinct)
+  }
+
+  test("IVF topK: no cartesian product; the only vector shuffle is the cluster-keyed join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val names = treeNames(executed(
       graft.ops.Ann.ivfTopK(emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
         emb, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)))
-    assert(names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct) // vs broadcast centroids
     assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
+  }
+
+  test("nearDupPairs drops degenerate signature buckets before pair expansion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 64 identical vectors: one (table, signature) bucket per table would
+    // emit 64*63/2 pairs per table without the cap
+    val dup = (0 until 64).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = graft.ops.Ann.nearDupPairs(dup, "vec_id", "embedding",
+      threshold = 0.9, maxBucketSize = 10)
+    assert(capped.count() == 0L) // every bucket degenerate -> dropped, bounded
+    val uncapped = graft.ops.Ann.nearDupPairs(dup, "vec_id", "embedding",
+      threshold = 0.9, maxBucketSize = 10000)
+    assert(uncapped.count() == 64L * 63 / 2)
   }
 
   test("predicate pushdown and column pruning reach the parquet scan") {
