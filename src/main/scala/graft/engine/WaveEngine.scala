@@ -58,6 +58,12 @@ final case class CrawlConfig(
     // cache with 600 s TTL, /root/reference/crawler/settings.py:84-86)
     fetchCacheDir: Option[String] = None,
     cacheTtlSec: Long = 600,
+    // compact the seen changelog when more than this many flush dirs are
+    // live: resume reads O(compactSeenAfter) dirs instead of one per
+    // checkpoint ever taken (10^10-URL design point: thousands of tiny
+    // parquet dirs otherwise). Compaction cost is O(seen) every ~K
+    // checkpoints — amortized O(seen/K) per wave.
+    compactSeenAfter: Int = 16,
     keepFetched: Boolean = true, // write fetched docs table (off for pure-throughput bench)
     checkpointEvery: Int = 1, // durable checkpoint cadence in waves (always at loop exit)
     filterCapacityPerBucket: Int = 1 << 16)
@@ -580,15 +586,53 @@ class WaveEngine(
     m.map { case (k, v) => (k, CuckooFilter.deserialize(v)) }
   }
 
-  /** Flush dirs whose wave is at most `maxWave`. Bounding by the committed
-    * LATEST wave closes the crash window where a seen flush landed but the
-    * state file did not (ADVICE r1): resume must never dedup replayed
-    * candidates against marks from an uncommitted future flush. */
-  private def seenFlushDirs(maxWave: Int): Seq[String] =
+  /** Durable seen dirs covering waves ≤ `maxWave`. Two dir kinds under
+    * `seen/`: `flush_N` holds the DELTA committed at wave N; `compact_N`
+    * holds ALL marks ≤ N (written by [[compactSeen]]). The read set is the
+    * newest compact ≤ maxWave (if any) plus every flush strictly newer
+    * than it — O(compactSeenAfter) dirs, however many checkpoints the
+    * crawl has taken. Bounding by the committed LATEST wave closes the
+    * crash window where a seen flush landed but the state file did not
+    * (ADVICE r1): resume must never dedup replayed candidates against
+    * marks from an uncommitted future flush. */
+  private def seenFlushDirs(maxWave: Int): Seq[String] = {
+    val dirs = Option(new java.io.File(s"$ckpt/seen").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    val compacts = dirs.filter(_.getName.startsWith("compact_"))
+      .map(f => (f.getName.stripPrefix("compact_").toInt, f.getPath))
+      .filter(_._1 <= maxWave)
+    val base = if (compacts.isEmpty) -1 else compacts.map(_._1).max
+    val baseDir = compacts.filter(_._1 == base).map(_._2).toSeq
+    baseDir ++ dirs.filter(_.getName.startsWith("flush_"))
+      .map(f => (f.getName.stripPrefix("flush_").toInt, f.getPath))
+      .filter(t => t._1 > base && t._1 <= maxWave).sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** Merge every live seen dir ≤ `wave` into ONE `compact_$wave` dir when
+    * more than `compactSeenAfter` are live. Crash-safe by construction:
+    * the union is written OUTSIDE `seen/` and enters it via an atomic
+    * rename, so readers only ever see complete dirs; obsolete inputs are
+    * deleted AFTER the rename — a crash in between leaves an overlapping
+    * union, which is safe (rebuildPartition dedups) and is cleaned by the
+    * next compaction. */
+  private def compactSeen(wave: Int): Unit = {
+    val dirs = seenFlushDirs(wave)
+    if (dirs.length <= cfg.compactSeenAfter) return
+    val tmp = new java.io.File(s"$ckpt/seen_compacting")
+    graft.util.Fs.deleteRecursively(tmp) // orphan from a crashed attempt
+    spark.read.schema(seenSchema).parquet(dirs: _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    java.nio.file.Files.move(tmp.toPath,
+      Paths.get(s"$ckpt/seen/compact_$wave"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Option(new java.io.File(s"$ckpt/seen").listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory)
-      .map(f => (f.getName.stripPrefix("flush_").toInt, f.getPath))
-      .filter(_._1 <= maxWave).sortBy(_._1).map(_._2).toSeq
+      .filter { f =>
+        (f.getName.startsWith("flush_") && f.getName.stripPrefix("flush_").toInt <= wave) ||
+          (f.getName.startsWith("compact_") && f.getName.stripPrefix("compact_").toInt < wave)
+      }
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
 
   /** All durable seen marks up to `maxWave` (local-FS checkpoint layout; a
     * cluster deployment would point this at a shared store).
@@ -697,6 +741,8 @@ class WaveEngine(
         .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/pace_w$wave")
     }
     writeState(wave, nextSeq, totalFetched, totalDeduped)
+    // AFTER the commit: compaction must only ever cover committed flushes
+    compactSeen(wave)
   }
 
   /** A FRESH run must not inherit ANY durable state from a prior run in
@@ -722,6 +768,7 @@ class WaveEngine(
         f.getName.startsWith("filters_w") || f.getName.startsWith("pace_w"))
       .foreach(graft.util.Fs.deleteRecursively)
     graft.util.Fs.deleteRecursively(new java.io.File(dir, "seen"))
+    graft.util.Fs.deleteRecursively(new java.io.File(dir, "seen_compacting"))
     graft.util.Fs.deleteRecursively(new java.io.File(dir, "lineage"))
     val cacheInside = cfg.fetchCacheDir.exists(d =>
       new java.io.File(d).getCanonicalPath.startsWith(dir.getCanonicalPath))
@@ -759,7 +806,7 @@ class WaveEngine(
     // later resume must never union stale marks twice
     Option(new java.io.File(s"$ckpt/seen").listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory)
-      .filter(_.getName.stripPrefix("flush_").toInt > wave)
+      .filter(f => f.getName.stripPrefix("flush_").stripPrefix("compact_").toInt > wave)
       .foreach(graft.util.Fs.deleteRecursively)
     // the durable seen set = UNION of all changelog flushes ≤ the
     // committed wave (each flush carries only the delta since its
@@ -1240,6 +1287,7 @@ class WaveEngine(
       flushLineage(wave, lineageBuf)
       saveFilters(wave, filters)
       writeState(wave, nextSeq, totalFetched, totalDeduped)
+      compactSeen(wave) // single-URL waves accumulate one flush per checkpoint
       // truncate the in-memory seen view's plan to the durable data
       val flushedSeen = seenSoFar(wave).cache()
       seenView.unpersist()

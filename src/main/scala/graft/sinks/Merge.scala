@@ -189,11 +189,29 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     if (exists) readManifest(currentVersion).bucketCol
     else cols.find(_ == "id").getOrElse(cols.head)
 
-  /** K2 — distinct edge accumulation (bucketed by from_id). */
+  /** K2 — distinct edge accumulation (bucketed by from_id), INCREMENTAL:
+    * the new batch is deduped, anti-joined against the CURRENT rows of
+    * only the buckets it touches, and the survivors fast-appended — a
+    * commit reads/writes O(touched buckets), never the whole edge table
+    * (the round-3 version read + distinct()ed + rewrote every bucket per
+    * commit: O(|edges|) where K1 was already O(touched)). Per-bucket
+    * distinctness is preserved: in-batch dups collapse in the distinct,
+    * already-present edges die in the anti-join, and untouched buckets'
+    * files are not read or rewritten. */
   def mergeEdges(edges: DataFrame): Int = {
-    val all = if (exists) read().unionByName(edges).distinct() else edges.distinct()
-    commit(all, if (exists) readManifest(currentVersion).bucketCol else "from_id",
-      replaceAll)
+    val fresh = edges.distinct()
+    if (!exists) commit(fresh, "from_id", replaceTouched)
+    else {
+      val m = readManifest(currentVersion)
+      val touched = fresh
+        .select(bucketOf(col(m.bucketCol), m.nBuckets).as("b")).distinct()
+        .collect().map(_.getLong(0).toInt)
+      val paths = bucketPaths(m, touched)
+      val novel =
+        if (paths.isEmpty) fresh
+        else fresh.join(readPaths(paths), fresh.columns.toSeq, "left_anti")
+      commit(novel, m.bucketCol, appendTouched)
+    }
   }
 
   /** K3 — delete rows matching `pred`, then insert `replacements`. */

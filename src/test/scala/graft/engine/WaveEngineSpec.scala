@@ -230,6 +230,43 @@ class WaveEngineSpec extends AnyFunSuite {
     assert(total == res.seen) // union (disjoint) = exactly the seen set
   }
 
+  test("seen changelog compaction: resume reads O(compactSeenAfter) dirs, crawl unchanged") {
+    // many-wave crawl (1 fetch/host/wave), checkpoint every wave,
+    // compact aggressively: the flush-dir count must stay bounded while
+    // the union still equals the uncompacted seen set, and a kill/resume
+    // across a compacted history completes identically
+    val s1 = SyntheticSite(nHosts = 2, basePagesPerHost = 8, branching = 2, hotFactor = 1)
+    val s1seeds = (0 until 2).map(k => SeedSpec(s1.pageUrl(k, 0)))
+    def cfgOf(ckpt: String, maxW: Int = 10000, compactAfter: Int = 3) =
+      CrawlConfig(checkpointDir = ckpt, hostBuckets = 4, fetchPartitions = 2,
+        maxPerHostPerWave = 1, checkpointEvery = 1, maxWaves = maxW,
+        compactSeenAfter = compactAfter)
+
+    val ckptRef = SparkTestSession.tmpDir("compact-ref") // no compaction
+    val ref = new WaveEngine(spark, s1, parsers,
+      cfgOf(ckptRef, compactAfter = Int.MaxValue))
+    val resRef = ref.run(s1seeds)
+    assert(resRef.waves >= 8) // enough checkpoints to make compaction meaningful
+    val refDirs = Option(new java.io.File(s"$ckptRef/seen").listFiles()).get.count(_.isDirectory)
+
+    val ckpt = SparkTestSession.tmpDir("compact")
+    new WaveEngine(spark, s1, parsers, cfgOf(ckpt, maxW = 6)).run(s1seeds)
+    val resumed = new WaveEngine(spark, s1, parsers, cfgOf(ckpt))
+    val resResumed = resumed.resume()
+    // identical completion across the compacted history
+    assert(resResumed.seen == resRef.seen)
+    assert(seenHashSet(ckpt) == seenHashSet(ckptRef))
+    import spark.implicits._
+    assert(resumed.fetchedTable().select($"canonical").as[String].collect().toSet ==
+      ref.fetchedTable().select($"canonical").as[String].collect().toSet)
+    // bounded read set: newest compact + at most compactSeenAfter flushes
+    val dirs = Option(new java.io.File(s"$ckpt/seen").listFiles()).get
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("compact_")) == 1, dirs.toSeq)
+    assert(dirs.count(_.startsWith("flush_")) <= 3 + 1, dirs.toSeq)
+    assert(dirs.length < refDirs, s"compaction did not shrink the dir set: $refDirs -> ${dirs.length}")
+  }
+
   test("fresh run in a reused checkpoint dir does not inherit stale seen flushes") {
     // run A crawls 3 hosts; run B reuses the dir with ONE seed. With
     // changelog flushes, resume UNIONS all dirs ≤ LATEST — if run B left

@@ -102,6 +102,31 @@ class MergeSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("K2 edge merge is incremental: a 1-bucket batch leaves other buckets' files untouched") {
+    val dir = SparkTestSession.tmpDir("edges-inc")
+    val t = new SnapshotTable(spark, dir, nBuckets = 8)
+    t.mergeEdges((1 to 64).map(i => (s"Member:$i", s"Bill:$i")).toDF("from_id", "to_id"))
+    val v1Buckets = Option(new java.io.File(s"$dir/data/v1").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(v1Buckets.size > 1) // edges actually span buckets
+    val v1Files = v1Buckets.map(b =>
+      b -> Option(new java.io.File(s"$dir/data/v1/$b").listFiles()).get.map(_.getName).toSet).toMap
+    // one new edge + one duplicate of an existing edge (same from_id)
+    t.mergeEdges(Seq(("Member:7", "Bill:7"), ("Member:7", "Bill:999"))
+      .toDF("from_id", "to_id"))
+    // the commit wrote only the touched bucket, as an APPEND (v1 files intact)
+    val v2Buckets = Option(new java.io.File(s"$dir/data/v2").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(v2Buckets.size == 1)
+    v1Buckets.foreach { b =>
+      val now = Option(new java.io.File(s"$dir/data/v1/$b").listFiles()).get.map(_.getName).toSet
+      assert(now == v1Files(b), s"v1 files of $b changed")
+    }
+    // content: duplicate collapsed, new edge present, per-bucket distinctness holds
+    assert(t.read().count() == 65)
+    assert(t.read().filter($"from_id" === "Member:7").count() == 2)
+  }
+
   test("K3 delete-then-insert replaces matching rows only") {
     val t = new SnapshotTable(spark, SparkTestSession.tmpDir("dti"))
     t.merge(Seq(("Url:1", "Bill:1", "KEIKA"), ("Url:2", "Bill:1", "HONBUN"),
