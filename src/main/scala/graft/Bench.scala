@@ -34,8 +34,8 @@ object DietParser extends PageParser {
 object BenchChild {
   def main(args: Array[String]): Unit = {
     val Array(cpus, hosts, basePages) = args.map(_.toInt)
-    val (qps, fetched, deduped, ms) = Bench.frontierRun(cpus, hosts, basePages)
-    println(s"CHILD_RESULT $qps,$fetched,$deduped,$ms")
+    val (qps, fetched, deduped, ms, shuffleB) = Bench.frontierRun(cpus, hosts, basePages)
+    println(s"CHILD_RESULT $qps,$fetched,$deduped,$ms,$shuffleB")
   }
 }
 
@@ -98,9 +98,33 @@ object Bench {
     * box's run-to-run spread (±30%, memory-bandwidth contention from
     * co-tenant VMs, invisible to steal%) otherwise turns a single-shot
     * efficiency ratio into a lottery. */
-  def frontierRun(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long) = {
+  def frontierRun(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long, Long) = {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "4").toInt
     val spark = session(cpus)
+    // shuffle-write bytes of the measured crawl — the candidate shuffle is
+    // the crawl's only per-wave exchange, so this is the direct evidence
+    // for shuffle-payload work (e.g. the r4 Candidate slimming); reported
+    // as shuffle_mb_per_crawl in the bench JSON
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    // listener events are async: read the counter once it stops moving
+    // (outside the timed region — crawl timing is internal to run())
+    def settledShuffleBytes(): Long = {
+      var prev = shuffleBytes.get()
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(50); waited += 50
+        val cur = shuffleBytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
     try {
       def crawl(nHosts: Int, pages: Int): graft.engine.CrawlRunResult = {
         val site = SyntheticSite(nHosts = nHosts, basePagesPerHost = pages,
@@ -132,9 +156,13 @@ object Bench {
       // cold (JIT tiers, shuffle/page-cache paths) — round 1's efficiency
       // ratio ran ~0.06 below later rounds at every config tried
       crawl(math.max(8, hosts / 4), math.max(50, basePages / 4))
-      val best = (1 to repeats).map(_ => crawl(hosts, basePages))
-        .maxBy(_.urlsPerSec)
-      (best.urlsPerSec, best.fetched, best.deduped, best.elapsedMs)
+      val runs = (1 to repeats).map { _ =>
+        val b0 = settledShuffleBytes()
+        val res = crawl(hosts, basePages)
+        (res, settledShuffleBytes() - b0)
+      }
+      val (best, bestShuffle) = runs.maxBy(_._1.urlsPerSec)
+      (best.urlsPerSec, best.fetched, best.deduped, best.elapsedMs, bestShuffle)
     } finally spark.stop()
   }
 
@@ -197,11 +225,12 @@ object Bench {
     * that fails to produce a result is retried unpinned — a missing or
     * restricted taskset must degrade the measurement, never kill the
     * bench artifact. */
-  /** (qps, fetched, deduped, elapsedMs, pinned) — `pinned` records whether
-    * the sample actually ran under OS affinity, and is emitted per sample
-    * in the rounds array: a silently-degraded unpinned fallback must be
-    * visible in the artifact, not pass itself off as a pinned measurement. */
-  def frontierRunInChildJvm(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long, Boolean) = {
+  /** (qps, fetched, deduped, elapsedMs, shuffleBytes, pinned) — `pinned`
+    * records whether the sample actually ran under OS affinity, and is
+    * emitted per sample in the rounds array: a silently-degraded unpinned
+    * fallback must be visible in the artifact, not pass itself off as a
+    * pinned measurement. */
+  def frontierRunInChildJvm(cpus: Int, hosts: Int, basePages: Int): (Double, Long, Long, Long, Long, Boolean) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
@@ -210,7 +239,7 @@ object Bench {
       Runtime.getRuntime.availableProcessors >= cpus
     // any failure of one attempt (exec denied, malformed output, child
     // crash) degrades to the next attempt — never kills the artifact
-    def attempt(pin: Boolean): Option[(Double, Long, Long, Long, Boolean)] =
+    def attempt(pin: Boolean): Option[(Double, Long, Long, Long, Long, Boolean)] =
       scala.util.Try {
         val taskset = if (pin) Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}") else Nil
         val cmd = taskset ++ Seq(javaBin) ++ jvmArgs ++
@@ -230,8 +259,8 @@ object Bench {
         val outLines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
         p.waitFor()
         outLines.find(_.startsWith("CHILD_RESULT ")).map { line =>
-          val Array(qps, fetched, deduped, ms) = line.stripPrefix("CHILD_RESULT ").split(",")
-          (qps.toDouble, fetched.toLong, deduped.toLong, ms.toLong, pin)
+          val Array(qps, fetched, deduped, ms, shuf) = line.stripPrefix("CHILD_RESULT ").split(",")
+          (qps.toDouble, fetched.toLong, deduped.toLong, ms.toLong, shuf.toLong, pin)
         }
       }.toOption.flatten
     attempt(pin = canPin)
@@ -297,12 +326,12 @@ object Bench {
     // round samples 2 → 8 → 32 back-to-back (shared noise environment) and
     // the efficiency is the MEDIAN of per-round ratios; throughput numbers
     // report each level's best round (peak protocol).
-    def level(n: Int): (Double, Long, Long, Long, Boolean) =
-      if (skipFrontier || !levels.contains(n)) (0.0, 0L, 0L, 0L, false)
+    def level(n: Int): (Double, Long, Long, Long, Long, Boolean) =
+      if (skipFrontier || !levels.contains(n)) (0.0, 0L, 0L, 0L, 0L, false)
       else if (sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) {
         // in-process debug path: Bench itself was not OS-pinned
-        val (q, f, d, ms) = frontierRun(n, hosts, basePages)
-        (q, f, d, ms, false)
+        val (q, f, d, ms, shuf) = frontierRun(n, hosts, basePages)
+        (q, f, d, ms, shuf, false)
       }
       else frontierRunInChildJvm(n, hosts, basePages)
     // 5 rounds (odd): the efficiency estimator is the median of per-round
@@ -315,12 +344,16 @@ object Bench {
       val clean = xs.filter(d => !d.isNaN && !d.isInfinite && d > 0.0).sorted
       if (clean.isEmpty) 0.0 else clean(clean.length / 2)
     }
-    type S = (Double, Long, Long, Long, Boolean)
+    type S = (Double, Long, Long, Long, Long, Boolean)
     def best(pick: (S, S, S) => S) =
       samples.map(s => pick(s._1, s._2, s._3)).maxBy(_._1)
-    val (qps2, _, _, ms2, _) = best((a, _, _) => a)
-    val (qps8, _, _, ms8, _) = best((_, b, _) => b)
-    val (qps32, fetched32, deduped32, ms32, _) = best((_, _, c) => c)
+    val (qps2, _, _, ms2, _, _) = best((a, _, _) => a)
+    val (qps8, _, _, ms8, _, _) = best((_, b, _) => b)
+    val (qps32, fetched32, deduped32, ms32, shuffle32, _) = best((_, _, c) => c)
+    // same job at every level → shuffle bytes are level-invariant; report
+    // the best-32 sample's (fall back to any measured level)
+    val shuffleBytes = Seq(shuffle32, best((a, _, _) => a)._5, best((_, b, _) => b)._5)
+      .find(_ > 0L).getOrElse(0L)
     def ratio(n: Double, d: Double): Double = if (d > 0.0 && n > 0.0) n / d / 4.0 else 0.0
     val eff28 = median(samples.map(s => ratio(s._2._1, s._1._1)))
     val eff832 = median(samples.map(s => ratio(s._3._1, s._2._1)))
@@ -332,13 +365,14 @@ object Bench {
     // self-evidencing from this one artifact — no out-of-band protocol
     val roundsJson = samples.map { case (a, b, c) =>
       s"""{"qps_2":${a._1},"qps_8":${b._1},"qps_32":${c._1},""" +
-        s""""pinned_2":${a._5},"pinned_8":${b._5},"pinned_32":${c._5},""" +
+        s""""pinned_2":${a._6},"pinned_8":${b._6},"pinned_32":${c._6},""" +
         s""""eff_2_8":${ratio(b._1, a._1)},"eff_8_32":${ratio(c._1, b._1)}}"""
     }.mkString("[", ",", "]")
     val envelope = if (skipFrontier) "{}" else envelopeProbe()
     val frontier =
       s"""{"hosts":$hosts,"base_pages":$basePages,""" +
         s""""fetched":$fetched32,"deduped":$deduped32,""" +
+        s""""shuffle_mb_per_crawl":${shuffleBytes / 1048576.0},""" +
         s""""urls_per_sec_2":$qps2,"elapsed_ms_2":$ms2,""" +
         s""""urls_per_sec_8":$qps8,"elapsed_ms_8":$ms8,""" +
         s""""urls_per_sec_32":$qps32,"elapsed_ms_32":$ms32,""" +

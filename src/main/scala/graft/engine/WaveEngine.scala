@@ -79,19 +79,28 @@ final case class CrawlRunResult(
 
 /** Intermediate: a follow-up candidate before dedup. `weight` counts the
   * emitted copies a map-side-combined row represents (the dedup metric
-  * stays exact through the combiner). */
+  * stays exact through the combiner).
+  *
+  * Shuffle-byte discipline: this row rides the wave's ONE shuffle, so it
+  * ships no derivable bytes — `host` is NOT carried (the reduce side
+  * re-derives it from `canonical` via the same zero-alloc parse the map
+  * side used), and `url` is null whenever it equals `canonical` (the
+  * dominant case: clean links canonicalize to themselves). On the bench
+  * crawl the three near-identical strings per row were most of the
+  * shuffle payload. */
 final case class Candidate(
-    url: String,
+    url: String, // null ⇔ identical to `canonical`
     canonical: String,
     url_hash: Long,
-    host: String,
     host_bucket: Int,
     parse_fn: String,
     meta: Map[String, String],
     priority: Int,
     parent_seq: Long,
     emission_idx: Int,
-    weight: Long = 1L)
+    weight: Long = 1L) {
+  def urlOrCanonical: String = if (url == null) canonical else url
+}
 
 /**
  * Per-bucket URL-seen state: the cuckoo pre-filter plus the exact
@@ -185,8 +194,9 @@ private[engine] object WaveCore {
             lastBucket = UrlCanon.hostBucket(host, buckets)
           }
           Iterator.single(Candidate(
-            url = abs, canonical = canon, url_hash = UrlCanon.urlHash(canon),
-            host = host, host_bucket = lastBucket,
+            url = if (abs == canon) null else abs,
+            canonical = canon, url_hash = UrlCanon.urlHash(canon),
+            host_bucket = lastBucket,
             parse_fn = f.parse_fn, meta = f.meta, priority = f.priority,
             parent_seq = fr.seq, emission_idx = idx))
         }
@@ -354,8 +364,8 @@ private[engine] object WaveCore {
   val PaceFn = "__pace__"
 
   def paceMark(host: String, bucket: Int, nextAllowedMs: Long): Candidate =
-    Candidate(url = "", canonical = "", url_hash = UrlCanon.urlHash(host),
-      host = host, host_bucket = bucket, parse_fn = PaceFn,
+    Candidate(url = null, canonical = "", url_hash = UrlCanon.urlHash(host),
+      host_bucket = bucket, parse_fn = PaceFn,
       meta = Map.empty, priority = 0, parent_seq = nextAllowedMs, emission_idx = 0)
 
   def advancePartition(
@@ -405,11 +415,17 @@ private[engine] object WaveCore {
         val canons = new Array[String](nn)
         val recs = new Array[UrlRecord](nn)
         var r = 0
+        // host is re-derived here, not shipped through the shuffle; the
+        // memo makes same-host runs (the dominant pattern within a
+        // bucket) reuse one String instance like the map side did
+        var lastHost: String = null
         while (r < nn) {
           val c = novel(r)
           hashes(r) = c.url_hash
           canons(r) = c.canonical
-          recs(r) = UrlRecord(c.url, c.canonical, c.url_hash, c.host, c.host_bucket,
+          lastHost = UrlCanon.hostOfOrSame(c.canonical, lastHost)
+          recs(r) = UrlRecord(c.urlOrCanonical, c.canonical, c.url_hash, lastHost,
+            c.host_bucket,
             c.parse_fn, c.meta, c.priority, is_seed = seedWave, wave = newWave,
             seq = base + r.toLong * nBuckets + b)
           r += 1
@@ -656,7 +672,7 @@ class WaveEngine(
     val rows = seeds.zipWithIndex.map { case (s, i) =>
       val canon = UrlCanon.canonicalize(s.url)
       val host = UrlCanon.hostOf(canon)
-      Candidate(s.url, canon, UrlCanon.urlHash(canon), host,
+      Candidate(if (s.url == canon) null else s.url, canon, UrlCanon.urlHash(canon),
         UrlCanon.hostBucket(host, buckets), s.parseFn, s.meta, s.priority,
         parent_seq = i.toLong, emission_idx = 0)
     }
@@ -1225,7 +1241,8 @@ class WaveEngine(
     // flushes are per-wave deltas too, and seenSoFar() unions them
     clearStaleRun()
     val seedRows = seedCandidates(seeds).map { c =>
-      UrlRecord(c.url, c.canonical, c.url_hash, c.host, c.host_bucket,
+      UrlRecord(c.urlOrCanonical, c.canonical, c.url_hash,
+        UrlCanon.hostOf(c.canonical), c.host_bucket,
         c.parse_fn, c.meta, c.priority, is_seed = true, wave = 0, seq = c.parent_seq)
     }
     val pending = spark.createDataset(seedRows)
@@ -1327,7 +1344,10 @@ class WaveEngine(
           Window.orderBy($"parent_seq", $"emission_idx")).cast("long") - 1L)
         .withColumn("is_seed", lit(false))
         .withColumn("wave", lit(w1))
-        .select($"url", $"canonical", $"url_hash", $"host", $"host_bucket",
+        // Candidate ships neither a host nor a redundant url (shuffle-byte
+        // discipline); re-derive both from the canonical (native expr)
+        .select(coalesce($"url", $"canonical").as("url"), $"canonical", $"url_hash",
+          graft.functions.UrlFns.urlHost($"canonical").as("host"), $"host_bucket",
           $"parse_fn", $"meta", $"priority", $"is_seed", $"wave", $"seq")
         .as[UrlRecord]
         .localCheckpoint()

@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class WaveCoreSpec extends AnyFunSuite {
 
   private def cand(canon: String, parentSeq: Long, idx: Int, w: Long = 1L) =
-    Candidate(url = canon, canonical = canon, url_hash = canon.hashCode.toLong,
-      host = "h0.example.jp", host_bucket = 0, parse_fn = "p", meta = Map.empty,
+    Candidate(url = null, canonical = canon, url_hash = canon.hashCode.toLong,
+      host_bucket = 0, parse_fn = "p", meta = Map.empty,
       priority = 0, parent_seq = parentSeq, emission_idx = idx, weight = w)
 
   test("combineCandidates: first discovery survives, weights are exact") {
