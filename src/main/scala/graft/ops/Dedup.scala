@@ -101,14 +101,23 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs over PRECOMPUTED signatures: multi-index
-    * pigeonhole blocking. The signature's low `bits` are split into
-    * `maxHamming + 1` contiguous blocks (widths differing by at most 1):
-    * a pair within Hamming distance `maxHamming` differs in at most
-    * `maxHamming` blocks, so it agrees exactly on at least one — candidate
-    * generation is complete, and the emitted pairs are then verified
-    * against the true distance. (The round-2 version hard-coded 4 blocks,
-    * which only guarantees completeness for distance ≤ 3 — a larger
-    * threshold silently dropped qualifying pairs.)
+    * pigeonhole blocking, generalized to multi-block indexes (the
+    * multi-index Hamming scheme of Manku et al., WWW'07). The signature's
+    * low `bits` split into `maxHamming + agreeBlocks` contiguous blocks
+    * (widths differing by at most 1): a pair within Hamming distance
+    * `maxHamming` differs in at most `maxHamming` blocks, so it agrees
+    * exactly on at least `agreeBlocks` of them — hence on at least one of
+    * the C(nBlocks, agreeBlocks) block-subsets used as join keys.
+    * Candidate generation is complete for any `agreeBlocks ≥ 1`, and the
+    * emitted pairs are verified against the true distance. (The round-2
+    * version hard-coded 4 blocks, which only guarantees completeness for
+    * distance ≤ 3 — a larger threshold silently dropped qualifying pairs.)
+    *
+    * `agreeBlocks = 2` trades a wider explode (C(n,2) rows/doc instead of
+    * n) for join keys twice as wide: per-bucket size drops from N/2^w to
+    * ~N/2^2w, so the candidate-pair volume falls ~2^w/n-fold — the win on
+    * clustered corpora where verification dominates (q37 was the bench's
+    * most expensive query for exactly that reason).
     *
     * Scale: block selectivity is ~N/2^width per bucket, so at a fixed
     * threshold, wider signatures (64-bit) keep buckets selective as the
@@ -117,41 +126,92 @@ object Dedup {
     * pairs inside a dropped bucket are sacrificed knowingly (documented
     * skew guard), never silently. */
   def simhashPairsFor(sigs: DataFrame, idCol: String, sigCol: String,
-      bits: Int, maxHamming: Int, maxBucketSize: Int = 10000): DataFrame = {
-    val nBlocks = maxHamming + 1
+      bits: Int, maxHamming: Int, maxBucketSize: Int = 10000,
+      agreeBlocks: Int = 1): DataFrame = {
+    require(agreeBlocks == 1 || agreeBlocks == 2,
+      s"agreeBlocks=$agreeBlocks not supported (1 or 2)")
+    val nBlocks = maxHamming + agreeBlocks
     require(bits >= 1 && bits <= 64 && nBlocks <= bits,
       s"maxHamming=$maxHamming needs at least ${nBlocks} blocks over $bits bits")
     val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
-    val blockCols = (0 until nBlocks).map { b =>
+    def blockVal(b: Int): Column = {
       val lo = bounds(b)
       val w = bounds(b + 1) - lo
       val maskv = if (w >= 64) -1L else (1L << w) - 1L
-      struct(lit(b).as("blk"),
-        shiftright(col(sigCol), lo).bitwiseAND(maskv).as("bv"))
+      shiftright(col(sigCol), lo).bitwiseAND(maskv)
     }
+    val blockCols =
+      if (agreeBlocks == 1)
+        (0 until nBlocks).map(b => struct(lit(b).as("blk"), blockVal(b).as("bv")))
+      else
+        // pair-of-blocks keys: block width ≤ ceil(64/3) < 32 bits
+        // whenever agreeBlocks = 2 (nBlocks ≥ 3), so two values pack
+        // losslessly into one 64-bit bv
+        for {
+          i <- 0 until nBlocks
+          j <- i + 1 until nBlocks
+        } yield struct(lit(i * nBlocks + j).as("blk"),
+          shiftleft(blockVal(i), 32).bitwiseOR(blockVal(j)).as("bv"))
     val blocks = sigs.select(col(idCol).as("doc"), col(sigCol).as("sig"),
-        explode(array(blockCols: _*)).as("x"))
+        explode(array(blockCols.toSeq: _*)).as("x"))
       .select(col("doc"), col("sig"), col("x.blk"), col("x.bv"))
     val sized = blocks.withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("blk"), col("bv"))))
       .filter(col("bucket_n") <= maxBucketSize)
+    // CANONICAL-WITNESS dedup instead of distinct(): a near-dup pair
+    // agrees on several index keys and the join emits it once per key —
+    // on a clustered corpus that duplicate factor multiplies the
+    // distinct()'s shuffle (matches × keys agreeing). Each emitted row
+    // carries both signatures, so "is THIS key the pair's first agreeing
+    // key?" is a row-local codegen'd predicate on sig_a XOR sig_b: every
+    // surviving pair passes for exactly one key and the aggregation
+    // shuffle disappears entirely.
+    //
+    // Interaction with the skew cap: the witness is defined over ALL
+    // keys, so a pair whose first-agreeing bucket was dropped as
+    // degenerate is sacrificed even if a later agreeing bucket survived
+    // (the r3 distinct() kept such pairs). The sacrifice set is still
+    // deterministic and documented — decided at the canonical witness —
+    // and in practice a boilerplate cluster saturates all of its keys'
+    // buckets together.
+    val x = $("l.sig").bitwiseXOR($("r.sig"))
+    def xBlock(b: Int): Column = {
+      val lo = bounds(b)
+      val w = bounds(b + 1) - lo
+      val maskv = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(x, lo).bitwiseAND(maskv)
+    }
+    // id of the pair's canonical witness key, -1 if none (unreachable for
+    // emitted rows: the join key itself agrees)
+    val witness: Column =
+      if (agreeBlocks == 1)
+        (0 until nBlocks).reverse.foldLeft(lit(-1)) { (acc, b) =>
+          when(xBlock(b) === 0L, lit(b)).otherwise(acc)
+        }
+      else
+        (0 until nBlocks).reverse.foldLeft(lit(-1)) { (acc, i) =>
+          val secondAgree = (i + 1 until nBlocks).reverse.foldLeft(lit(-1)) { (a2, j) =>
+            when(xBlock(j) === 0L, lit(i * nBlocks + j)).otherwise(a2)
+          }
+          when(xBlock(i) === 0L && secondAgree =!= -1, secondAgree).otherwise(acc)
+        }
     sized.as("l").join(sized.as("r"),
         $("l.blk") === $("r.blk") && $("l.bv") === $("r.bv") && $("l.doc") < $("r.doc"))
+      // both filters are codegen'd row-local predicates on the joined row:
+      // verification and witness-dedup cost no shuffle at all
+      .filter($("l.blk") === witness &&
+        bit_count(x) <= maxHamming)
       .select($("l.doc").as("doc_a"), $("r.doc").as("doc_b"),
         bit_count($("l.sig").bitwiseXOR($("r.sig"))).cast("long").as("hamming"))
-      // verify BEFORE distinct: the hamming filter is codegen'd and highly
-      // selective, so the distinct's shuffle carries matches only — not
-      // every candidate a clustered corpus generates
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** SimHash near-dup pairs from text: 64-bit xxhash SimHash + pigeonhole
     * blocking (block count derived from `maxHamming`), verified distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      agreeBlocks: Int = 1): DataFrame =
     simhashPairsFor(
       df.select(col(idCol), simhash64(col(textCol)).as("simhash_sig")),
       idCol, "simhash_sig", bits = 64, maxHamming = maxHamming,
-      maxBucketSize = maxBucketSize)
+      maxBucketSize = maxBucketSize, agreeBlocks = agreeBlocks)
 }

@@ -120,8 +120,13 @@ object QueriesC {
           .select(col("doc_id"), graft.functions.HashFns.simhashPoly32(
             split(trim(col("text")), "\\s+")).as("simhash"))
           .cache()
+        // agreeBlocks = 2 (multi-index pair-of-blocks keys): 10 tables of
+        // ~12-bit keys instead of 4 of 8-bit — ~10x fewer candidate pairs
+        // to verify on this clustered corpus (r3's plan audit: q37's cost
+        // IS candidate verification); completeness unchanged (pigeonhole
+        // over maxHamming+2 blocks), same oracle
         graft.ops.Dedup.simhashPairsFor(sigs, "doc_id", "simhash",
-            bits = 32, maxHamming = 3)
+            bits = 32, maxHamming = 3, agreeBlocks = 2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {

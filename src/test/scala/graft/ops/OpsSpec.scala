@@ -60,6 +60,13 @@ class OpsSpec extends AnyFunSuite {
       val blocked = Dedup.simhashPairs(real, "doc_id", "text", maxHamming = h)
         .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
       assert(blocked == brute, s"maxHamming=$h: blocked=${blocked.size} brute=${brute.size}")
+      // multi-index variant (pair-of-blocks keys): same completeness
+      // guarantee — ≤ h differing bits touch ≤ h of the h+2 blocks, so
+      // some PAIR of blocks agrees exactly
+      val blocked2 = Dedup.simhashPairs(real, "doc_id", "text", maxHamming = h,
+          agreeBlocks = 2)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(blocked2 == brute, s"maxHamming=$h agreeBlocks=2: ${blocked2.size} vs ${brute.size}")
     }
   }
 
