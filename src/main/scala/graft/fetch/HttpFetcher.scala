@@ -1,0 +1,70 @@
+package graft.fetch
+
+import graft.model.Document
+import graft.urls.UrlCanon
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/**
+ * Deployable [[Fetcher]] over the JDK HTTP client (`java.net.http`,
+ * Java 11+): GET with redirect-following, a per-request timeout, and the
+ * reference crawler's user agent posture. Responses parse to the
+ * engine's span-sequence [[graft.model.Document]] via [[HtmlSpans]] — so
+ * the frontier, politeness, extraction transforms, and sinks run
+ * unchanged against live sites.
+ *
+ * Error posture matches the engine's 404-as-data contract (S13):
+ *  - any HTTP status is returned verbatim, body parsed only on 2xx;
+ *  - transport failures (DNS, refused, timeout) return status 599 with
+ *    no document — a row, not an exception, so one dead host can never
+ *    fail a fetch partition (the reference's errback-free spiders drop
+ *    failures the same way).
+ *
+ * Serialization: the fetcher ships into `mapPartitions` tasks, so the
+ * client is `@transient lazy` — each executor JVM builds its own
+ * connection pool on first use; only the plain config fields serialize.
+ *
+ * Rate limiting stays with the ENGINE (per-host politeness slots,
+ * S10/S11) — the fetcher is deliberately dumb: fetch one URL now.
+ */
+final class HttpFetcher(
+    timeoutMs: Long = 15000,
+    userAgent: String = "graft-crawler/0.1 (+https://politylink.jp)",
+    maxBodyBytes: Int = 8 << 20) extends Fetcher {
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofMillis(timeoutMs))
+    .build()
+
+  def fetch(url: String): (Int, Option[Document]) =
+    try {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .header("User-Agent", userAgent)
+        .GET()
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      val status = resp.statusCode()
+      if (status >= 200 && status < 300) {
+        val bytes = resp.body()
+        val body = new String(bytes, 0, math.min(bytes.length, maxBodyBytes),
+          charsetOf(resp))
+        val canon = UrlCanon.canonicalize(url)
+        (status, Some(Document(canon, HtmlSpans.parse(body))))
+      } else (status, None)
+    } catch {
+      case _: Exception => (599, None) // transport failure: a row, not a crash
+    }
+
+  /** Charset from Content-Type, defaulting to UTF-8 (the Diet sites are
+    * UTF-8 or Shift_JIS — both resolvable by name here). */
+  private def charsetOf(resp: HttpResponse[Array[Byte]]): java.nio.charset.Charset = {
+    val ct = resp.headers().firstValue("Content-Type").orElse("")
+    val m = "charset=([A-Za-z0-9_\\-]+)".r.findFirstMatchIn(ct)
+    m.flatMap(g => scala.util.Try(java.nio.charset.Charset.forName(g.group(1))).toOption)
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
