@@ -59,6 +59,25 @@ final class HttpFetcher(
       case _: Exception => (599, None) // transport failure: a row, not a crash
     }
 
+  /** Raw text body (no HTML parsing) — robots.txt, sitemaps, API JSON.
+    * Same status/transport posture as [[fetch]]. */
+  def fetchText(url: String): (Int, Option[String]) =
+    try {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .header("User-Agent", userAgent)
+        .GET()
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      val status = resp.statusCode()
+      if (status >= 200 && status < 300) {
+        val bytes = resp.body()
+        (status, Some(new String(bytes, 0, math.min(bytes.length, maxBodyBytes), charsetOf(resp))))
+      } else (status, None)
+    } catch {
+      case _: Exception => (599, None)
+    }
+
   /** Charset from Content-Type, defaulting to UTF-8 (the Diet sites are
     * UTF-8 or Shift_JIS — both resolvable by name here). */
   private def charsetOf(resp: HttpResponse[Array[Byte]]): java.nio.charset.Charset = {

@@ -1,0 +1,130 @@
+package graft.fetch
+
+import graft.urls.UrlCanon
+
+/**
+ * robots.txt support for the deployable fetch path (S12).
+ *
+ * The reference crawls with `ROBOTSTXT_OBEY = False`
+ * (/root/reference/crawler/settings.py:20), so the engine's gate defaults
+ * off; when a deployment enables it, `CrawlConfig.robotsDisallow` wants a
+ * host → path-prefix map. This object builds that map from live
+ * `robots.txt` files:
+ *
+ *  - [[parse]] implements the original REP prefix subset the engine's
+ *    gate enforces (`User-agent` groups, `Disallow` path prefixes,
+ *    case-insensitive field names, `#` comments, BOM tolerated). `Allow`
+ *    lines and wildcards are NOT modeled — the gate is a prefix filter —
+ *    so a matching group's Allow lines are conservatively ignored
+ *    (disallow wins: the engine may skip a page robots would allow, never
+ *    fetch one it forbids).
+ *  - a blanket `Disallow: /` group yields the single prefix `/`.
+ *  - an empty `Disallow:` (allow-all marker) contributes nothing.
+ *  - group selection: the most specific matching `User-agent` token wins
+ *    (exact agent-substring match beats `*`), groups for other agents
+ *    are ignored.
+ *
+ * [[fetchRules]] resolves each host's `https://host/robots.txt` through
+ * any [[Fetcher]] — one bounded fetch per distinct host, driver-side,
+ * BEFORE the crawl starts (hosts come from the seed list; robots for
+ * hosts discovered mid-crawl would need the same map extended at a
+ * checkpoint boundary — documented deployment note, not engine logic).
+ * A missing robots.txt (404, transport failure) means no restrictions,
+ * per the REP.
+ *
+ * Note: [[HttpFetcher]] parses fetched bodies as HTML, so `fetchRules`
+ * takes raw text through a dedicated plain-text fetch when given an
+ * HttpFetcher; for corpus-backed fetchers the robots body is the
+ * document's concatenated text spans.
+ */
+object Robots {
+
+  /** Disallow prefixes applicable to `agent` (default: the wildcard
+    * group). */
+  def parse(robotsTxt: String, agent: String = "*"): Seq[String] = {
+    val lowerAgent = agent.toLowerCase
+    var inMatchingGroup = false
+    var matchedSpecific = false // an exact-agent group beats earlier * groups
+    var sawAgentLine = false // inside a run of user-agent lines
+    val starPrefixes = scala.collection.mutable.ArrayBuffer[String]()
+    val exactPrefixes = scala.collection.mutable.ArrayBuffer[String]()
+    var currentIsExact = false
+
+    for (raw <- robotsTxt.linesIterator) {
+      val line0 = raw.replace("﻿", "")
+      val line = (line0.indexOf('#') match {
+        case -1 => line0
+        case h => line0.substring(0, h)
+      }).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val field = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          field match {
+            case "user-agent" =>
+              val tok = value.toLowerCase
+              val matches = tok == "*" || lowerAgent.contains(tok)
+              if (!sawAgentLine) { // a new group starts
+                inMatchingGroup = matches
+                currentIsExact = matches && tok != "*"
+              } else if (matches) { // additional agents of the same group
+                inMatchingGroup = true
+                currentIsExact = currentIsExact || tok != "*"
+              }
+              sawAgentLine = true
+            case "disallow" =>
+              sawAgentLine = false
+              if (inMatchingGroup && value.nonEmpty) {
+                if (currentIsExact) { exactPrefixes += value; matchedSpecific = true }
+                else starPrefixes += value
+              }
+            case _ =>
+              sawAgentLine = false
+          }
+        }
+      }
+    }
+    (if (matchedSpecific) exactPrefixes else starPrefixes).distinct.toSeq
+  }
+
+  /** Build `CrawlConfig.robotsDisallow` for a set of hosts by fetching
+    * each `https://host/robots.txt` through `fetcher`. Absent or failing
+    * robots mean no restrictions.
+    *
+    * An [[HttpFetcher]] uses its raw-text path (robots.txt is
+    * line-oriented; the HTML parser would collapse newlines). Other
+    * fetchers reconstruct the body from the document's text spans, one
+    * line per span — the convention corpus fixtures use.
+    *
+    * `hosts` are authorities for URL construction (may carry a port); the
+    * returned map is keyed by [[UrlCanon.hostOf]]'s host form — the exact
+    * key the engine's candidate gate looks up. */
+  def fetchRules(fetcher: Fetcher, hosts: Seq[String],
+      agent: String = "*", scheme: String = "https"): Map[String, Seq[String]] =
+    hosts.distinct.flatMap { host =>
+      val url = s"$scheme://$host/robots.txt"
+      val gateKey = UrlCanon.hostOf(UrlCanon.canonicalize(url))
+      val body: Option[String] = fetcher match {
+        case h: HttpFetcher => h.fetchText(url) match {
+          case (s, b) if s >= 200 && s < 300 => b
+          case _ => None
+        }
+        case f => f.fetch(url) match {
+          case (s, Some(doc)) if s >= 200 && s < 300 =>
+            Some(doc.spans.map(_.text).filter(_.nonEmpty).mkString("\n"))
+          case _ => None
+        }
+      }
+      body.map(b => parse(b, agent)).filter(_.nonEmpty).map(gateKey -> _)
+    }.toMap
+
+  /** Does `url` pass the given rules? (The same prefix test the engine's
+    * candidate gate applies — exposed for tests and ad-hoc use.) */
+  def allowed(rules: Map[String, Seq[String]], url: String): Boolean = {
+    val canon = UrlCanon.canonicalize(url)
+    val host = UrlCanon.hostOf(canon)
+    val path = UrlCanon.parse(canon).path
+    !rules.getOrElse(host, Nil).exists(path.startsWith)
+  }
+}
