@@ -113,12 +113,15 @@ object Bench {
       }
     })
     // listener events are async: read the counter once it stops moving
-    // (outside the timed region — crawl timing is internal to run())
+    // (outside the timed region — crawl timing is internal to run()).
+    // 4 consecutive stable polls / 10 s cap: a backlog that out-drains the
+    // old 2 s window leaked one repeat's residue into the next delta and
+    // could misstate shuffle_mb_per_crawl for the winning repeat.
     def settledShuffleBytes(): Long = {
       var prev = shuffleBytes.get()
       var stable = 0
       var waited = 0
-      while (stable < 2 && waited < 2000) {
+      while (stable < 4 && waited < 10000) {
         Thread.sleep(50); waited += 50
         val cur = shuffleBytes.get()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }

@@ -757,7 +757,19 @@ class WaveEngine(
         .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/pace_w$wave")
     }
     writeState(wave, nextSeq, totalFetched, totalDeduped)
-    // AFTER the commit: compaction must only ever cover committed flushes
+    // AFTER the commit (LATEST now points at `wave`): obsolete per-wave
+    // artifacts die here — resume reads only the committed wave's
+    // pending/pace, and leaving one dir per checkpoint ever taken is the
+    // same unbounded accumulation compactSeen exists to prevent
+    val dir = new java.io.File(ckpt)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val nm = f.getName
+        (nm.startsWith("pending_w") && nm.stripPrefix("pending_w").toIntOption.exists(_ < wave)) ||
+          (nm.startsWith("pace_w") && nm.stripPrefix("pace_w").toIntOption.exists(_ < wave))
+      }
+      .foreach(graft.util.Fs.deleteRecursively)
+    // compaction must only ever cover committed flushes
     compactSeen(wave)
   }
 

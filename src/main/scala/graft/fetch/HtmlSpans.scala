@@ -100,16 +100,26 @@ object HtmlSpans {
             val name = tagName(body)
             if (!closing) name match {
               case "a" =>
-                flushAnchor() // unclosed previous <a> closes here
-                if (cellKind == null) flushText()
-                aHref = attr(body, "href").getOrElse("")
+                attr(body, "href") match {
+                  case Some(href) =>
+                    flushAnchor() // unclosed previous <a> closes here
+                    if (cellKind == null) flushText()
+                    aHref = href
+                  case None => () // href-less anchor (<a name=...>): transparent,
+                  // its text stays in the current sink — never a link span
+                }
               case "img" =>
+                // inline element, but the span stream is ordered: text
+                // before the image must flush as its own node first
+                if (aHref == null && cellKind == null && !inTitle) flushText()
                 add(SpanKindMedia, "", attr(body, "src").getOrElse(""))
               case "td" | "th" =>
-                flushCell(); flushAnchor(); flushText()
+                // anchor first: an unclosed <a> inside the PREVIOUS cell
+                // must contribute its text to that cell before it flushes
+                flushAnchor(); flushCell(); flushText()
                 cellKind = SpanKindTableCell
               case "caption" | "h2" | "h3" | "h4" =>
-                flushCell(); flushAnchor(); flushText()
+                flushAnchor(); flushCell(); flushText()
                 cellKind = SpanKindCaption
               case "title" =>
                 flushText(); inTitle = true; text.setLength(0)
@@ -187,32 +197,43 @@ object HtmlSpans {
     body.substring(0, e).toLowerCase
   }
 
-  /** Attribute value: quoted ('...' or "...") or bare-word; None when the
-    * attribute is absent. Case-insensitive name match. */
+  /** Attribute value: quoted ('...' or "...") or bare-word; `Some("")`
+    * for a value-less attribute, None when absent. Case-insensitive name
+    * match. Attributes are TOKENIZED left to right — a substring search
+    * would false-match the name inside another attribute's quoted value
+    * (`title="link href=/wrong" href="/right"`). */
   private[fetch] def attr(tagBody: String, name: String): Option[String] = {
-    val lower = tagBody.toLowerCase
-    var from = 0
-    while (from < lower.length) {
-      val at = lower.indexOf(name, from)
-      if (at < 0) return None
-      // must be a standalone attribute name followed by =
-      val beforeOk = at == 0 || Character.isWhitespace(lower.charAt(at - 1))
-      var j = at + name.length
-      while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j))) j += 1
-      if (beforeOk && j < tagBody.length && tagBody.charAt(j) == '=') {
-        j += 1
-        while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j))) j += 1
-        if (j >= tagBody.length) return Some("")
-        val q = tagBody.charAt(j)
-        if (q == '"' || q == '\'') {
-          val end = tagBody.indexOf(q, j + 1)
-          return Some(decodeEntities(tagBody.substring(j + 1, if (end < 0) tagBody.length else end)))
+    val n = tagBody.length
+    var i = 0
+    while (i < n && !Character.isWhitespace(tagBody.charAt(i))) i += 1 // tag name
+    while (i < n) {
+      while (i < n && (Character.isWhitespace(tagBody.charAt(i)) || tagBody.charAt(i) == '/')) i += 1
+      if (i >= n) return None
+      val ns = i
+      while (i < n && !Character.isWhitespace(tagBody.charAt(i)) &&
+        tagBody.charAt(i) != '=' && tagBody.charAt(i) != '/') i += 1
+      val aname = tagBody.substring(ns, i)
+      while (i < n && Character.isWhitespace(tagBody.charAt(i))) i += 1
+      var value: String = null
+      if (i < n && tagBody.charAt(i) == '=') {
+        i += 1
+        while (i < n && Character.isWhitespace(tagBody.charAt(i))) i += 1
+        if (i >= n) value = ""
+        else {
+          val q = tagBody.charAt(i)
+          if (q == '"' || q == '\'') {
+            val end = tagBody.indexOf(q, i + 1)
+            value = tagBody.substring(i + 1, if (end < 0) n else end)
+            i = if (end < 0) n else end + 1
+          } else {
+            val vs = i
+            while (i < n && !Character.isWhitespace(tagBody.charAt(i))) i += 1
+            value = tagBody.substring(vs, i)
+          }
         }
-        var e = j
-        while (e < tagBody.length && !Character.isWhitespace(tagBody.charAt(e))) e += 1
-        return Some(decodeEntities(tagBody.substring(j, e)))
       }
-      from = at + name.length
+      if (aname.equalsIgnoreCase(name))
+        return Some(decodeEntities(if (value == null) "" else value))
     }
     None
   }

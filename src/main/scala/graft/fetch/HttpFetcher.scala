@@ -46,15 +46,13 @@ final class HttpFetcher(
         .header("User-Agent", userAgent)
         .GET()
         .build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
       val status = resp.statusCode()
       if (status >= 200 && status < 300) {
-        val bytes = resp.body()
-        val body = new String(bytes, 0, math.min(bytes.length, maxBodyBytes),
-          charsetOf(resp))
+        val body = new String(readBounded(resp.body()), charsetOf(resp))
         val canon = UrlCanon.canonicalize(url)
         (status, Some(Document(canon, HtmlSpans.parse(body))))
-      } else (status, None)
+      } else { resp.body().close(); (status, None) }
     } catch {
       case _: Exception => (599, None) // transport failure: a row, not a crash
     }
@@ -68,19 +66,38 @@ final class HttpFetcher(
         .header("User-Agent", userAgent)
         .GET()
         .build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
       val status = resp.statusCode()
-      if (status >= 200 && status < 300) {
-        val bytes = resp.body()
-        (status, Some(new String(bytes, 0, math.min(bytes.length, maxBodyBytes), charsetOf(resp))))
-      } else (status, None)
+      if (status >= 200 && status < 300)
+        (status, Some(new String(readBounded(resp.body()), charsetOf(resp))))
+      else { resp.body().close(); (status, None) }
     } catch {
       case _: Exception => (599, None)
     }
 
+  /** Read at most `maxBodyBytes` then CLOSE — the cap bounds what reaches
+    * the executor heap (a byte-array body handler would buffer a multi-GB
+    * or hostile unbounded response in full before any cap applied, and
+    * one such URL would OOM the fetch partition the 599-per-row posture
+    * protects). Closing mid-stream aborts the transfer. */
+  private def readBounded(in: java.io.InputStream): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.min(64 << 10, maxBodyBytes))
+      val buf = new Array[Byte](64 << 10)
+      var total = 0
+      var n = in.read(buf)
+      while (n >= 0 && total < maxBodyBytes) {
+        val take = math.min(n, maxBodyBytes - total)
+        out.write(buf, 0, take)
+        total += take
+        n = if (total < maxBodyBytes) in.read(buf) else -1
+      }
+      out.toByteArray
+    } finally in.close()
+
   /** Charset from Content-Type, defaulting to UTF-8 (the Diet sites are
     * UTF-8 or Shift_JIS — both resolvable by name here). */
-  private def charsetOf(resp: HttpResponse[Array[Byte]]): java.nio.charset.Charset = {
+  private def charsetOf(resp: HttpResponse[_]): java.nio.charset.Charset = {
     val ct = resp.headers().firstValue("Content-Type").orElse("")
     val m = "charset=([A-Za-z0-9_\\-]+)".r.findFirstMatchIn(ct)
     m.flatMap(g => scala.util.Try(java.nio.charset.Charset.forName(g.group(1))).toOption)

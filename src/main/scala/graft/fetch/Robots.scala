@@ -72,12 +72,29 @@ object Robots {
                 inMatchingGroup = true
                 currentIsExact = currentIsExact || tok != "*"
               }
+              // a specifically-matching group overrides the * group even
+              // when it carries no Disallow at all (RFC 9309: the most
+              // specific group applies — "User-agent: me\nDisallow:"
+              // means unrestricted for me, whatever * says)
+              if (currentIsExact) matchedSpecific = true
               sawAgentLine = true
             case "disallow" =>
               sawAgentLine = false
               if (inMatchingGroup && value.nonEmpty) {
-                if (currentIsExact) { exactPrefixes += value; matchedSpecific = true }
-                else starPrefixes += value
+                // wildcard rules are kept CONSERVATIVELY: the engine's
+                // gate is a prefix filter, so truncate at the first '*'
+                // (and drop a trailing '$' anchor) — the gate may then
+                // skip pages robots would allow, but never fetches one a
+                // wildcard rule forbids ("/private*" → "/private",
+                // "/*.pdf" → "/")
+                val lit0 = value.indexOf('*') match {
+                  case -1 => value
+                  case s => value.substring(0, s)
+                }
+                val lit = if (lit0.endsWith("$")) lit0.dropRight(1) else lit0
+                val prefix = if (lit.isEmpty) "/" else lit
+                if (currentIsExact) exactPrefixes += prefix
+                else starPrefixes += prefix
               }
             case _ =>
               sawAgentLine = false

@@ -103,14 +103,16 @@ object QueriesC {
 
     // SimHash blocked near-dup pairs, PROPERTY-oracled: the portable
     // 32-bit simhash (q27's exact formula, DuckDB-computable) runs through
-    // Dedup.simhashPairsFor with maxHamming=3 → 4 pigeonhole blocks of 8
-    // bits, where candidate generation is provably complete — so the
+    // Dedup.simhashPairsFor with maxHamming=3, agreeBlocks=2 → 5 pigeonhole
+    // blocks of 6-7 bits joined on the C(5,2)=10 pair-of-block keys, where
+    // candidate generation is provably complete (≤3 differing bits touch
+    // ≤3 blocks, so ≥2 of the 5 agree — some PAIR agrees exactly) — so the
     // blocked result EQUALS the brute-force thresholded pair set the
-    // oracle recomputes. (Round 2 called the 4-block join with
+    // oracle recomputes. (Round 2 called a 4-block single-key join with
     // maxHamming=18, beyond the pigeonhole guarantee, with no oracle to
     // catch the silently dropped pairs; the 64-bit xx scale twin
     // Dedup.simhashPairs shares this exact code path and is pinned by
-    // OpsSpec's brute-force equality test.)
+    // OpsSpec's brute-force equality test in BOTH agreeBlocks forms.)
     "q37_simhash_pairs_blocked" -> Q(
       (s, d) => {
         // cached: the block join reads the sigs relation once per side;

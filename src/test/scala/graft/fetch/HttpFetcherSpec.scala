@@ -78,6 +78,30 @@ class HttpFetcherSpec extends AnyFunSuite {
     assert(pos == pos.sorted && pos.forall(_ >= 0), spans.mkString("\n"))
   }
 
+  test("HtmlSpans regressions: inline img order, href-less anchors, unclosed cells, attr tokenizing") {
+    // inline <img> must not reorder or fuse the surrounding text nodes
+    val img = HtmlSpans.parse("""<p>犬<img src="/i.png">猫</p>""")
+    assert(img.map(s => (s.kind, s.text, s.media_ref)) == Seq(
+      (SpanKind.Text, "犬", ""), (SpanKind.Media, "", "/i.png"), (SpanKind.Text, "猫", "")))
+    // <a> without href is transparent — never a link span, text flows on
+    val anchor = HtmlSpans.parse("""<p><a name="top">先頭</a>の続き</p>""")
+    assert(!anchor.exists(_.kind == SpanKind.Link))
+    assert(anchor.exists(s => s.kind == SpanKind.Text && s.text.contains("先頭")))
+    // unclosed <a> inside an unclosed <td>: the anchor text reaches BOTH
+    // its link span and the enclosing cell's string(.) before the next
+    // cell opens
+    val cells = HtmlSpans.parse("""<tr><td>第1号 <a href="/b">犬法案<td>可決""")
+    val kinds = cells.map(s => (s.kind, s.text, s.media_ref))
+    assert(kinds.contains((SpanKind.Link, "犬法案", "/b")))
+    assert(kinds.contains((SpanKind.TableCell, "第1号 犬法案", "")))
+    assert(kinds.contains((SpanKind.TableCell, "可決", "")))
+    // attribute TOKENIZING: a name inside another attribute's quoted
+    // value must not win
+    val tricky = HtmlSpans.parse("""<a title="link href=/wrong" href="/right">次</a>""")
+    assert(tricky.map(s => (s.kind, s.media_ref)).contains((SpanKind.Link, "/right")))
+    assert(!tricky.exists(_.media_ref == "/wrong"))
+  }
+
   test("HttpFetcher: live fetch over loopback — status, charset, spans; 404 and dead port as data") {
     withServer(Map("/p0" -> page("トップ", """<a href="/p1">一</a>"""))) { base =>
       val f = new HttpFetcher()

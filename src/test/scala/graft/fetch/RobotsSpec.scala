@@ -40,6 +40,35 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parse("", agent = "x").isEmpty)
   }
 
+  test("parse: a specifically-matching allow-all group overrides the * group (RFC 9309)") {
+    val txt =
+      """User-agent: graft-crawler
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(Robots.parse(txt, agent = "graft-crawler/0.1").isEmpty) // unrestricted
+    assert(Robots.parse(txt, agent = "someone-else") == Seq("/"))
+  }
+
+  test("parse: wildcard rules truncate conservatively (never fetch a forbidden page)") {
+    val txt =
+      """User-agent: *
+        |Disallow: /private*
+        |Disallow: /*.pdf
+        |Disallow: /exact$
+        |""".stripMargin
+    val rules = Map("h" -> Robots.parse(txt))
+    // "/private*" ≡ prefix "/private"; "/*.pdf" over-blocks to "/";
+    // "/exact$" over-blocks to prefix "/exact" — skipping allowed pages
+    // is acceptable, fetching forbidden ones is not
+    assert(Robots.parse(txt) == Seq("/private", "/", "/exact"))
+    assert(!Robots.allowed(rules, "https://h/private/x"))
+    assert(!Robots.allowed(rules, "https://h/a.pdf"))
+    assert(!Robots.allowed(rules, "https://h/exact"))
+  }
+
   test("allowed: prefix gate matches the engine's candidate filter") {
     val rules = Map("h0.example.jp" -> Seq("/admin/"))
     assert(!Robots.allowed(rules, "https://h0.example.jp/admin/x"))
