@@ -84,6 +84,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
   }
 
+  test("simhash pair generation has NO aggregation after the join (witness dedup)") {
+    // the r3 plan ran distinct() over the joined candidates — matches were
+    // shuffled once per agreeing key; the canonical-witness predicate must
+    // leave the join as the LAST exchange-bearing operator
+    val plan = executed(
+      graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, agreeBlocks = 2))
+    def above(n: SparkPlan, stop: String => Boolean): Seq[String] = {
+      // node names from the root DOWN TO the first join: anything here runs
+      // on the join's output
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(x: SparkPlan): Boolean = { // true once a join was found below
+        val name = x.nodeName
+        if (stop(name)) true
+        else {
+          val sub = x match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
+            case other => other.children
+          }
+          val found = sub.exists(walk)
+          if (found) b += name
+          found
+        }
+      }
+      walk(n)
+      b.toSeq
+    }
+    val aboveJoin = above(plan, _.contains("Join"))
+    assert(aboveJoin.nonEmpty, "no join found in the simhashPairs plan")
+    assert(!aboveJoin.exists(n => n.contains("Aggregate") || n.contains("Exchange")),
+      aboveJoin)
+  }
+
   test("nearDupPairs drops degenerate signature buckets before pair expansion") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
