@@ -175,12 +175,18 @@ private[engine] object WaveCore {
     if (!fr.ok) Iterator.empty
     else {
       val parser = parserMap.getOrElse(fr.parse_fn, FollowAllLinks)
+      // relative hrefs resolve against the page that actually SERVED the
+      // document — after a redirect that is the final response URI, which
+      // URL-parsing fetchers record as doc_id (Scrapy's response.url);
+      // corpus fetchers use opaque doc ids, so fall back to the request URL
+      val base =
+        if (fr.doc_id != null && fr.doc_id.startsWith("http")) fr.doc_id else fr.url
       // host→bucket memo: a page's links are mostly same-host, and the
       // bucket hash of the one repeated host string is the same value
       var lastHost: String = null
       var lastBucket = 0
       parser.followUps(fr.document, fr.meta).iterator.zipWithIndex.flatMap { case (f, idx) =>
-        val abs = UrlCanon.resolve(fr.url, f.url)
+        val abs = UrlCanon.resolve(base, f.url)
         val canon = UrlCanon.canonicalize(abs)
         // reference-identical when the host repeats (the common case) —
         // no substring allocated, and `ne` skips the re-bucketing
@@ -1316,6 +1322,15 @@ class WaveEngine(
       flushLineage(wave, lineageBuf)
       saveFilters(wave, filters)
       writeState(wave, nextSeq, totalFetched, totalDeduped)
+      // same bounded-artifact discipline as the scalable path: resume
+      // reads only the committed wave's pending/filters
+      Option(new java.io.File(ckpt).listFiles()).getOrElse(Array.empty)
+        .filter { f =>
+          val nm = f.getName
+          (nm.startsWith("pending_w") && nm.stripPrefix("pending_w").toIntOption.exists(_ < wave)) ||
+            (nm.startsWith("filters_w") && nm.stripPrefix("filters_w").stripSuffix(".bin").toIntOption.exists(_ < wave))
+        }
+        .foreach(graft.util.Fs.deleteRecursively)
       compactSeen(wave) // single-URL waves accumulate one flush per checkpoint
       // truncate the in-memory seen view's plan to the durable data
       val flushedSeen = seenSoFar(wave).cache()

@@ -238,11 +238,14 @@ object HtmlSpans {
     None
   }
 
-  /** Whitespace-collapse + trim + entity decode (text-node normalization;
-    * matches the reference's strip()/join conventions closely enough for
-    * the E-plane transforms, which do their own exact cleaning). */
+  /** Whitespace-collapse + trim + entity decode: delegates to the
+    * pipeline's precompiled E18 normalizer (ScrapeFns.normalizeWhitespace)
+    * so text spans share the rest of the engine's whitespace convention —
+    * including the ideographic space U+3000 ubiquitous on the Diet target
+    * sites — and the hot text-node path compiles no per-call Pattern (the
+    * round-2 JFR finding). */
   private def squeeze(sb: StringBuilder): String =
-    decodeEntities(sb.toString).split("\\s+").filter(_.nonEmpty).mkString(" ").trim
+    graft.extract.ScrapeFns.normalizeWhitespace(decodeEntities(sb.toString))
 
   /** The handful of entities that matter for crawling (full charref
     * decoding belongs to a text-normalization transform, not the
@@ -263,8 +266,14 @@ object HtmlSpans {
             case "quot" => out.append('"'); i = semi + 1
             case "nbsp" => out.append(' '); i = semi + 1
             case "#39" | "apos" => out.append('\''); i = semi + 1
-            case ent if ent.startsWith("#") && ent.drop(1).forall(_.isDigit) =>
-              out.appendAll(Character.toChars(ent.drop(1).toInt)); i = semi + 1
+            case ent if ent.length > 1 && ent.startsWith("#") &&
+              ent.drop(1).forall(_.isDigit) =>
+              // bounded + validated: "&#;" / "&#99999999;" / surrogate
+              // code points must stay literal text, never crash the parse
+              val cp = ent.drop(1).toLong
+              if (cp <= Character.MAX_CODE_POINT && Character.isValidCodePoint(cp.toInt))
+                out.appendAll(Character.toChars(cp.toInt))
+              i = semi + 1
             case _ => out.append(c); i += 1
           }
         } else { out.append(c); i += 1 }

@@ -20,7 +20,15 @@ import java.time.Duration
  *  - transport failures (DNS, refused, timeout) return status 599 with
  *    no document — a row, not an exception, so one dead host can never
  *    fail a fetch partition (the reference's errback-free spiders drop
- *    failures the same way).
+ *    failures the same way). A task-kill interrupt is the one exception:
+ *    the interrupt status is RESTORED so Spark's cancellation actually
+ *    stops the partition instead of it politely fetching on.
+ *
+ * Redirects: the document's `doc_id` is the canonical FINAL response URI
+ * (`resp.uri()`), not the requested URL — the engine's candidate stage
+ * resolves relative hrefs against `doc_id` when it is a URL, so links on
+ * redirected pages resolve against the page that actually served them
+ * (Scrapy's `response.url` semantics).
  *
  * Serialization: the fetcher ships into `mapPartitions` tasks, so the
  * client is `@transient lazy` — each executor JVM builds its own
@@ -40,6 +48,23 @@ final class HttpFetcher(
     .build()
 
   def fetch(url: String): (Int, Option[Document]) =
+    get(url) match {
+      case (status, Some((body, finalUri))) =>
+        (status, Some(Document(UrlCanon.canonicalize(finalUri), HtmlSpans.parse(body))))
+      case (status, None) => (status, None)
+    }
+
+  /** Raw text body (no HTML parsing) — robots.txt, sitemaps, API JSON.
+    * Same status/transport posture as [[fetch]]. */
+  def fetchText(url: String): (Int, Option[String]) =
+    get(url) match {
+      case (status, Some((body, _))) => (status, Some(body))
+      case (status, None) => (status, None)
+    }
+
+  /** The one request path both surfaces share: build, send, bounded read,
+    * charset decode, error posture. Returns (status, (body, finalUri)). */
+  private def get(url: String): (Int, Option[(String, String)]) =
     try {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(timeoutMs))
@@ -50,29 +75,13 @@ final class HttpFetcher(
       val status = resp.statusCode()
       if (status >= 200 && status < 300) {
         val body = new String(readBounded(resp.body()), charsetOf(resp))
-        val canon = UrlCanon.canonicalize(url)
-        (status, Some(Document(canon, HtmlSpans.parse(body))))
+        (status, Some((body, resp.uri().toString)))
       } else { resp.body().close(); (status, None) }
     } catch {
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt() // keep Spark's task kill effective
+        (599, None)
       case _: Exception => (599, None) // transport failure: a row, not a crash
-    }
-
-  /** Raw text body (no HTML parsing) — robots.txt, sitemaps, API JSON.
-    * Same status/transport posture as [[fetch]]. */
-  def fetchText(url: String): (Int, Option[String]) =
-    try {
-      val req = HttpRequest.newBuilder(URI.create(url))
-        .timeout(Duration.ofMillis(timeoutMs))
-        .header("User-Agent", userAgent)
-        .GET()
-        .build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
-      val status = resp.statusCode()
-      if (status >= 200 && status < 300)
-        (status, Some(new String(readBounded(resp.body()), charsetOf(resp))))
-      else { resp.body().close(); (status, None) }
-    } catch {
-      case _: Exception => (599, None)
     }
 
   /** Read at most `maxBodyBytes` then CLOSE — the cap bounds what reaches
@@ -95,11 +104,12 @@ final class HttpFetcher(
       out.toByteArray
     } finally in.close()
 
-  /** Charset from Content-Type, defaulting to UTF-8 (the Diet sites are
-    * UTF-8 or Shift_JIS — both resolvable by name here). */
+  /** Charset from Content-Type — bare or RFC 9110 quoted parameter form —
+    * defaulting to UTF-8 (the Diet sites are UTF-8 or Shift_JIS, both
+    * resolvable by name here). */
   private def charsetOf(resp: HttpResponse[_]): java.nio.charset.Charset = {
     val ct = resp.headers().firstValue("Content-Type").orElse("")
-    val m = "charset=([A-Za-z0-9_\\-]+)".r.findFirstMatchIn(ct)
+    val m = "(?i)charset=\"?([A-Za-z0-9_\\-]+)\"?".r.findFirstMatchIn(ct)
     m.flatMap(g => scala.util.Try(java.nio.charset.Charset.forName(g.group(1))).toOption)
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
   }

@@ -134,7 +134,12 @@ object Robots {
         }
       }
       body.map(b => parse(b, agent)).filter(_.nonEmpty).map(gateKey -> _)
-    }.toMap
+    }
+      // several authorities (ports/schemes) can collapse to one gate key:
+      // UNION their rules — toMap's last-wins would silently drop an
+      // earlier authority's disallows and fetch a forbidden page
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.flatMap(_._2).distinct.toSeq }
 
   /** Does `url` pass the given rules? (The same prefix test the engine's
     * candidate gate applies — exposed for tests and ad-hoc use.) */

@@ -102,6 +102,59 @@ class HttpFetcherSpec extends AnyFunSuite {
     assert(!tricky.exists(_.media_ref == "/wrong"))
   }
 
+  test("HtmlSpans: malformed entities stay literal; U+3000 runs collapse like the E18 plane") {
+    // "&#;" and out-of-range charrefs must never crash the parse (the
+    // fetcher's catch-all would mislabel the page a 599 transport failure)
+    val s1 = HtmlSpans.parse("<p>a&#;b &#99999999; c</p>")
+    assert(s1.exists(_.kind == SpanKind.Text), s1)
+    // ideographic space: same normalizer as ScrapeFns.normalizeWhitespace
+    val s2 = HtmlSpans.parse("<p>犬　　猫</p>")
+    assert(s2.map(_.text) == Seq("犬 猫"), s2)
+  }
+
+  test("HttpFetcher resolves a redirected page's links against the FINAL uri (response.url semantics)") {
+    val server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        ex.getRequestURI.getPath match {
+          case "/a" =>
+            ex.getResponseHeaders.set("Location", "/sub/")
+            ex.sendResponseHeaders(301, -1)
+          case "/sub/" =>
+            val b = page("sub", """<a href="x.html">エックス</a>""").getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "text/html; charset=\"UTF-8\"") // quoted form
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          case "/sub/x.html" =>
+            val b = page("x", "終端").getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          case _ => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new HttpFetcher()
+      val (st, doc) = f.fetch(s"$base/a")
+      assert(st == 200)
+      assert(doc.get.doc_id.endsWith("/sub/"), doc.get.doc_id) // final uri, canonical
+      assert(doc.get.spans.exists(s => s.kind == SpanKind.Title && s.text == "sub")) // quoted charset decoded
+      // the engine resolves the relative href against the REDIRECTED base
+      val ckpt = SparkTestSession.tmpDir("redircrawl")
+      val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
+      val engine = new WaveEngine(spark, f, parsers,
+        CrawlConfig(checkpointDir = ckpt, hostBuckets = 2, fetchPartitions = 2))
+      engine.run(Seq(SeedSpec(s"$base/a")))
+      import spark.implicits._
+      val rows = engine.fetchedTable().select($"canonical", $"status").as[(String, Int)].collect().toMap
+      assert(rows(UrlCanon.canonicalize(s"$base/sub/x.html")) == 200, rows) // NOT /x.html
+      assert(!rows.keys.exists(_.endsWith(s":${server.getAddress.getPort}/x.html")), rows)
+    } finally server.stop(0)
+  }
+
   test("HttpFetcher: live fetch over loopback — status, charset, spans; 404 and dead port as data") {
     withServer(Map("/p0" -> page("トップ", """<a href="/p1">一</a>"""))) { base =>
       val f = new HttpFetcher()

@@ -69,6 +69,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.allowed(rules, "https://h/exact"))
   }
 
+  test("fetchRules: authorities collapsing to one gate key UNION their rules") {
+    // two fixture fetchers standing in for two ports of one host — the
+    // gate key strips the port, and last-wins would drop the first
+    // authority's disallows
+    val f = new Fetcher {
+      def fetch(url: String): (Int, Option[graft.model.Document]) = {
+        val lines =
+          if (url.contains(":81/")) Seq("User-agent: *", "Disallow: /a")
+          else Seq("User-agent: *", "Disallow: /b")
+        (200, Some(graft.model.Document(url,
+          lines.zipWithIndex.map { case (l, i) => graft.model.Span("text", l, "", i) })))
+      }
+    }
+    val rules = Robots.fetchRules(f, Seq("site.example.jp:81", "site.example.jp:82"))
+    assert(rules == Map("site.example.jp" -> Seq("/a", "/b")))
+  }
+
   test("allowed: prefix gate matches the engine's candidate filter") {
     val rules = Map("h0.example.jp" -> Seq("/admin/"))
     assert(!Robots.allowed(rules, "https://h0.example.jp/admin/x"))
