@@ -51,6 +51,21 @@ final case class CrawlConfig(
     referenceOrder: Boolean = false, // replay Scrapy's sequential LIFO order exactly
     robotsEnabled: Boolean = false, // reference: ROBOTSTXT_OBEY = False (settings.py:20)
     robotsDisallow: Map[String, Seq[String]] = Map.empty, // host -> path prefixes
+    // S12 at depth — robots for hosts DISCOVERED mid-crawl: a driver-side
+    // callback (new hosts → host → policy, e.g.
+    // `hs => Robots.fetchPolicies(fetcher, hs)`) invoked at the wave
+    // boundary for hosts making their first frontier appearance, BEFORE any
+    // page of theirs is fetched (real-crawler semantics: robots.txt
+    // resolves ahead of page one). Resolved Disallow prefixes extend
+    // `robotsDisallow` for both the fetch-time gate and subsequent
+    // candidate emission; a Crawl-delay extends `hostRps` with
+    // min(politenessRps, 1/delay). None = static maps only (the seed-host
+    // workflow); ignored when robotsEnabled = false.
+    robotsResolve: Option[Seq[String] => Map[String, graft.fetch.RobotsPolicy]] = None,
+    // per-host politeness override (host → requests/sec), e.g. built from
+    // seed-host robots Crawl-delay as 1/delay; hosts absent here pace at
+    // `politenessRps`. Empty = the scalar fast path (bench unchanged).
+    hostRps: Map[String, Double] = Map.empty,
     maxWaves: Int = 10000,
     maxUrls: Long = Long.MaxValue,
     // S11 — fetch cache: point at a prior run's `fetched` dir to reuse
@@ -255,11 +270,12 @@ private[engine] object WaveCore {
   }
 
   /** Per-partition politeness + fetch: per host, slots in (priority desc,
-    * seq) order, paced at `rps`. In realtime mode the pace is enforced
-    * with actual sleeps against the wall clock and `fetched_at_ms` records
-    * the true fetch time; in simulated mode the planned timestamp is
-    * recorded (deterministic). `stored_at_ms` is wall-clock in BOTH modes
-    * — it alone feeds the fetch-cache TTL (S11). */
+    * seq) order, paced at `rps` — or at `hostRps(host)` where a per-host
+    * override exists (robots Crawl-delay). In realtime mode the pace is
+    * enforced with actual sleeps against the wall clock and
+    * `fetched_at_ms` records the true fetch time; in simulated mode the
+    * planned timestamp is recorded (deterministic). `stored_at_ms` is
+    * wall-clock in BOTH modes — it alone feeds the fetch-cache TTL (S11). */
   def fetchIter(
       it: Iterator[UrlRecord],
       f: Fetcher,
@@ -268,7 +284,8 @@ private[engine] object WaveCore {
       fetchWave: Int,
       waveStartMs: Long,
       lineageAcc: CollectionAccumulator[(Int, Long, Long, Long)],
-      pace: Map[Long, Long] = Map.empty): Iterator[FetchResult] = {
+      pace: Map[Long, Long] = Map.empty,
+      hostRps: Map[String, Double] = Map.empty): Iterator[FetchResult] = {
     // one comparator sort groups hosts AND orders each host's run by
     // (priority desc, seq) — replaces groupBy + per-host sortBy, which
     // allocated a map, per-host arrays, and a tuple key per row
@@ -288,6 +305,7 @@ private[engine] object WaveCore {
       private var slot = 0
       private var prevHost: String = null
       private var hostStartMs = waveStartMs
+      private var hostMsPerFetch = 1000.0 / rps
       private var nIn = 0L
       private var nOk = 0L
       private var nErr = 0L
@@ -315,8 +333,10 @@ private[engine] object WaveCore {
           hostStartMs =
             if (pace.isEmpty) waveStartMs
             else math.max(waveStartMs, pace.getOrElse(UrlCanon.urlHash(r.host), 0L))
+          if (!hostRps.isEmpty) // scalar fast path stays allocation-free
+            hostMsPerFetch = 1000.0 / hostRps.getOrElse(r.host, rps)
         }
-        val plannedMs = hostStartMs + math.round(slot * 1000.0 / rps)
+        val plannedMs = hostStartMs + math.round(slot * hostMsPerFetch)
         val fetchedAt = if (realtime) {
           val now = System.currentTimeMillis()
           if (plannedMs > now) Thread.sleep(plannedMs - now)
@@ -905,7 +925,12 @@ class WaveEngine(
     val parsersB = sc.broadcast(parsers)
     val buckets = cfg.hostBuckets
     val robotsEnabled = cfg.robotsEnabled
-    val robots = cfg.robotsDisallow
+    // rules for hosts discovered mid-crawl extend these maps at the wave
+    // boundary (see the hook at the top of the loop); static when no
+    // resolver is configured — the common paths never touch them
+    var robotsMap = cfg.robotsDisallow
+    var hostRpsMap = cfg.hostRps
+    var robotsResolved: Set[String] = robotsMap.keySet ++ hostRpsMap.keySet
     val maxPerHost = cfg.maxPerHostPerWave
     val fetcherL = fetcher
     val rps = cfg.politenessRps
@@ -940,6 +965,48 @@ class WaveEngine(
       val waveStartMs =
         if (realtime) System.currentTimeMillis() else t0 + wave.toLong * 1000L
       val fetchWave = wave
+
+      // S12 mid-crawl host discovery: resolve robots for hosts making
+      // their first frontier appearance, then drop this wave's pending
+      // rows the new rules forbid (their candidate-emission gate
+      // necessarily ran before the rules existed). Costs one tiny
+      // driver-side job per wave — O(distinct hosts) strings — on the
+      // robots-enabled-with-resolver path only, plus one re-count on the
+      // rare wave where a newly resolved host actually carries rules.
+      if (robotsEnabled && cfg.robotsResolve.isDefined) {
+        val waveHosts = pending.map(_._2.host).distinct().collect()
+        val novelHosts = waveHosts.filterNot(robotsResolved)
+        if (novelHosts.nonEmpty) {
+          robotsResolved ++= novelHosts
+          val policies = cfg.robotsResolve.get(novelHosts.toSeq.sorted)
+          // a Crawl-delay only ever SLOWS a host below the global pace —
+          // robots cannot grant more than the operator configured
+          hostRpsMap ++= policies.collect {
+            case (h, p) if p.crawlDelaySec.exists(_ > 1.0 / rps) =>
+              h -> 1.0 / p.crawlDelaySec.get
+          }
+          val newRules = policies.collect {
+            case (h, p) if p.disallow.nonEmpty => h -> p.disallow
+          }
+          if (newRules.nonEmpty) {
+            robotsMap ++= newRules
+            val gate = newRules // local: the closure must not capture vars
+            val gated = pending.filter { case (_, r) =>
+              !gate.getOrElse(r.host, Nil)
+                .exists(p => UrlCanon.parse(r.canonical).path.startsWith(p))
+            }.persist(StorageLevel.MEMORY_AND_DISK)
+            batchCount = gated.count()
+            pendingRetained.foreach(_.unpersist(blocking = false))
+            pending = gated
+            pendingRetained = Some(gated: RDD[_])
+            // batchCount may now be 0: the wave runs empty and the loop's
+            // own exit condition fires at its end — no special case
+          }
+        }
+      }
+      // per-wave snapshots for the task closures (the vars above advance)
+      val robotsW = robotsMap
+      val hostRpsW = hostRpsMap
 
       // batch selection: per-host politeness budget, partition-local
       // (hosts never span buckets, buckets never span partitions). The
@@ -983,10 +1050,11 @@ class WaveEngine(
               }
             }
             WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs,
-              lineageAcc, pace)
+              lineageAcc, pace, hostRpsW)
           }
         else rows.mapPartitions(it =>
-          WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs, lineageAcc))
+          WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs,
+            lineageAcc, hostRps = hostRpsW))
 
       // fetch (serving fresh cache hits without politeness slots — S11)
       val fetchedRdd: RDD[FetchResult] = cacheDF match {
@@ -1039,17 +1107,19 @@ class WaveEngine(
             val prev = lastMs.get(fr.host)
             if (prev == null || prev._2 < fr.fetched_at_ms)
               lastMs.put(fr.host, (fr.host_bucket, fr.fetched_at_ms))
-            WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots)
+            WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robotsW)
           }).map(c => (c.host_bucket, c))
           // ++ is by-name: the marks build AFTER `main` is exhausted
           main ++ lastMs.entrySet().iterator().asScala.map { e =>
             val (b, ms) = e.getValue
-            (b, WaveCore.paceMark(e.getKey, b, ms + math.round(1000.0 / rps)))
+            val hostMs = math.round(
+              1000.0 / (if (hostRpsW.isEmpty) rps else hostRpsW.getOrElse(e.getKey, rps)))
+            (b, WaveCore.paceMark(e.getKey, b, ms + hostMs))
           }
         }
         else fetched.mapPartitions(it =>
           WaveCore.combineCandidates(it.flatMap(fr =>
-              WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robots)))
+              WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robotsW)))
             .map(c => (c.host_bucket, c)))
       val cands = candsRaw.partitionBy(partitioner)
 

@@ -25,29 +25,45 @@ import graft.urls.UrlCanon
  *    are ignored.
  *
  * [[fetchRules]] resolves each host's `https://host/robots.txt` through
- * any [[Fetcher]] — one bounded fetch per distinct host, driver-side,
- * BEFORE the crawl starts (hosts come from the seed list; robots for
- * hosts discovered mid-crawl would need the same map extended at a
- * checkpoint boundary — documented deployment note, not engine logic).
- * A missing robots.txt (404, transport failure) means no restrictions,
- * per the REP.
+ * any [[Fetcher]] — one bounded fetch per distinct host, driver-side.
+ * Seed hosts resolve BEFORE the crawl starts; hosts discovered mid-crawl
+ * resolve at the wave boundary before their first page fetch via
+ * `CrawlConfig.robotsResolve = Some(hs => Robots.fetchRules(fetcher, hs))`
+ * (the engine calls it once per novel host and extends its gate map —
+ * see WaveEngine's loop hook). A missing robots.txt (404, transport
+ * failure) means no restrictions, per the REP.
  *
  * Note: [[HttpFetcher]] parses fetched bodies as HTML, so `fetchRules`
  * takes raw text through a dedicated plain-text fetch when given an
  * HttpFetcher; for corpus-backed fetchers the robots body is the
  * document's concatenated text spans.
  */
+/** One host's parsed robots policy: Disallow path prefixes plus the
+  * non-standard-but-ubiquitous `Crawl-delay` (seconds between fetches —
+  * the reference's own politeness is a global `DOWNLOAD_DELAY = 1`,
+  * /root/reference/crawler/settings.py:28; per-host robots delay is the
+  * per-host generalization the engine's pace map already models). */
+final case class RobotsPolicy(
+    disallow: Seq[String] = Nil,
+    crawlDelaySec: Option[Double] = None)
+
 object Robots {
 
   /** Disallow prefixes applicable to `agent` (default: the wildcard
     * group). */
-  def parse(robotsTxt: String, agent: String = "*"): Seq[String] = {
+  def parse(robotsTxt: String, agent: String = "*"): Seq[String] =
+    parsePolicy(robotsTxt, agent).disallow
+
+  /** Full policy (prefixes + crawl-delay) for `agent`. */
+  def parsePolicy(robotsTxt: String, agent: String = "*"): RobotsPolicy = {
     val lowerAgent = agent.toLowerCase
     var inMatchingGroup = false
     var matchedSpecific = false // an exact-agent group beats earlier * groups
     var sawAgentLine = false // inside a run of user-agent lines
     val starPrefixes = scala.collection.mutable.ArrayBuffer[String]()
     val exactPrefixes = scala.collection.mutable.ArrayBuffer[String]()
+    var starDelay: Option[Double] = None
+    var exactDelay: Option[Double] = None
     var currentIsExact = false
 
     for (raw <- robotsTxt.linesIterator) {
@@ -96,13 +112,25 @@ object Robots {
                 if (currentIsExact) exactPrefixes += prefix
                 else starPrefixes += prefix
               }
+            case "crawl-delay" =>
+              sawAgentLine = false
+              if (inMatchingGroup) {
+                // non-numeric values are ignored; several delays in the
+                // applicable groups keep the MAX (conservative: slower)
+                value.toDoubleOption.filter(d => d > 0 && d.isFinite).foreach { d =>
+                  if (currentIsExact)
+                    exactDelay = Some(exactDelay.fold(d)(math.max(_, d)))
+                  else starDelay = Some(starDelay.fold(d)(math.max(_, d)))
+                }
+              }
             case _ =>
               sawAgentLine = false
           }
         }
       }
     }
-    (if (matchedSpecific) exactPrefixes else starPrefixes).distinct.toSeq
+    if (matchedSpecific) RobotsPolicy(exactPrefixes.distinct.toSeq, exactDelay)
+    else RobotsPolicy(starPrefixes.distinct.toSeq, starDelay)
   }
 
   /** Build `CrawlConfig.robotsDisallow` for a set of hosts by fetching
@@ -119,6 +147,13 @@ object Robots {
     * key the engine's candidate gate looks up. */
   def fetchRules(fetcher: Fetcher, hosts: Seq[String],
       agent: String = "*", scheme: String = "https"): Map[String, Seq[String]] =
+    fetchPolicies(fetcher, hosts, agent, scheme)
+      .collect { case (k, p) if p.disallow.nonEmpty => k -> p.disallow }
+
+  /** Like [[fetchRules]] but returns the full per-host policy (disallow
+    * prefixes + crawl-delay). Hosts with neither restriction are absent. */
+  def fetchPolicies(fetcher: Fetcher, hosts: Seq[String],
+      agent: String = "*", scheme: String = "https"): Map[String, RobotsPolicy] =
     hosts.distinct.flatMap { host =>
       val url = s"$scheme://$host/robots.txt"
       val gateKey = UrlCanon.hostOf(UrlCanon.canonicalize(url))
@@ -133,13 +168,19 @@ object Robots {
           case _ => None
         }
       }
-      body.map(b => parse(b, agent)).filter(_.nonEmpty).map(gateKey -> _)
+      body.map(b => parsePolicy(b, agent))
+        .filter(p => p.disallow.nonEmpty || p.crawlDelaySec.nonEmpty)
+        .map(gateKey -> _)
     }
       // several authorities (ports/schemes) can collapse to one gate key:
-      // UNION their rules — toMap's last-wins would silently drop an
-      // earlier authority's disallows and fetch a forbidden page
+      // UNION their prefixes and keep the slowest delay — last-wins would
+      // silently drop an earlier authority's restrictions
       .groupBy(_._1)
-      .map { case (k, vs) => k -> vs.flatMap(_._2).distinct.toSeq }
+      .map { case (k, vs) =>
+        k -> RobotsPolicy(
+          vs.flatMap(_._2.disallow).distinct.toSeq,
+          vs.flatMap(_._2.crawlDelaySec).maxOption)
+      }
 
   /** Does `url` pass the given rules? (The same prefix test the engine's
     * candidate gate applies — exposed for tests and ad-hoc use.) */

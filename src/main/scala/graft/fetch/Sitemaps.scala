@@ -1,0 +1,122 @@
+package graft.fetch
+
+import graft.engine.SeedSpec
+import graft.urls.UrlCanon
+
+/**
+ * Sitemap ingestion for the deployable fetch path — the standard way a
+ * production crawl seeds beyond a hand-written list. The reference seeds
+ * every spider from hard-coded start URLs (e.g.
+ * /root/reference/crawler/spiders/shugiin_spider.py:12); sitemaps are the
+ * S2-static-seed-list generalization a from-scratch engine wants: the
+ * host publishes its own frontier.
+ *
+ * Scope (deliberate):
+ *  - `sitemaps.org` XML: `<urlset><url><loc>` leaf documents and
+ *    `<sitemapindex><sitemap><loc>` index documents, one recursion level
+ *    deep (the spec allows indexes of indexes; real sites use one level —
+ *    deeper nesting is truncated by `maxDepth`).
+ *  - discovery per RFC 9309 §2.3 + sitemaps.org: `Sitemap:` lines in
+ *    robots.txt (NOT group-scoped — they apply regardless of user-agent,
+ *    so parsing here scans every line), falling back to the conventional
+ *    `/sitemap.xml` when robots lists none.
+ *  - everything driver-side and bounded: `maxUrls` caps the returned seed
+ *    list, `maxSitemaps` caps sitemap-document fetches — a hostile or
+ *    broken index cannot make seeding unbounded. At 100 TB scale the seed
+ *    list is input to the frontier, never the frontier itself: millions of
+ *    sitemap URLs would instead be written to a parquet seed table and fed
+ *    through `Sources.urlListFile` (S8); this helper targets the
+ *    tens-of-thousands case where driver-side assembly is fine.
+ *  - plain XML only; `.xml.gz` sitemaps would need the fetcher's byte
+ *    path (documented gap — the corpus/loopback fetchers are text-only).
+ */
+object Sitemaps {
+
+  /** Parsed sitemap document: leaf page URLs and/or child sitemap URLs. */
+  final case class SitemapDoc(urls: Seq[String], sitemaps: Seq[String])
+
+  private val SitemapLine = "(?i)^sitemap\\s*:\\s*(\\S+)\\s*$".r
+
+  /** `Sitemap:` URLs listed in a robots.txt body. Cross-group per the
+    * protocol: scanned independently of any User-agent group. */
+  def sitemapUrlsInRobots(robotsTxt: String): Seq[String] =
+    robotsTxt.linesIterator.flatMap { raw =>
+      val line = raw.replace("﻿", "").trim
+      SitemapLine.findFirstMatchIn(line).map(_.group(1))
+    }.toSeq.distinct
+
+  /** Parse one sitemap XML body. Elements outside `<url>`/`<sitemap>`
+    * blocks are ignored; `<loc>` values are XML-unescaped and trimmed.
+    * Malformed XML degrades to "whatever well-formed blocks exist" —
+    * seeding is best-effort, never an exception. */
+  def parse(xml: String): SitemapDoc = {
+    def locsIn(body: String, block: String): Seq[String] = {
+      val blockRe = s"(?is)<$block\\b[^>]*>(.*?)</$block>".r
+      val locRe = "(?is)<loc\\b[^>]*>(.*?)</loc>".r
+      blockRe.findAllMatchIn(body).flatMap { m =>
+        locRe.findFirstMatchIn(m.group(1)).map(l => unescape(l.group(1).trim))
+      }.filter(_.nonEmpty).toSeq
+    }
+    SitemapDoc(urls = locsIn(xml, "url"), sitemaps = locsIn(xml, "sitemap"))
+  }
+
+  private def unescape(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+
+  /** Raw text of `url` through any fetcher: HttpFetcher uses its
+    * non-HTML-parsing path; corpus fetchers rebuild the body from the
+    * document's text spans (one line per span — the fixture convention,
+    * same as [[Robots.fetchPolicies]]). */
+  private def fetchBody(fetcher: Fetcher, url: String): Option[String] =
+    fetcher match {
+      case h: HttpFetcher => h.fetchText(url) match {
+        case (s, b) if s >= 200 && s < 300 => b
+        case _ => None
+      }
+      case f => f.fetch(url) match {
+        case (s, Some(doc)) if s >= 200 && s < 300 =>
+          Some(doc.spans.map(_.text).filter(_.nonEmpty).mkString("\n"))
+        case _ => None
+      }
+    }
+
+  /** Sitemap URLs a host advertises: robots.txt `Sitemap:` lines, else
+    * the conventional `https://host/sitemap.xml`. */
+  def discover(fetcher: Fetcher, host: String, scheme: String = "https"): Seq[String] = {
+    val listed = fetchBody(fetcher, s"$scheme://$host/robots.txt")
+      .map(sitemapUrlsInRobots).getOrElse(Nil)
+    if (listed.nonEmpty) listed else Seq(s"$scheme://$host/sitemap.xml")
+  }
+
+  /** Resolve `hosts`' sitemaps into a bounded, canonical-deduped seed
+    * list. Index documents recurse up to `maxDepth` levels; at most
+    * `maxSitemaps` sitemap documents are fetched and at most `maxUrls`
+    * seeds returned (first-listed wins — sitemaps.org orders by
+    * publisher priority). */
+  def seeds(
+      fetcher: Fetcher,
+      hosts: Seq[String],
+      parseFn: String = "follow_links",
+      scheme: String = "https",
+      maxUrls: Int = 100000,
+      maxSitemaps: Int = 256,
+      maxDepth: Int = 2): Seq[SeedSpec] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    var fetched = 0
+    def walk(sitemapUrl: String, depth: Int): Unit =
+      if (fetched < maxSitemaps && out.size < maxUrls) {
+        fetched += 1
+        fetchBody(fetcher, sitemapUrl).foreach { body =>
+          val doc = parse(body)
+          doc.urls.iterator
+            .takeWhile(_ => out.size < maxUrls)
+            .foreach(u => out += UrlCanon.canonicalize(u))
+          if (depth < maxDepth) doc.sitemaps.foreach(walk(_, depth + 1))
+        }
+      }
+    hosts.distinct.foreach(h => discover(fetcher, h, scheme).foreach(walk(_, 1)))
+    out.iterator.map(u => SeedSpec(u, parseFn)).toSeq
+  }
+}

@@ -69,6 +69,62 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.allowed(rules, "https://h/exact"))
   }
 
+  test("parsePolicy: Crawl-delay — group-scoped, specific overrides *, junk ignored, max wins") {
+    val txt =
+      """User-agent: *
+        |Crawl-delay: 2
+        |Crawl-delay: 5
+        |Disallow: /a
+        |
+        |User-agent: graft-crawler
+        |Crawl-delay: 0.5
+        |
+        |User-agent: otherbot
+        |Crawl-delay: 60
+        |""".stripMargin
+    assert(Robots.parsePolicy(txt) == RobotsPolicy(Seq("/a"), Some(5.0))) // max of the * group
+    // the specific group's delay applies even though * asks for more
+    assert(Robots.parsePolicy(txt, agent = "graft-crawler/0.1") ==
+      RobotsPolicy(Nil, Some(0.5)))
+    assert(Robots.parsePolicy("User-agent: *\nCrawl-delay: nope\n") ==
+      RobotsPolicy(Nil, None)) // non-numeric ignored
+    assert(Robots.parsePolicy("User-agent: *\nCrawl-delay: -3\n") ==
+      RobotsPolicy(Nil, None)) // non-positive ignored
+  }
+
+  test("crawl-delay paces a discovered host below the global rps (simulated plan)") {
+    import graft.model.{Document, Span}
+    def page(url: String, links: String*): (String, Document) =
+      url -> Document(url, links.zipWithIndex.map { case (l, i) => Span("link", "", l, i) })
+    val pages = Map(
+      page("https://a.example.jp/p0",
+        "https://a.example.jp/p1", "https://a.example.jp/p2",
+        "https://c.example.jp/1", "https://c.example.jp/2", "https://c.example.jp/3"),
+      page("https://a.example.jp/p1"), page("https://a.example.jp/p2"),
+      page("https://c.example.jp/1"), page("https://c.example.jp/2"),
+      page("https://c.example.jp/3"))
+    val resolve: Seq[String] => Map[String, RobotsPolicy] = hs =>
+      hs.collect { case h if h == "c.example.jp" =>
+        h -> RobotsPolicy(Nil, crawlDelaySec = Some(2.0))
+      }.toMap
+    val ckpt = SparkTestSession.tmpDir("robotsdelay")
+    val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
+    val engine = new WaveEngine(spark, new MapFetcher(pages), parsers,
+      CrawlConfig(checkpointDir = ckpt, hostBuckets = 2, fetchPartitions = 2,
+        politenessRps = 1.0, robotsEnabled = true, robotsResolve = Some(resolve)))
+    engine.run(Seq(SeedSpec("https://a.example.jp/p0")))
+    import spark.implicits._
+    // simulated fetched_at_ms is the deterministic politeness PLAN — the
+    // per-host slot spacing is directly observable without sleeping
+    def gaps(host: String): Seq[Long] = {
+      val ts = engine.fetchedTable().filter($"host" === host && $"wave" === 1)
+        .select($"fetched_at_ms").as[Long].collect().sorted
+      ts.zip(ts.tail).map { case (x, y) => y - x }.toSeq
+    }
+    assert(gaps("c.example.jp") == Seq(2000L, 2000L)) // 1/delay = 0.5 rps
+    assert(gaps("a.example.jp") == Seq(1000L)) // default politenessRps
+  }
+
   test("fetchRules: authorities collapsing to one gate key UNION their rules") {
     // two fixture fetchers standing in for two ports of one host — the
     // gate key strips the port, and last-wins would drop the first
@@ -91,6 +147,42 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.allowed(rules, "https://h0.example.jp/admin/x"))
     assert(Robots.allowed(rules, "https://h0.example.jp/public"))
     assert(Robots.allowed(rules, "https://h1.example.jp/admin/x")) // other host
+  }
+
+  test("mid-crawl host discovery: robotsResolve gates a host's pages before its first fetch") {
+    import graft.model.{Document, Span}
+    def page(url: String, links: String*): (String, Document) =
+      url -> Document(url, links.zipWithIndex.map { case (l, i) => Span("link", "", l, i) })
+    val pages = Map(
+      page("https://a.example.jp/p0",
+        "https://b.example.jp/ok", "https://b.example.jp/private/x"),
+      // /ok links DEEPER into the forbidden tree: by the wave that fetches
+      // it, b's rules are resolved, so candidate EMISSION must drop /private/y
+      page("https://b.example.jp/ok", "https://b.example.jp/private/y"),
+      page("https://b.example.jp/private/x"),
+      page("https://b.example.jp/private/y"))
+    val calls = scala.collection.mutable.ArrayBuffer[Seq[String]]() // driver-side only
+    val resolve: Seq[String] => Map[String, RobotsPolicy] = { hs =>
+      calls += hs
+      hs.collect {
+        case h if h == "b.example.jp" => h -> RobotsPolicy(Seq("/private"))
+      }.toMap
+    }
+    val ckpt = SparkTestSession.tmpDir("robotsmidcrawl")
+    val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
+    val engine = new WaveEngine(spark, new MapFetcher(pages), parsers,
+      CrawlConfig(checkpointDir = ckpt, hostBuckets = 2, fetchPartitions = 2,
+        robotsEnabled = true, robotsResolve = Some(resolve)))
+    engine.run(Seq(SeedSpec("https://a.example.jp/p0")))
+    import spark.implicits._
+    val fetched = engine.fetchedTable().select($"canonical").as[String].collect().toSet
+    // b was unknown when /private/x was DISCOVERED (wave 0 emission ran
+    // with no rules for it) — the wave-boundary fetch gate still kept it
+    // from ever being fetched
+    assert(fetched == Set("https://a.example.jp/p0", "https://b.example.jp/ok"), fetched)
+    // each host resolved exactly once, never re-resolved on later waves
+    assert(calls.flatten.count(_ == "a.example.jp") == 1, calls)
+    assert(calls.flatten.count(_ == "b.example.jp") == 1, calls)
   }
 
   test("fetchRules over live HTTP feeds the engine's robots gate end-to-end") {
