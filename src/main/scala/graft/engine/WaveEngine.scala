@@ -52,20 +52,28 @@ final case class CrawlConfig(
     robotsEnabled: Boolean = false, // reference: ROBOTSTXT_OBEY = False (settings.py:20)
     robotsDisallow: Map[String, Seq[String]] = Map.empty, // host -> path prefixes
     // S12 at depth — robots for hosts DISCOVERED mid-crawl: a driver-side
-    // callback (new hosts → host → policy, e.g.
-    // `hs => Robots.fetchPolicies(fetcher, hs)`) invoked at the wave
-    // boundary for hosts making their first frontier appearance, BEFORE any
-    // page of theirs is fetched (real-crawler semantics: robots.txt
-    // resolves ahead of page one). Resolved Disallow prefixes extend
-    // `robotsDisallow` for both the fetch-time gate and subsequent
-    // candidate emission; a Crawl-delay extends `hostRps` with
-    // min(politenessRps, 1/delay). None = static maps only (the seed-host
+    // callback (new ORIGINS like "https://site.example.jp:8080" → gate-key
+    // host → policy, e.g. `os => Robots.fetchPoliciesForOrigins(fetcher,
+    // os)`) invoked at the wave boundary for hosts making their first
+    // frontier appearance, BEFORE any page of theirs is fetched
+    // (real-crawler semantics: robots.txt resolves ahead of page one).
+    // Origins carry the scheme+port the host was actually discovered
+    // under, so non-default-port / http-only hosts fetch the right
+    // robots.txt. Resolved Disallow prefixes UNION into `robotsDisallow`
+    // for both the fetch-time gate and subsequent candidate emission; a
+    // Crawl-delay (clamped to `maxRobotsDelaySec`) only ever SLOWS a host
+    // below its configured pace. None = static maps only (the seed-host
     // workflow); ignored when robotsEnabled = false.
     robotsResolve: Option[Seq[String] => Map[String, graft.fetch.RobotsPolicy]] = None,
     // per-host politeness override (host → requests/sec), e.g. built from
     // seed-host robots Crawl-delay as 1/delay; hosts absent here pace at
     // `politenessRps`. Empty = the scalar fast path (bench unchanged).
     hostRps: Map[String, Double] = Map.empty,
+    // upper clamp on a robots Crawl-delay (seconds). Hosts in a partition
+    // fetch sequentially, so an unclamped hostile "Crawl-delay: 86400"
+    // would stall the partition — and with it the wave barrier — for a
+    // day. Real crawlers cap robots delay similarly.
+    maxRobotsDelaySec: Double = 300.0,
     maxWaves: Int = 10000,
     maxUrls: Long = Long.MaxValue,
     // S11 — fetch cache: point at a prior run's `fetched` dir to reuse
@@ -716,6 +724,10 @@ class WaveEngine(
     // combination rather than silently ignoring the cache dir.
     require(!(cfg.referenceOrder && cfg.fetchCacheDir.isDefined),
       "fetchCacheDir is not supported in referenceOrder mode")
+    // same convention for the other scalable-loop-only features: the
+    // replay's contract is Scrapy's sequence (robots off, one global rps)
+    require(!(cfg.referenceOrder && (cfg.robotsResolve.isDefined || cfg.hostRps.nonEmpty)),
+      "robotsResolve/hostRps are not supported in referenceOrder mode")
     if (cfg.referenceOrder) runReference(seeds) else runScalable(seeds)
   }
 
@@ -930,7 +942,11 @@ class WaveEngine(
     // resolver is configured — the common paths never touch them
     var robotsMap = cfg.robotsDisallow
     var hostRpsMap = cfg.hostRps
-    var robotsResolved: Set[String] = robotsMap.keySet ++ hostRpsMap.keySet
+    // every host resolves its robots exactly once, INCLUDING hosts with
+    // static entries — a static rps override must not suppress a live
+    // Disallow, nor a static Disallow a live Crawl-delay (resolution
+    // UNIONS into the static maps, never replaces)
+    var robotsResolved: Set[String] = Set.empty
     val maxPerHost = cfg.maxPerHostPerWave
     val fetcherL = fetcher
     val rps = cfg.politenessRps
@@ -940,6 +956,11 @@ class WaveEngine(
     var state = out0.mapValues(_.state)
     var pending = pending0
     var pendingRetained: Option[RDD[_]] = pending0Retained
+    // rows not yet host-scanned by the robots hook: the carried frontier on
+    // the first iteration, then only each wave's novel rows — deferred rows
+    // were scanned when they first entered pending, so re-scanning the
+    // whole frontier every wave would be pure waste
+    var hostScan: RDD[(Int, UrlRecord)] = pending0
 
     // S11 fetch cache: fresh rows of a prior run's fetched table
     val cacheDF: Option[DataFrame] = cfg.fetchCacheDir.map { dir =>
@@ -974,26 +995,49 @@ class WaveEngine(
       // robots-enabled-with-resolver path only, plus one re-count on the
       // rare wave where a newly resolved host actually carries rules.
       if (robotsEnabled && cfg.robotsResolve.isDefined) {
-        val waveHosts = pending.map(_._2.host).distinct().collect()
-        val novelHosts = waveHosts.filterNot(robotsResolved)
-        if (novelHosts.nonEmpty) {
-          robotsResolved ++= novelHosts
-          val policies = cfg.robotsResolve.get(novelHosts.toSeq.sorted)
-          // a Crawl-delay only ever SLOWS a host below the global pace —
-          // robots cannot grant more than the operator configured
-          hostRpsMap ++= policies.collect {
-            case (h, p) if p.crawlDelaySec.exists(_ > 1.0 / rps) =>
-              h -> 1.0 / p.crawlDelaySec.get
+        // (host, origin) pairs carry the scheme+port each host was
+        // actually discovered under — hostOf strips ports from gate keys,
+        // and "https://host/robots.txt" would miss http-only or
+        // non-default-port sites entirely
+        val hostOrigins = hostScan.map { case (_, r) =>
+          val p = UrlCanon.parse(r.canonical)
+          val origin =
+            if (p.scheme != null && p.authority != null) p.scheme + "://" + p.authority
+            else "https://" + r.host
+          (r.host, origin)
+        }.distinct().collect()
+        val novel = hostOrigins.filter(ho => !robotsResolved(ho._1))
+        if (novel.nonEmpty) {
+          robotsResolved ++= novel.map(_._1)
+          // a host seen under several origins resolves them all — the
+          // policies union per gate key (conservative)
+          val policies = cfg.robotsResolve.get(novel.map(_._2).distinct.sorted.toSeq)
+          policies.foreach { case (h, p) =>
+            // Crawl-delay clamped (a hostile 24h delay must not stall the
+            // wave barrier) and only ever SLOWING the host's current pace
+            // — robots cannot grant more than the operator configured
+            p.crawlDelaySec.foreach { d0 =>
+              val d = math.min(d0, cfg.maxRobotsDelaySec)
+              if (d > 0 && 1.0 / d < hostRpsMap.getOrElse(h, rps))
+                hostRpsMap += h -> 1.0 / d
+            }
           }
           val newRules = policies.collect {
-            case (h, p) if p.disallow.nonEmpty => h -> p.disallow
+            case (h, p) if p.disallow.nonEmpty =>
+              // UNION with any static prefixes — live resolution must
+              // never widen what an operator already forbade
+              h -> (robotsMap.getOrElse(h, Nil) ++ p.disallow).distinct
           }
           if (newRules.nonEmpty) {
             robotsMap ++= newRules
             val gate = newRules // local: the closure must not capture vars
             val gated = pending.filter { case (_, r) =>
-              !gate.getOrElse(r.host, Nil)
-                .exists(p => UrlCanon.parse(r.canonical).path.startsWith(p))
+              gate.get(r.host) match {
+                case None => true
+                case Some(prefixes) => // parse once per row, not per prefix
+                  val path = UrlCanon.parse(r.canonical).path
+                  !prefixes.exists(path.startsWith)
+              }
             }.persist(StorageLevel.MEMORY_AND_DISK)
             batchCount = gated.count()
             pendingRetained.foreach(_.unpersist(blocking = false))
@@ -1176,6 +1220,7 @@ class WaveEngine(
       state = newOut.mapValues(_.state)
       pending = newPending
       pendingRetained = newRetained
+      hostScan = novelOf(newOut) // next wave's robots hook scans only these
       batchCount = newBatchCount
       done = newBatchCount == 0
       wave += 1

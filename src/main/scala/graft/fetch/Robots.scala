@@ -28,10 +28,12 @@ import graft.urls.UrlCanon
  * any [[Fetcher]] — one bounded fetch per distinct host, driver-side.
  * Seed hosts resolve BEFORE the crawl starts; hosts discovered mid-crawl
  * resolve at the wave boundary before their first page fetch via
- * `CrawlConfig.robotsResolve = Some(hs => Robots.fetchRules(fetcher, hs))`
- * (the engine calls it once per novel host and extends its gate map —
- * see WaveEngine's loop hook). A missing robots.txt (404, transport
- * failure) means no restrictions, per the REP.
+ * `CrawlConfig.robotsResolve =
+ *   Some(os => Robots.fetchPoliciesForOrigins(fetcher, os))`
+ * (the engine calls it once per novel host, passing the scheme+authority
+ * origins the host was discovered under, and unions the result into its
+ * gate maps — see WaveEngine's loop hook). A missing robots.txt (404,
+ * transport failure) means no restrictions, per the REP.
  *
  * Note: [[HttpFetcher]] parses fetched bodies as HTML, so `fetchRules`
  * takes raw text through a dedicated plain-text fetch when given an
@@ -154,21 +156,36 @@ object Robots {
     * prefixes + crawl-delay). Hosts with neither restriction are absent. */
   def fetchPolicies(fetcher: Fetcher, hosts: Seq[String],
       agent: String = "*", scheme: String = "https"): Map[String, RobotsPolicy] =
-    hosts.distinct.flatMap { host =>
-      val url = s"$scheme://$host/robots.txt"
-      val gateKey = UrlCanon.hostOf(UrlCanon.canonicalize(url))
-      val body: Option[String] = fetcher match {
-        case h: HttpFetcher => h.fetchText(url) match {
-          case (s, b) if s >= 200 && s < 300 => b
-          case _ => None
-        }
-        case f => f.fetch(url) match {
-          case (s, Some(doc)) if s >= 200 && s < 300 =>
-            Some(doc.spans.map(_.text).filter(_.nonEmpty).mkString("\n"))
-          case _ => None
-        }
+    fetchPoliciesForOrigins(fetcher, hosts.map(h => s"$scheme://$h"), agent)
+
+  /** Raw text of `url` through any fetcher: [[HttpFetcher]] uses its
+    * non-HTML-parsing path; corpus fetchers rebuild the body from the
+    * document's text spans, one line per span (the fixture convention).
+    * Shared by the robots and sitemap fetch paths. */
+  private[fetch] def rawBody(fetcher: Fetcher, url: String): Option[String] =
+    fetcher match {
+      case h: HttpFetcher => h.fetchText(url) match {
+        case (s, b) if s >= 200 && s < 300 => b
+        case _ => None
       }
-      body.map(b => parsePolicy(b, agent))
+      case f => f.fetch(url) match {
+        case (s, Some(doc)) if s >= 200 && s < 300 =>
+          Some(doc.spans.map(_.text).filter(_.nonEmpty).mkString("\n"))
+        case _ => None
+      }
+    }
+
+  /** [[fetchPolicies]] over full origins ("scheme://authority") instead of
+    * https-assumed bare hosts — the form `CrawlConfig.robotsResolve`
+    * feeds, preserving the scheme and port each host was discovered
+    * under. Results are keyed by the port-less gate-key host. */
+  def fetchPoliciesForOrigins(fetcher: Fetcher, origins: Seq[String],
+      agent: String = "*"): Map[String, RobotsPolicy] =
+    origins.distinct.flatMap { origin =>
+      val url = s"$origin/robots.txt"
+      val gateKey = UrlCanon.hostOf(UrlCanon.canonicalize(url))
+      rawBody(fetcher, url)
+        .map(b => parsePolicy(b, agent))
         .filter(p => p.disallow.nonEmpty || p.crawlDelaySec.nonEmpty)
         .map(gateKey -> _)
     }

@@ -35,13 +35,19 @@ object Sitemaps {
   /** Parsed sitemap document: leaf page URLs and/or child sitemap URLs. */
   final case class SitemapDoc(urls: Seq[String], sitemaps: Seq[String])
 
-  private val SitemapLine = "(?i)^sitemap\\s*:\\s*(\\S+)\\s*$".r
+  private val SitemapLine = "(?i)^sitemap\\s*:\\s*(\\S+)".r
 
   /** `Sitemap:` URLs listed in a robots.txt body. Cross-group per the
-    * protocol: scanned independently of any User-agent group. */
+    * protocol: scanned independently of any User-agent group. Trailing
+    * `#` comments are stripped first, same as [[Robots.parse]] — a legal
+    * "Sitemap: url  # primary" line must not be dropped. */
   def sitemapUrlsInRobots(robotsTxt: String): Seq[String] =
     robotsTxt.linesIterator.flatMap { raw =>
-      val line = raw.replace("﻿", "").trim
+      val noBom = raw.replace("﻿", "")
+      val line = (noBom.indexOf('#') match {
+        case -1 => noBom
+        case h => noBom.substring(0, h)
+      }).trim
       SitemapLine.findFirstMatchIn(line).map(_.group(1))
     }.toSeq.distinct
 
@@ -62,25 +68,13 @@ object Sitemaps {
 
   private def unescape(s: String): String =
     if (s.indexOf('&') < 0) s
-    else s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'")
+    // `&amp;` LAST: decoding it first would re-scan its output and turn a
+    // literal "&amp;lt;" into "<" instead of "&lt;" (double-decode)
+    else s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")
 
-  /** Raw text of `url` through any fetcher: HttpFetcher uses its
-    * non-HTML-parsing path; corpus fetchers rebuild the body from the
-    * document's text spans (one line per span — the fixture convention,
-    * same as [[Robots.fetchPolicies]]). */
   private def fetchBody(fetcher: Fetcher, url: String): Option[String] =
-    fetcher match {
-      case h: HttpFetcher => h.fetchText(url) match {
-        case (s, b) if s >= 200 && s < 300 => b
-        case _ => None
-      }
-      case f => f.fetch(url) match {
-        case (s, Some(doc)) if s >= 200 && s < 300 =>
-          Some(doc.spans.map(_.text).filter(_.nonEmpty).mkString("\n"))
-        case _ => None
-      }
-    }
+    Robots.rawBody(fetcher, url)
 
   /** Sitemap URLs a host advertises: robots.txt `Sitemap:` lines, else
     * the conventional `https://host/sitemap.xml`. */

@@ -103,9 +103,9 @@ class RobotsSpec extends AnyFunSuite {
       page("https://a.example.jp/p1"), page("https://a.example.jp/p2"),
       page("https://c.example.jp/1"), page("https://c.example.jp/2"),
       page("https://c.example.jp/3"))
-    val resolve: Seq[String] => Map[String, RobotsPolicy] = hs =>
-      hs.collect { case h if h == "c.example.jp" =>
-        h -> RobotsPolicy(Nil, crawlDelaySec = Some(2.0))
+    val resolve: Seq[String] => Map[String, RobotsPolicy] = os =>
+      os.collect { case o if o == "https://c.example.jp" =>
+        "c.example.jp" -> RobotsPolicy(Nil, crawlDelaySec = Some(2.0))
       }.toMap
     val ckpt = SparkTestSession.tmpDir("robotsdelay")
     val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
@@ -162,10 +162,11 @@ class RobotsSpec extends AnyFunSuite {
       page("https://b.example.jp/private/x"),
       page("https://b.example.jp/private/y"))
     val calls = scala.collection.mutable.ArrayBuffer[Seq[String]]() // driver-side only
-    val resolve: Seq[String] => Map[String, RobotsPolicy] = { hs =>
-      calls += hs
-      hs.collect {
-        case h if h == "b.example.jp" => h -> RobotsPolicy(Seq("/private"))
+    val resolve: Seq[String] => Map[String, RobotsPolicy] = { os =>
+      calls += os
+      os.collect { // the hook passes full ORIGINS, results key by gate host
+        case o if o == "https://b.example.jp" =>
+          "b.example.jp" -> RobotsPolicy(Seq("/private"))
       }.toMap
     }
     val ckpt = SparkTestSession.tmpDir("robotsmidcrawl")
@@ -181,8 +182,8 @@ class RobotsSpec extends AnyFunSuite {
     // from ever being fetched
     assert(fetched == Set("https://a.example.jp/p0", "https://b.example.jp/ok"), fetched)
     // each host resolved exactly once, never re-resolved on later waves
-    assert(calls.flatten.count(_ == "a.example.jp") == 1, calls)
-    assert(calls.flatten.count(_ == "b.example.jp") == 1, calls)
+    assert(calls.flatten.count(_ == "https://a.example.jp") == 1, calls)
+    assert(calls.flatten.count(_ == "https://b.example.jp") == 1, calls)
   }
 
   test("fetchRules over live HTTP feeds the engine's robots gate end-to-end") {
