@@ -41,6 +41,23 @@ object NoFollow extends PageParser {
   def followUps(doc: Document, meta: Map[String, String]): Seq[FollowUp] = Nil
 }
 
+/** Interleaved-payload parser (north rule: text + media documents): follow
+  * link spans AND enqueue media spans for binary ingestion. Media refs
+  * become ordinary frontier rows tagged `parse_fn = "media"` — they ride
+  * the same canonicalize → robots gate → exact dedup → per-host politeness
+  * path as pages (one fetch per distinct media URL per crawl, paced
+  * against the host's page fetches), and their bytes land in the
+  * content-addressed [[graft.sinks.MediaStore]] when
+  * `CrawlConfig.mediaStoreDir` is set. */
+object FollowLinksAndMedia extends PageParser {
+  def followUps(doc: Document, meta: Map[String, String]): Seq[FollowUp] =
+    doc.spans.collect {
+      case s if s.kind == "link" => FollowUp(s.media_ref, "follow_links")
+      case s if s.kind == "media" && s.media_ref != null && s.media_ref.nonEmpty =>
+        FollowUp(s.media_ref, WaveCore.MediaFn)
+    }
+}
+
 final case class CrawlConfig(
     checkpointDir: String,
     hostBuckets: Int = 64,
@@ -88,6 +105,12 @@ final case class CrawlConfig(
     // checkpoints — amortized O(seen/K) per wave.
     compactSeenAfter: Int = 16,
     keepFetched: Boolean = true, // write fetched docs table (off for pure-throughput bench)
+    // interleaved media plane: when set (and keepFetched), each wave's
+    // successful media fetches are ingested into the content-addressed
+    // store at this root (blobs CAS'd by md5(bytes), refs by canonical URL
+    // — graft.sinks.MediaStore). None = media rows still land in the
+    // fetched table; ingestion can run post-hoc via MediaStore.ingestWave.
+    mediaStoreDir: Option[String] = None,
     checkpointEvery: Int = 1, // durable checkpoint cadence in waves (always at loop exit)
     filterCapacityPerBucket: Int = 1 << 16)
 
@@ -350,7 +373,18 @@ private[engine] object WaveCore {
           if (plannedMs > now) Thread.sleep(plannedMs - now)
           System.currentTimeMillis() // the ACTUAL fetch time
         } else plannedMs
-        val (status, doc) = f.fetch(r.url)
+        // media rows route to the binary plane; both kinds consume a
+        // politeness slot on their host (a media GET is a request like any
+        // other — the reference's global 1 rps would pace it identically)
+        val (status, doc, mediaType, mediaBytes) =
+          if (r.parse_fn == MediaFn) {
+            val (st, blob) = f.fetchMedia(r.url)
+            (st, None: Option[Document],
+              blob.map(_.content_type).orNull, blob.map(_.bytes).orNull)
+          } else {
+            val (st, d) = f.fetch(r.url)
+            (st, d, null, null)
+          }
         // wall-clock store time in BOTH modes: the S11 TTL predicate must
         // never see a simulated planned stamp (those are future-dated on
         // any warm run and would defeat the cutoff)
@@ -365,7 +399,8 @@ private[engine] object WaveCore {
           from_cache = false, fetched_at_ms = fetchedAt, stored_at_ms = storedAt, slot = slot,
           partition_id = pid,
           doc_id = doc.map(_.doc_id).getOrElse(r.canonical),
-          spans = doc.map(_.spans).getOrElse(Nil))
+          spans = doc.map(_.spans).getOrElse(Nil),
+          media_type = mediaType, media_bytes = mediaBytes)
         slot += 1
         i += 1
         out
@@ -396,6 +431,11 @@ private[engine] object WaveCore {
     * `url_hash` carries the host hash, `parent_seq` the host's
     * next-allowed fetch ms. One per (host, wave) — never enters dedup. */
   val PaceFn = "__pace__"
+
+  /** parse_fn tag routing a frontier row to [[Fetcher.fetchMedia]] (binary
+    * plane). Media rows emit no follow-ups (the engine registers NoFollow
+    * for this tag unless the caller overrode it). */
+  val MediaFn: String = graft.model.SpanKind.Media
 
   def paceMark(host: String, bucket: Int, nextAllowedMs: Long): Candidate =
     Candidate(url = null, canonical = "", url_hash = UrlCanon.urlHash(host),
@@ -582,10 +622,17 @@ private[engine] object WaveCore {
 class WaveEngine(
     spark: SparkSession,
     fetcher: Fetcher,
-    parsers: Map[String, PageParser],
+    parsers0: Map[String, PageParser],
     cfg: CrawlConfig) {
 
   import spark.implicits._
+
+  // media rows must never fall through to the FollowAllLinks default (their
+  // span list is empty, so it would be a silent no-op — register the
+  // explicit terminal parser unless the caller bound one)
+  private val parsers: Map[String, PageParser] =
+    if (parsers0.contains(WaveCore.MediaFn)) parsers0
+    else parsers0 + (WaveCore.MediaFn -> NoFollow)
 
   private val sc = spark.sparkContext
   private val ckpt = cfg.checkpointDir
@@ -974,7 +1021,10 @@ class WaveEngine(
         .select($"url_hash", $"canonical".as("c_canonical"), $"status".as("c_status"),
           $"fetched_at_ms".as("c_fetched_at_ms"), $"stored_at_ms".as("c_stored_at_ms"),
           $"doc_id".as("c_doc_id"),
-          $"spans".as("c_spans"))
+          $"spans".as("c_spans"),
+          // binary plane: media rows cache like pages (prior-run parquet
+          // without these columns reads them as null — schema-on-read)
+          $"media_type".as("c_media_type"), $"media_bytes".as("c_media_bytes"))
         .dropDuplicates("url_hash", "c_canonical")
         .cache()
     }
@@ -1119,7 +1169,9 @@ class WaveEngine(
                 partition_id = -1, doc_id = c.getAs[String]("c_doc_id"),
                 spans = c.getAs[scala.collection.Seq[Row]]("c_spans")
                   .map(sp => Span(sp.getAs[String]("kind"), sp.getAs[String]("text"),
-                    sp.getAs[String]("media_ref"), sp.getAs[Int]("offset"))).toSeq)
+                    sp.getAs[String]("media_ref"), sp.getAs[Int]("offset"))).toSeq,
+                media_type = c.getAs[String]("c_media_type"),
+                media_bytes = c.getAs[Array[Byte]]("c_media_bytes"))
             }.rdd
           val misses = batchDS.join(
               cache.select($"url_hash", $"c_canonical".as("canonical")),
@@ -1135,6 +1187,11 @@ class WaveEngine(
           val f = fetchedRdd.persist(StorageLevel.MEMORY_AND_DISK)
           spark.createDataset(f).write.mode(SaveMode.Overwrite)
             .parquet(s"$ckpt/fetched/wave_$wave")
+          // interleaved media plane: CAS-ingest this wave's media bytes
+          // (idempotent — a replayed wave re-ingests into the same store
+          // and the key-plane anti-join drops every row)
+          cfg.mediaStoreDir.foreach(dir =>
+            graft.sinks.MediaStore.ingestWave(spark, spark.createDataset(f).toDF(), dir))
           f
         } else fetchedRdd
 
@@ -1471,8 +1528,11 @@ class WaveEngine(
       val lineageAcc = new CollectionAccumulator[(Int, Long, Long, Long)]()
       sc.register(lineageAcc, s"lineage_w$wave")
       val fetched = fetchBatch(batch, wave, waveStartMs, lineageAcc).cache()
-      if (cfg.keepFetched)
+      if (cfg.keepFetched) {
         fetched.write.mode(SaveMode.Overwrite).parquet(s"$ckpt/fetched/wave_$wave")
+        cfg.mediaStoreDir.foreach(dir =>
+          graft.sinks.MediaStore.ingestWave(spark, fetched.toDF(), dir))
+      }
 
       val candidates = toCandidates(fetched)
       val filtersB = sc.broadcast(filters)

@@ -1,6 +1,6 @@
 package graft.fetch
 
-import graft.model.{Document, Span}
+import graft.model.{Document, MediaBlob, Span}
 
 /**
  * Pluggable page fetcher. The engine never performs real network I/O in
@@ -12,6 +12,11 @@ trait Fetcher extends Serializable {
   /** Returns (status, document). 404s are data, not failures (reference
     * treats them so: /root/reference/crawler/spiders/vrsdd_member_spider.py:28-29). */
   def fetch(url: String): (Int, Option[Document])
+
+  /** Binary fetch for `media` spans (images/PDF/audio) — the interleaved
+    * payload plane. Same status posture as [[fetch]]. Default: media
+    * unsupported (fetchers that only serve pages need not override). */
+  def fetchMedia(url: String): (Int, Option[MediaBlob]) = (404, None)
 }
 
 /** Fetcher over an in-memory page map (small test fixtures). */
@@ -128,6 +133,57 @@ final case class SyntheticSite(
     sb.append("に関する第").append((t % 9) + 1).append("項")
     sb.toString
   }
+
+  /** Zero-regex media-URL parse ("https://h<k>.example.jp/img<i>.png") —
+    * the binary twin of [[parseUrl]]. */
+  def parseImgUrl(url: String): Option[(Int, Int)] = {
+    if (!url.startsWith("https://h")) return None
+    var i = 9
+    val n = url.length
+    var k = 0L
+    var kd = 0
+    while (i < n && url.charAt(i) >= '0' && url.charAt(i) <= '9') {
+      k = k * 10 + (url.charAt(i) - '0'); kd += 1; i += 1
+    }
+    if (kd == 0 || k > Int.MaxValue || !url.startsWith(".example.jp/img", i)) return None
+    i += 15
+    var p = 0L
+    var pd = 0
+    while (i < n && url.charAt(i) >= '0' && url.charAt(i) <= '9') {
+      p = p * 10 + (url.charAt(i) - '0'); pd += 1; i += 1
+    }
+    if (pd == 0 || p > Int.MaxValue || !url.startsWith(".png", i) || i + 4 != n) return None
+    Some((k.toInt, p.toInt))
+  }
+
+  /** 32 distinct deterministic blobs; image (k,i) serves pool slot
+    * `mix(i) & 31`, so byte-identical images recur across hosts and pages
+    * — the content-addressed dedup case (one logo on every page of a real
+    * site). PNG magic prefix, then a seeded byte stream. */
+  @transient private lazy val MediaPool: Array[Array[Byte]] = Array.tabulate(32) { t =>
+    val len = 512 + ((mix(t * 2654435761L) & 1023).toInt)
+    val out = new Array[Byte](len)
+    val magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    System.arraycopy(magic, 0, out, 0, magic.length)
+    var h = mix(t * 1000003L)
+    var j = magic.length
+    while (j < len) {
+      h = mix(h)
+      out(j) = (h & 0xFF).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Binary plane of the synthetic site: the media refs emitted by
+    * [[page]] resolve here. Pages only carry an image when (i & 7) == 0,
+    * and only pages that exist serve one. */
+  override def fetchMedia(url: String): (Int, Option[graft.model.MediaBlob]) =
+    parseImgUrl(url) match {
+      case Some((k, i)) if k < nHosts && i < pagesOf(k) && (i & 7) == 0 =>
+        (200, Some(graft.model.MediaBlob("image/png", MediaPool((mix(i.toLong) & 31).toInt))))
+      case _ => (404, None)
+    }
 
   def page(k: Int, i: Int): Document = {
     val spans = scala.collection.mutable.ArrayBuffer[Span]()

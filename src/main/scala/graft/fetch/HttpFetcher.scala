@@ -62,9 +62,20 @@ final class HttpFetcher(
       case (status, None) => (status, None)
     }
 
-  /** The one request path both surfaces share: build, send, bounded read,
-    * charset decode, error posture. Returns (status, (body, finalUri)). */
-  private def get(url: String): (Int, Option[(String, String)]) =
+  /** Binary fetch for media spans — the interleaved payload plane. Bytes
+    * are returned raw (bounded by `maxBodyBytes`, same as pages) with the
+    * base media type from Content-Type; no charset decode, no HTML parse. */
+  override def fetchMedia(url: String): (Int, Option[graft.model.MediaBlob]) =
+    getRaw(url) match {
+      case (status, Some((bytes, resp))) =>
+        (status, Some(graft.model.MediaBlob(mediaTypeOf(resp), bytes)))
+      case (status, None) => (status, None)
+    }
+
+  /** The one request path all surfaces share: build, send, bounded read,
+    * error posture. Returns (status, (raw bytes, response)) — text
+    * surfaces decode via [[charsetOf]], the media surface keeps bytes. */
+  private def getRaw(url: String): (Int, Option[(Array[Byte], HttpResponse[java.io.InputStream])]) =
     try {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(timeoutMs))
@@ -73,15 +84,20 @@ final class HttpFetcher(
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
       val status = resp.statusCode()
-      if (status >= 200 && status < 300) {
-        val body = new String(readBounded(resp.body()), charsetOf(resp))
-        (status, Some((body, resp.uri().toString)))
-      } else { resp.body().close(); (status, None) }
+      if (status >= 200 && status < 300) (status, Some((readBounded(resp.body()), resp)))
+      else { resp.body().close(); (status, None) }
     } catch {
       case _: InterruptedException =>
         Thread.currentThread().interrupt() // keep Spark's task kill effective
         (599, None)
       case _: Exception => (599, None) // transport failure: a row, not a crash
+    }
+
+  private def get(url: String): (Int, Option[(String, String)]) =
+    getRaw(url) match {
+      case (status, Some((bytes, resp))) =>
+        (status, Some((new String(bytes, charsetOf(resp)), resp.uri().toString)))
+      case (status, None) => (status, None)
     }
 
   /** Read at most `maxBodyBytes` then CLOSE — the cap bounds what reaches
@@ -107,6 +123,14 @@ final class HttpFetcher(
   /** Charset from Content-Type — bare or RFC 9110 quoted parameter form —
     * defaulting to UTF-8 (the Diet sites are UTF-8 or Shift_JIS, both
     * resolvable by name here). */
+  /** Base media type (lowercased, parameters stripped) from Content-Type,
+    * defaulting to the octet-stream catch-all. */
+  private def mediaTypeOf(resp: HttpResponse[_]): String = {
+    val ct = resp.headers().firstValue("Content-Type").orElse("")
+    val base = ct.split(";", 2)(0).trim.toLowerCase(java.util.Locale.ROOT)
+    if (base.isEmpty) "application/octet-stream" else base
+  }
+
   private def charsetOf(resp: HttpResponse[_]): java.nio.charset.Charset = {
     val ct = resp.headers().firstValue("Content-Type").orElse("")
     val m = "(?i)charset=\"?([A-Za-z0-9_\\-]+)\"?".r.findFirstMatchIn(ct)

@@ -89,10 +89,20 @@ final case class FetchResult(
     slot: Int, // politeness slot within (host, wave): per-host fetch order
     partition_id: Int, // executing partition — per-partition lineage
     doc_id: String,
-    spans: Seq[Span]) {
+    spans: Seq[Span],
+    // interleaved-payload binary plane: set only on media fetches
+    // (parse_fn = "media"), null on page rows — parquet stores the null
+    // columns for free and the span plane is untouched
+    media_type: String = null,
+    media_bytes: Array[Byte] = null) {
   def document: Document = Document(doc_id, spans)
   def ok: Boolean = status >= 200 && status < 300
 }
+
+/** A fetched binary media object (image/PDF/audio referenced by a `media`
+  * span). Bytes stay executor-side: they ride the fetched table and the
+  * content-addressed store, never the driver. */
+final case class MediaBlob(content_type: String, bytes: Array[Byte])
 
 /** A follow-up emission from a parse callback (reference: `response.follow`,
   * e.g. /root/reference/crawler/spiders/shugiin_spider.py:46-49). */

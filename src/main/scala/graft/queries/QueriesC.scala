@@ -401,6 +401,43 @@ object QueriesC {
              |  CAST(CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616
              |    ELSE uh END AS BIGINT) AS sha_like
              |FROM h ORDER BY media_ref""".stripMargin),
-      "multimodal binary-column pipeline: batched decode stub + features (deterministic oracle)")
+      "multimodal binary-column pipeline: batched decode stub + features (deterministic oracle)"),
+
+    // the crawl's binary media plane: the REAL content-addressed store
+    // (MediaStore.ingestWave → blobs CAS'd by md5(bytes), refs per URL)
+    // runs on media rows synthesized from `documents` (bytes = utf-8 of
+    // text, canonical = doc_id), then blobs ⋈ ref-counts must equal the
+    // SQL group-by-content — duplicate texts collapse to ONE blob with
+    // the lexicographically-first witness URL and a ref per document
+    "q44_media_cas" -> Q(
+      (s, d) => {
+        val fetched = t(s, d, "documents").select(
+          lit(graft.model.SpanKind.Media).as("parse_fn"),
+          lit(200).as("status"),
+          col("doc_id").cast("string").as("canonical"),
+          xxhash64(col("doc_id").cast("string")).as("url_hash"),
+          lit(0).as("wave"),
+          lit(0L).as("seq"),
+          lit("text/plain").as("media_type"),
+          // 40-char prefix: distinct docs sharing an opening collapse to
+          // one blob — the oracle actually exercises the CAS dedup
+          encode(substring(col("text"), 1, 40), "utf-8").as("media_bytes"))
+        val root = java.nio.file.Files.createTempDirectory("q44_media_cas").toString
+        graft.sinks.MediaStore.ingestWave(s, fetched, root)
+        val blobs = graft.sinks.MediaStore.blobs(s, root)
+          .select(col("content_hash"), col("media_type"), col("size_bytes"),
+            col("witness_canonical"))
+        val refCounts = graft.sinks.MediaStore.refs(s, root)
+          .groupBy(col("content_hash")).agg(count(lit(1)).as("n_refs"))
+        blobs.join(refCounts, Seq("content_hash"))
+          .orderBy(col("content_hash"))
+      },
+      Some("""SELECT md5(substr(text, 1, 40)) AS content_hash,
+             |  'text/plain' AS media_type,
+             |  CAST(octet_length(encode(substr(text, 1, 40))) AS BIGINT) AS size_bytes,
+             |  min(CAST(doc_id AS VARCHAR)) AS witness_canonical,
+             |  count(*) AS n_refs
+             |FROM documents GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+      "content-addressed media store: blobs CAS'd by md5(bytes) + per-URL refs ≡ SQL group-by-content")
   )
 }

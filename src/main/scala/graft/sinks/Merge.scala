@@ -214,6 +214,42 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     }
   }
 
+  /** Idempotent keyed insert — the content-addressed-store primitive: the
+    * batch collapses to one row per `keyCol` (the MIN row by `ord`, which
+    * must totally order rows within a key — e.g. `struct(seq, canonical)`
+    * — so the winner is deterministic under any partitioning), survivors
+    * anti-join ON THE KEY ONLY against the touched buckets' current rows,
+    * and the novel keys fast-append. Existing rows are never rewritten and
+    * their payload columns are never even read (the anti-join projects
+    * just the key — parquet column pruning skips the blob bytes), so a
+    * re-ingest of already-stored content is a key-plane-only no-op. The
+    * groupBy's partial aggregation is the map-side combiner: duplicate
+    * payloads collapse per partition before the one payload shuffle. */
+  def insertIfAbsent(rows: DataFrame, keyCol: String, ord: Column): Int = {
+    val payload = rows.columns.filter(_ != keyCol)
+    require(payload.nonEmpty, s"insertIfAbsent needs payload columns beside '$keyCol'")
+    val one = rows.groupBy(col(keyCol))
+      .agg(min_by(struct(payload.map(col): _*), ord).as("_p"))
+      .select(col(keyCol) +: payload.map(c => col(s"_p.$c").as(c)): _*)
+      .cache() // read by the touched-bucket collect, the anti-join, and the commit
+    try {
+      if (!exists) commit(one, keyCol, replaceTouched)
+      else {
+        val m = readManifest(currentVersion)
+        require(m.bucketCol == keyCol,
+          s"table $root is bucketed by '${m.bucketCol}', not '$keyCol'")
+        val touched = one
+          .select(bucketOf(col(keyCol), m.nBuckets).as("b")).distinct()
+          .collect().map(_.getLong(0).toInt)
+        val paths = bucketPaths(m, touched)
+        val novel =
+          if (paths.isEmpty) one
+          else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti")
+        commit(novel, keyCol, appendTouched)
+      }
+    } finally one.unpersist(blocking = false)
+  }
+
   /** K3 — delete rows matching `pred`, then insert `replacements`. */
   def deleteThenInsert(pred: Column, replacements: DataFrame): Int = {
     val bucketCol = inferBucketCol(replacements.columns)

@@ -100,6 +100,40 @@ class WaveEngineSpec extends AnyFunSuite {
     })
   }
 
+  test("frontier priority: higher-priority follow-ups take the earliest politeness slots") {
+    // the reference always uses priority 0 (no Request(priority=) anywhere),
+    // but the frontier carries it (Scrapy's scheduler is a priority queue);
+    // rows tagged priority 7 must (a) win the budgeted wave selection and
+    // (b) take the lowest slots within their (host, wave)
+    val s1 = SyntheticSite(nHosts = 1, basePagesPerHost = 13, branching = 3, hotFactor = 1)
+    val prioParser = new PageParser {
+      def followUps(doc: graft.model.Document, meta: Map[String, String]): Seq[graft.model.FollowUp] =
+        doc.spans.filter(_.kind == "link").map { s =>
+          val pr = if (s.media_ref.endsWith("3")) 7 else 0
+          graft.model.FollowUp(s.media_ref, "follow_links",
+            meta = Map("prio" -> pr.toString), priority = pr)
+        }
+    }
+    val ckpt = SparkTestSession.tmpDir("prio")
+    val engine = new WaveEngine(spark, s1, Map("follow_links" -> prioParser),
+      CrawlConfig(checkpointDir = ckpt, hostBuckets = 2, fetchPartitions = 2,
+        maxPerHostPerWave = 2))
+    engine.run(Seq(SeedSpec(s1.pageUrl(0, 0))))
+    import spark.implicits._
+    val rows = engine.fetchedTable()
+      .select($"host", $"wave", $"slot", $"meta")
+      .collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Int]("wave"), r.getAs[Int]("slot"),
+        r.getAs[Map[String, String]]("meta").getOrElse("prio", "0").toInt))
+    val prioSeen = rows.count(_._4 == 7)
+    assert(prioSeen > 0) // the site actually produced prioritized rows
+    rows.groupBy(t => (t._1, t._2)).values.foreach { g =>
+      val bySlot = g.toSeq.sortBy(_._3).map(_._4)
+      assert(bySlot == bySlot.sortBy(-_),
+        s"slots not priority-ordered within a (host, wave): $bySlot")
+    }
+  }
+
   test("realtime politeness: same-host spacing >= 1/rps holds ACROSS wave boundaries") {
     // budget 1/host/wave → every same-host gap is a wave-boundary gap.
     // Without carried per-host pace state, wave W+1's slot-0 restarts at

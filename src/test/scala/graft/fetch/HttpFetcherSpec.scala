@@ -198,5 +198,57 @@ class HttpFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("media plane over live HTTP: img refs fetched as binary into the CAS store") {
+    // two pages share one logo (CAS collapse) and p1 adds a distinct image
+    val logo = Array.tabulate[Byte](300)(i => ((i * 31 + 7) & 0xFF).toByte)
+    val hero = Array.tabulate[Byte](200)(i => ((i * 17 + 3) & 0xFF).toByte)
+    val pages = Map(
+      "/p0" -> page("p0", """<a href="/p1">next</a> <img src="/logo.png">"""),
+      "/p1" -> page("p1", """<img src="/logo.png"> <img src="/hero.png">"""))
+    val bins = Map("/logo.png" -> logo, "/hero.png" -> hero)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        (pages.get(path), bins.get(path)) match {
+          case (Some(html), _) =>
+            val bytes = html.getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "text/html; charset=UTF-8")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          case (_, Some(bytes)) =>
+            ex.getResponseHeaders.set("Content-Type", "image/png")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          case _ => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val ckpt = SparkTestSession.tmpDir("httpmedia")
+      val mediaRoot = SparkTestSession.tmpDir("httpmedia-store")
+      val parsers: Map[String, PageParser] =
+        Map("follow_links" -> graft.engine.FollowLinksAndMedia)
+      val engine = new WaveEngine(spark, new HttpFetcher(), parsers,
+        CrawlConfig(checkpointDir = ckpt, hostBuckets = 2, fetchPartitions = 2,
+          mediaStoreDir = Some(mediaRoot)))
+      engine.run(Seq(SeedSpec(s"$base/p0")))
+      // the shared logo was fetched once (frontier dedup) and stored once
+      val refs = graft.sinks.MediaStore.refs(spark, mediaRoot).collect()
+      assert(refs.map(_.getAs[String]("canonical")).toSet ==
+        Set(UrlCanon.canonicalize(s"$base/logo.png"), UrlCanon.canonicalize(s"$base/hero.png")))
+      assert(refs.forall(_.getAs[String]("media_type") == "image/png"))
+      val blobs = graft.sinks.MediaStore.blobs(spark, mediaRoot).collect()
+      assert(blobs.length == 2)
+      val byWitness = blobs.map(b =>
+        b.getAs[String]("witness_canonical") -> b.getAs[Array[Byte]]("media_bytes")).toMap
+      assert(byWitness(UrlCanon.canonicalize(s"$base/logo.png")).toSeq == logo.toSeq)
+      assert(byWitness(UrlCanon.canonicalize(s"$base/hero.png")).toSeq == hero.toSeq)
+    } finally server.stop(0)
+  }
+
   private def UrlCanon = graft.urls.UrlCanon
 }
