@@ -17,6 +17,28 @@ object QueriesC {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The q36 verified-pair construction as a DuckDB CTE chain ending in
+    * `good(doc_a, doc_b)` — the brute-force word-3-shingle Jaccard ≥ 0.5
+    * pair set, which the LSH path provably (and q36-verifiably) equals on
+    * this corpus. Shared by q45/q46 so the clustering oracles can never
+    * drift from the pair oracle. (Declared before `defs`: the map's SQL
+    * strings interpolate it at object init.) */
+  private val lshGoodPairsSql: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(
+      |    list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),
+      |    s -> s IS NOT NULL))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |good AS (
+      |  SELECT doc_a, doc_b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5)""".stripMargin
+
   val defs: Map[String, Q] = Map(
 
     // tumbling-window aggregation (streaming path: Streams.windowedEventCounts)
@@ -438,6 +460,77 @@ object QueriesC {
              |  min(CAST(doc_id AS VARCHAR)) AS witness_canonical,
              |  count(*) AS n_refs
              |FROM documents GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
-      "content-addressed media store: blobs CAS'd by md5(bytes) + per-URL refs ≡ SQL group-by-content")
+      "content-addressed media store: blobs CAS'd by md5(bytes) + per-URL refs ≡ SQL group-by-content"),
+
+    // Near-dup CLUSTERS: q36's (property-oracled ≡ brute force) verified
+    // pair set → connected components via alternating large-star /
+    // small-star (graft.ops.Cluster). Every document gets a component id
+    // (= the component's min doc_id; singletons map to themselves). The
+    // oracle recomputes the brute-force thresholded pair set and its
+    // transitive closure with a recursive CTE — exact equality, so both
+    // the pair property AND the component semantics are pinned.
+    "q45_dedup_clusters" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cand = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8)
+        val good = graft.ops.Dedup.jaccardFor(cand, docs, "doc_id", "text")
+          .filter(round(col("jaccard"), 4) >= 0.5)
+        graft.ops.Cluster.assignComponents(docs, "doc_id", good, "doc_a", "doc_b")
+          .select(col("doc_id"), col("component").as("component_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $lshGoodPairsSql,
+             |edges AS (SELECT doc_a AS s, doc_b AS t FROM good
+             |          UNION SELECT doc_b, doc_a FROM good),
+             |reach(s, t) AS (SELECT s, t FROM edges
+             |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+             |comp AS (SELECT s AS doc_id, least(s, min(t)) AS component_id
+             |         FROM reach GROUP BY s)
+             |SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+             |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      "near-dup pairs -> connected components (large-star/small-star) == recursive-CTE closure"),
+
+    // Survivor selection: one keeper per near-dup component — the member
+    // with the most characters (tie → smallest doc_id). This is the final
+    // stage of the dedup pipeline: what actually gets deleted at 100 TB is
+    // `docs - survivors`, and the deletion unit is the component, not the
+    // pair. The window partitions on component_id, so the only shuffle is
+    // one hash exchange of (doc_id, component_id, n_chars) rows.
+    "q46_dedup_survivors" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cand = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8)
+        val good = graft.ops.Dedup.jaccardFor(cand, docs, "doc_id", "text")
+          .filter(round(col("jaccard"), 4) >= 0.5)
+        val assigned = graft.ops.Cluster
+          .assignComponents(docs, "doc_id", good, "doc_a", "doc_b")
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        graft.ops.Cluster.survivors(assigned, "doc_id", "n_chars")
+          .select(col("component").as("component_id"), col("survivor"),
+            col("n_docs"), col("survivor_score"))
+          .orderBy(col("component_id"))
+      },
+      Some(s"""WITH RECURSIVE $lshGoodPairsSql,
+             |edges AS (SELECT doc_a AS s, doc_b AS t FROM good
+             |          UNION SELECT doc_b, doc_a FROM good),
+             |reach(s, t) AS (SELECT s, t FROM edges
+             |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+             |comp AS (SELECT s AS doc_id, least(s, min(t)) AS component_id
+             |         FROM reach GROUP BY s),
+             |assigned AS (
+             |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id, d.n_chars
+             |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+             |ranked AS (
+             |  SELECT component_id, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY component_id
+             |                       ORDER BY n_chars DESC, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY component_id) AS n_docs
+             |  FROM assigned)
+             |SELECT component_id, doc_id AS survivor, n_docs, n_chars AS survivor_score
+             |FROM ranked WHERE rn = 1 ORDER BY component_id""".stripMargin),
+      "one survivor per near-dup component (max n_chars, tie -> min id) == SQL window over CTE closure")
   )
 }
