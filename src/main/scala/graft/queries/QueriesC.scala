@@ -531,6 +531,50 @@ object QueriesC {
              |  FROM assigned)
              |SELECT component_id, doc_id AS survivor, n_docs, n_chars AS survivor_score
              |FROM ranked WHERE rn = 1 ORDER BY component_id""".stripMargin),
-      "one survivor per near-dup component (max n_chars, tie -> min id) == SQL window over CTE closure")
+      "one survivor per near-dup component (max n_chars, tie -> min id) == SQL window over CTE closure"),
+
+    // Deterministic Bernoulli sample (training-data curation): keep iff
+    // pmod(polyHash(doc_id), 10^6) < 150000 — a pure per-row predicate
+    // (no shuffle, no RNG state), bit-identical across engines, runs,
+    // and partitionings. The portable polynomial hash is the same one
+    // q25-q28 pin.
+    "q47_hash_sample" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("__ph", graft.functions.HashFns.polyHash(col("doc_id").cast("string")))
+        graft.ops.Sampling.hashSample(docs, col("__ph"), 0.15)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE ${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 150000
+             |ORDER BY doc_id""".stripMargin),
+      "deterministic hash-gated Bernoulli sample == SQL predicate on the portable hash"),
+
+    // Deterministic per-stratum QUOTA sample: the 40 docs per language
+    // with the smallest (hash, doc_id) — uniform without replacement,
+    // reproducible, the standard shape for training-mix curation. The
+    // Spark side runs the PREFILTERED plan (per-stratum count → broadcast
+    // hash threshold → window over ~safety·k survivors instead of the
+    // whole corpus); the oracle windows the full table — exact equality
+    // pins that the prefilter is lossless.
+    "q48_quota_sample" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("__ph", graft.functions.HashFns.polyHash(col("doc_id").cast("string")))
+        graft.ops.Sampling.quotaPerStratum(docs, "lang", col("__ph"),
+            col("doc_id"), k = 40)
+          .select(col("lang"), col("doc_id"), col("sample_rank").cast("long").as("sample_rank"))
+          .orderBy(col("lang"), col("sample_rank"))
+      },
+      Some(s"""WITH ranked AS (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY ${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS sample_rank
+             |  FROM documents)
+             |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+             |FROM ranked WHERE sample_rank <= 40
+             |ORDER BY lang, sample_rank""".stripMargin),
+      "per-language quota sample (k smallest hashes): prefiltered plan == full-window SQL")
   )
 }

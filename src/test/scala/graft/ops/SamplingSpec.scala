@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) = (0 until n).map { i =>
+    (i.toLong, if (i % 3 == 0) "ja" else if (i % 3 == 1) "en" else "de")
+  }.toDF("doc_id", "lang")
+    .withColumn("h", xxhash64(col("doc_id")))
+
+  test("hashSample is deterministic, partition-invariant, and ~fraction sized") {
+    val df = corpus(2000)
+    val a = Sampling.hashSample(df, col("h"), 0.2).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), col("h"), 0.2).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size - 400) < 80) // ±4 sigma-ish
+    assert(Sampling.hashSample(df, col("h"), 0.0).count() == 0)
+    assert(Sampling.hashSample(df, col("h"), 1.0).count() == 2000)
+  }
+
+  test("quotaPerStratum: prefiltered plan == unprefiltered window, exact") {
+    val df = corpus(1500)
+    def res(pre: Boolean) =
+      Sampling.quotaPerStratum(df, "lang", col("h"), col("doc_id"), k = 25,
+        prefilter = pre)
+        .select($"lang", $"doc_id", $"sample_rank")
+        .as[(String, Long, Int)].collect().toSet
+    val full = res(pre = false)
+    assert(res(pre = true) == full)
+    assert(full.groupBy(_._1).forall(_._2.size == 25))
+  }
+
+  test("quotaPerStratum rescue path: an over-tight prefilter still yields the exact sample") {
+    val df = corpus(900)
+    // safety = 0 forces __thr ≈ 64/n·M buckets — usually fewer than k
+    // survivors per stratum, so the rescue branch must fire and re-window
+    // those strata unfiltered
+    val tight = Sampling.quotaPerStratum(df, "lang", col("h"), col("doc_id"),
+        k = 50, prefilter = true, safety = 0.0)
+      .select($"lang", $"doc_id", $"sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    val full = Sampling.quotaPerStratum(df, "lang", col("h"), col("doc_id"),
+        k = 50, prefilter = false)
+      .select($"lang", $"doc_id", $"sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(tight == full)
+  }
+
+  test("quotaPerStratum: strata smaller than k keep all their rows, ranked") {
+    val df = Seq((1L, "ja"), (2L, "ja"), (3L, "en")).toDF("doc_id", "lang")
+      .withColumn("h", xxhash64(col("doc_id")))
+    val out = Sampling.quotaPerStratum(df, "lang", col("h"), col("doc_id"), k = 10)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    assert(out == Set(("ja", 1L), ("ja", 2L), ("en", 3L)))
+  }
+}
