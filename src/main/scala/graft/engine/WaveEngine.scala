@@ -89,8 +89,17 @@ final case class CrawlConfig(
     // upper clamp on a robots Crawl-delay (seconds). Hosts in a partition
     // fetch sequentially, so an unclamped hostile "Crawl-delay: 86400"
     // would stall the partition — and with it the wave barrier — for a
-    // day. Real crawlers cap robots delay similarly.
+    // day. Real crawlers cap robots delay similarly. The clamp bounds the
+    // PER-FETCH delay; `maxHostWaveStallSec` bounds delay × rows-per-wave,
+    // which is the quantity that actually stalls the barrier.
     maxRobotsDelaySec: Double = 300.0,
+    // realtime-mode bound on ONE host's sequential sleep time within one
+    // wave: a host paced below the global rps (robots Crawl-delay) gets a
+    // per-wave row budget of ~maxHostWaveStallSec × its rps even when
+    // `maxPerHostPerWave` is uncapped — otherwise a 300 s-delay host with
+    // 1000 pending rows would hold the wave barrier ~83 hours (the
+    // overflow simply defers to later waves, same as the normal budget)
+    maxHostWaveStallSec: Double = 600.0,
     maxWaves: Int = 10000,
     maxUrls: Long = Long.MaxValue,
     // S11 — fetch cache: point at a prior run's `fetched` dir to reuse
@@ -337,6 +346,7 @@ private[engine] object WaveCore {
       private var prevHost: String = null
       private var hostStartMs = waveStartMs
       private var hostMsPerFetch = 1000.0 / rps
+      private var lastFetchMs = Long.MinValue // actual start of this host's previous fetch
       private var nIn = 0L
       private var nOk = 0L
       private var nErr = 0L
@@ -359,6 +369,7 @@ private[engine] object WaveCore {
         if (r.host != prevHost) {
           slot = 0
           prevHost = r.host
+          lastFetchMs = Long.MinValue
           // cross-wave politeness continuity: the host's first slot this
           // wave starts no earlier than its carried next-allowed time
           hostStartMs =
@@ -369,9 +380,21 @@ private[engine] object WaveCore {
         }
         val plannedMs = hostStartMs + math.round(slot * hostMsPerFetch)
         val fetchedAt = if (realtime) {
+          // pace against BOTH the planned slot and the host's actual
+          // previous fetch: once the wall clock overruns the plan (a slow
+          // server, or a Crawl-delay host sleeping ahead of this one in
+          // the partition), every remaining plannedMs is in the past and
+          // the plan alone would let the host's rows fire back-to-back at
+          // response-latency rate — the actual-spacing bound keeps the
+          // ≥ 1/rps same-host promise under overrun too
+          val target =
+            if (lastFetchMs == Long.MinValue) plannedMs
+            else math.max(plannedMs, lastFetchMs + math.round(hostMsPerFetch))
           val now = System.currentTimeMillis()
-          if (plannedMs > now) Thread.sleep(plannedMs - now)
-          System.currentTimeMillis() // the ACTUAL fetch time
+          if (target > now) Thread.sleep(target - now)
+          val t = System.currentTimeMillis() // the ACTUAL fetch time
+          lastFetchMs = t
+          t
         } else plannedMs
         // media rows route to the binary plane; both kinds consume a
         // politeness slot on their host (a media GET is a request like any
@@ -1107,13 +1130,31 @@ class WaveEngine(
       // per-host groupBy+sort runs ONCE, persisted tagged — batch (fetch
       // job), its count, and the deferred complement all read the cached
       // selection instead of re-sorting the partition three times.
+      // a host paced SLOWER than the global rps (robots Crawl-delay)
+      // additionally caps at ~maxHostWaveStallSec of sequential sleeping
+      // per wave — delay × budget is what stalls the wave barrier, and
+      // the per-fetch clamp alone can't bound it. Realtime-only: in
+      // simulated mode nothing sleeps, and the scalar no-override path
+      // (the bench job) keeps the budget a plain constant.
+      val stallSec = cfg.maxHostWaveStallSec
+      val slowHostBudget: String => Int =
+        if (!realtime || hostRpsW.isEmpty) _ => maxPerHost
+        else { h =>
+          val hr = hostRpsW.getOrElse(h, rps)
+          if (hr >= rps) maxPerHost
+          else math.min(maxPerHost.toLong,
+            math.max(1L, math.floor(stallSec * hr).toLong)).toInt
+        }
+      val needBudget = maxPerHost != Int.MaxValue ||
+        (realtime && hostRpsW.exists(_._2 < rps))
       val (batch, deferred, waveBatchCount, selRetained) =
-        if (maxPerHost == Int.MaxValue) (pending.values, None, batchCount, None)
+        if (!needBudget) (pending.values, None, batchCount, None)
         else {
           val sel = pending.mapPartitions(it =>
             it.map(_._2).toArray.groupBy(_.host).valuesIterator.flatMap { rows =>
+              val budget = slowHostBudget(rows.head.host)
               rows.sortBy(r => (-r.priority, r.seq)).iterator.zipWithIndex
-                .map { case (r, i) => (i < maxPerHost, r) }
+                .map { case (r, i) => (i < budget, r) }
             },
             preservesPartitioning = true)
             .persist(StorageLevel.MEMORY_AND_DISK_SER)

@@ -64,18 +64,28 @@ final class HttpFetcher(
 
   /** Binary fetch for media spans — the interleaved payload plane. Bytes
     * are returned raw (bounded by `maxBodyBytes`, same as pages) with the
-    * base media type from Content-Type; no charset decode, no HTML parse. */
+    * base media type from Content-Type; no charset decode, no HTML parse.
+    *
+    * A body LARGER than `maxBodyBytes` is a fetch FAILURE (status 598),
+    * never a success: the content-addressed store's contract is "each
+    * distinct content, stored once, keyed by its hash" and insertIfAbsent
+    * is first-write-wins — a silently truncated prefix would be stored as
+    * if it were the real blob and could never be repaired by a later
+    * complete fetch. (Text surfaces keep the truncated prefix: a partial
+    * HTML parse is useful; a partial PDF is corruption.) */
   override def fetchMedia(url: String): (Int, Option[graft.model.MediaBlob]) =
     getRaw(url) match {
-      case (status, Some((bytes, resp))) =>
+      case (_, Some((_, truncated, _))) if truncated => (598, None)
+      case (status, Some((bytes, _, resp))) =>
         (status, Some(graft.model.MediaBlob(mediaTypeOf(resp), bytes)))
       case (status, None) => (status, None)
     }
 
   /** The one request path all surfaces share: build, send, bounded read,
-    * error posture. Returns (status, (raw bytes, response)) — text
-    * surfaces decode via [[charsetOf]], the media surface keeps bytes. */
-  private def getRaw(url: String): (Int, Option[(Array[Byte], HttpResponse[java.io.InputStream])]) =
+    * error posture. Returns (status, (raw bytes, truncated, response)) —
+    * text surfaces decode via [[charsetOf]], the media surface keeps
+    * bytes and refuses truncated ones. */
+  private def getRaw(url: String): (Int, Option[(Array[Byte], Boolean, HttpResponse[java.io.InputStream])]) =
     try {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(timeoutMs))
@@ -84,8 +94,10 @@ final class HttpFetcher(
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
       val status = resp.statusCode()
-      if (status >= 200 && status < 300) (status, Some((readBounded(resp.body()), resp)))
-      else { resp.body().close(); (status, None) }
+      if (status >= 200 && status < 300) {
+        val (bytes, truncated) = readBounded(resp.body())
+        (status, Some((bytes, truncated, resp)))
+      } else { resp.body().close(); (status, None) }
     } catch {
       case _: InterruptedException =>
         Thread.currentThread().interrupt() // keep Spark's task kill effective
@@ -95,7 +107,7 @@ final class HttpFetcher(
 
   private def get(url: String): (Int, Option[(String, String)]) =
     getRaw(url) match {
-      case (status, Some((bytes, resp))) =>
+      case (status, Some((bytes, _, resp))) =>
         (status, Some((new String(bytes, charsetOf(resp)), resp.uri().toString)))
       case (status, None) => (status, None)
     }
@@ -104,25 +116,28 @@ final class HttpFetcher(
     * the executor heap (a byte-array body handler would buffer a multi-GB
     * or hostile unbounded response in full before any cap applied, and
     * one such URL would OOM the fetch partition the 599-per-row posture
-    * protects). Closing mid-stream aborts the transfer. */
-  private def readBounded(in: java.io.InputStream): Array[Byte] =
+    * protects). Closing mid-stream aborts the transfer. Returns
+    * (bytes, truncated): when the cap is hit, one probe read decides
+    * whether the stream actually had more (an exactly-cap-sized body is
+    * not truncated). */
+  private def readBounded(in: java.io.InputStream): (Array[Byte], Boolean) =
     try {
       val out = new java.io.ByteArrayOutputStream(math.min(64 << 10, maxBodyBytes))
       val buf = new Array[Byte](64 << 10)
       var total = 0
+      var truncated = false
       var n = in.read(buf)
       while (n >= 0 && total < maxBodyBytes) {
         val take = math.min(n, maxBodyBytes - total)
+        if (take < n) truncated = true // a read overshot the cap: bytes discarded
         out.write(buf, 0, take)
         total += take
         n = if (total < maxBodyBytes) in.read(buf) else -1
       }
-      out.toByteArray
+      if (total >= maxBodyBytes && !truncated) truncated = in.read() >= 0
+      (out.toByteArray, truncated)
     } finally in.close()
 
-  /** Charset from Content-Type — bare or RFC 9110 quoted parameter form —
-    * defaulting to UTF-8 (the Diet sites are UTF-8 or Shift_JIS, both
-    * resolvable by name here). */
   /** Base media type (lowercased, parameters stripped) from Content-Type,
     * defaulting to the octet-stream catch-all. */
   private def mediaTypeOf(resp: HttpResponse[_]): String = {
@@ -131,6 +146,9 @@ final class HttpFetcher(
     if (base.isEmpty) "application/octet-stream" else base
   }
 
+  /** Charset from Content-Type — bare or RFC 9110 quoted parameter form —
+    * defaulting to UTF-8 (the Diet sites are UTF-8 or Shift_JIS, both
+    * resolvable by name here). */
   private def charsetOf(resp: HttpResponse[_]): java.nio.charset.Charset = {
     val ct = resp.headers().firstValue("Content-Type").orElse("")
     val m = "(?i)charset=\"?([A-Za-z0-9_\\-]+)\"?".r.findFirstMatchIn(ct)

@@ -98,9 +98,15 @@ object Sitemaps {
       maxSitemaps: Int = 256,
       maxDepth: Int = 2): Seq[SeedSpec] = {
     val out = scala.collection.mutable.LinkedHashSet[String]()
+    // visited keys on the canonical URL: a self-listing index (cycle) or
+    // several indexes referencing one shared sitemap would otherwise be
+    // re-fetched once per referencing path, burning the maxSitemaps
+    // budget on duplicates and displacing real leaf sitemaps
+    val visited = scala.collection.mutable.HashSet[String]()
     var fetched = 0
     def walk(sitemapUrl: String, depth: Int): Unit =
-      if (fetched < maxSitemaps && out.size < maxUrls) {
+      if (fetched < maxSitemaps && out.size < maxUrls &&
+          visited.add(UrlCanon.canonicalize(sitemapUrl))) {
         fetched += 1
         fetchBody(fetcher, sitemapUrl).foreach { body =>
           val doc = parse(body)

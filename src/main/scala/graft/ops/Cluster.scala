@@ -113,15 +113,19 @@ object Cluster {
 
   /** Component assignment for EVERY document: nodes in `pairs` get their
     * component min; untouched documents are their own singleton
-    * component. The pair-derived component table is tiny relative to the
-    * corpus (only near-dup members appear in pairs), so it broadcasts —
-    * the corpus itself never shuffles. */
+    * component. The broadcast decision is LEFT TO AQE deliberately: when
+    * near-dup membership is small the component table broadcasts and the
+    * corpus never shuffles, but in web corpora dup membership routinely
+    * reaches 30-80% of all documents — O(corpus)-sized, beyond any
+    * broadcast limit — and a hard `broadcast()` hint would OOM the very
+    * pipeline this operator exists for. At that scale a shuffled equi-join
+    * on the id key is the correct (and only) plan. */
   def assignComponents(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val comp = connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
     docs.select(col(idCol))
-      .join(broadcast(comp), Seq(idCol), "left")
+      .join(comp, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("component"))
   }

@@ -67,18 +67,33 @@ object Sampling {
         .withColumn("__thr",
           least(lit(M), ceil((lit(safety) * k + 64) * M / col("__n")).cast("long")))
         .select(col(strataCol), col("__n"), col("__thr"))
-      val joined = withH.join(broadcast(counts), strataCol)
+      // every stratum join below is null-safe (<=>): a NULL stratum
+      // (unidentified language, missing source — routine in curation
+      // data) is a real window partition and must survive the
+      // prefiltered plan too; a plain equi-join would silently drop it.
+      // (String aliases throughout — dataset-qualified refs share
+      // lineage here and trip DetectAmbiguousSelfJoin.)
+      val sk = s"`$strataCol`"
+      val joined = withH.as("d").join(broadcast(counts).as("c"),
+          col(s"d.$sk") <=> col(s"c.$sk"))
+        .select(col("d.*"), col("c.__n"), col("c.__thr"))
       val kept = joined.filter(col("__h") < col("__thr"))
       // rescue: strata where the prefilter left fewer than min(k, n) rows
       // (possible only in the far tail of the hash distribution) re-run
-      // unfiltered; everything else keeps the slim plan
-      val shortStrata = kept.groupBy(col(strataCol))
-        .agg(count(lit(1)).as("__kept"))
-        .join(counts.select(col(strataCol), col("__n")), strataCol)
-        .filter(col("__kept") < least(lit(k.toLong), col("__n")))
-        .select(col(strataCol))
-      val rescued = joined.join(broadcast(shortStrata), Seq(strataCol), "left_semi")
-      val survivors = kept.join(broadcast(shortStrata), Seq(strataCol), "left_anti")
+      // unfiltered; everything else keeps the slim plan. Short strata are
+      // derived from `counts` (left join, missing kept-count -> 0), NOT
+      // from kept's groups alone: a stratum the prefilter emptied
+      // entirely has no kept group at all and must still be rescued.
+      val keptCounts = kept.groupBy(col(strataCol)).agg(count(lit(1)).as("__kept"))
+      val shortStrata = counts.as("c").join(keptCounts.as("kc"),
+          col(s"c.$sk") <=> col(s"kc.$sk"), "left")
+        .filter(coalesce(col("__kept"), lit(0L)) < least(lit(k.toLong), col("__n")))
+        .select(col(s"c.$sk"))
+      val ss = broadcast(shortStrata)
+      val rescued = joined.as("j").join(ss.as("s"),
+        col(s"j.$sk") <=> col(s"s.$sk"), "left_semi")
+      val survivors = kept.as("k").join(ss.as("s"),
+          col(s"k.$sk") <=> col(s"s.$sk"), "left_anti")
         .unionByName(rescued)
         .drop("__n", "__thr")
       rank(survivors)

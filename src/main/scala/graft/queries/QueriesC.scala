@@ -18,11 +18,12 @@ object QueriesC {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The q36 verified-pair construction as a DuckDB CTE chain ending in
-    * `good(doc_a, doc_b)` — the brute-force word-3-shingle Jaccard ≥ 0.5
-    * pair set, which the LSH path provably (and q36-verifiably) equals on
-    * this corpus. Shared by q45/q46 so the clustering oracles can never
-    * drift from the pair oracle. (Declared before `defs`: the map's SQL
-    * strings interpolate it at object init.) */
+    * `good(doc_a, doc_b, jaccard)` — the brute-force word-3-shingle
+    * Jaccard ≥ 0.5 pair set, which the LSH path provably (and
+    * q36-verifiably) equals on this corpus. Shared by q36 itself AND
+    * q45/q46, so neither the pair oracle nor the clustering oracles can
+    * drift from the shingle/threshold definition. (Declared before
+    * `defs`: the map's SQL strings interpolate it at object init.) */
   private val lshGoodPairsSql: String =
     """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_filter(
@@ -35,7 +36,8 @@ object QueriesC {
       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2),
       |good AS (
-      |  SELECT doc_a, doc_b
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
       |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
       |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5)""".stripMargin
 
@@ -106,20 +108,8 @@ object QueriesC {
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, unnest(list_distinct(list_filter(
-             |    list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),
-             |    s -> s IS NOT NULL))) AS sh
-             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)),
-             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-             |pairs AS (
-             |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-             |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-             |  GROUP BY 1, 2)
-             |SELECT doc_a, doc_b,
-             |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-             |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-             |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5
+      Some(s"""WITH $lshGoodPairsSql
+             |SELECT doc_a, doc_b, jaccard FROM good
              |ORDER BY doc_a, doc_b""".stripMargin),
       "xxhash64 MinHash-LSH pairs + exact Jaccard verify, >=0.5 (scale path; property oracle)"),
 

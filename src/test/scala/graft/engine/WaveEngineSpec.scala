@@ -134,6 +134,53 @@ class WaveEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("realtime politeness: spacing holds when the wall clock has overrun the planned slots") {
+    // waveStartMs 10 s in the past: every planned slot is already due (the
+    // situation after a slow server or a Crawl-delay host slept ahead of
+    // this one in the partition), so a plan-only pacer would fire the
+    // host's rows back-to-back at response-latency rate; the
+    // actual-spacing bound must still keep >= 1/rps between fetches
+    val site = SyntheticSite(nHosts = 1, basePagesPerHost = 8, branching = 1, hotFactor = 1)
+    val rps = 20.0 // 50 ms spacing keeps the test fast
+    val rows = (0 until 5).map { i =>
+      val u = site.pageUrl(0, i)
+      val c = graft.urls.UrlCanon.canonicalize(u)
+      graft.model.UrlRecord(u, c, graft.urls.UrlCanon.urlHash(c),
+        graft.urls.UrlCanon.hostOf(c), 0, "follow_links",
+        Map.empty, 0, is_seed = true, 0, i.toLong)
+    }
+    val acc = new org.apache.spark.util.CollectionAccumulator[(Int, Long, Long, Long)]()
+    val out = WaveCore.fetchIter(rows.iterator, site, rps, realtime = true,
+      fetchWave = 0, waveStartMs = System.currentTimeMillis() - 10000L,
+      lineageAcc = acc).toArray
+    val ts = out.map(_.fetched_at_ms).sorted
+    ts.zip(ts.tail).foreach { case (a, b) =>
+      assert(b - a >= 50L, s"overrun fetches ${b - a}ms apart (< 1/rps)")
+    }
+  }
+
+  test("realtime: a Crawl-delay-slowed host's wave budget is capped by maxHostWaveStallSec") {
+    // host paced at 20 rps under a 100 rps global, stall bound 0.2 s →
+    // floor(0.2 × 20) = 4 rows per wave even though maxPerHostPerWave is
+    // uncapped; the other 8 seeds must defer to later waves instead of
+    // holding this wave's barrier for the whole sleep train
+    val site = SyntheticSite(nHosts = 1, basePagesPerHost = 12, branching = 1, hotFactor = 1)
+    val host = graft.urls.UrlCanon.hostOf(
+      graft.urls.UrlCanon.canonicalize(site.pageUrl(0, 0)))
+    val ckpt = SparkTestSession.tmpDir("stallcap")
+    val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 2, fetchPartitions = 2,
+      politenessRps = 100.0, realtime = true, maxPerHostPerWave = Int.MaxValue,
+      hostRps = Map(host -> 20.0), maxHostWaveStallSec = 0.2)
+    val engine = new WaveEngine(spark, site, parsers, cfg)
+    engine.run((0 until 12).map(i => SeedSpec(site.pageUrl(0, i))))
+    import spark.implicits._
+    val waves = engine.fetchedTable().select($"wave").as[Int].collect()
+    assert(waves.length >= 12) // every seed (and any followed link) fetched
+    val perWave = waves.groupBy(identity).view.mapValues(_.length).toMap
+    assert(perWave.values.forall(_ <= 4), s"wave budget exceeded: $perWave")
+    assert(perWave.size >= 3) // the overflow actually deferred across waves
+  }
+
   test("realtime politeness: same-host spacing >= 1/rps holds ACROSS wave boundaries") {
     // budget 1/host/wave → every same-host gap is a wave-boundary gap.
     // Without carried per-host pace state, wave W+1's slot-0 restarts at

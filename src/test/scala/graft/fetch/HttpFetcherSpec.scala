@@ -198,6 +198,37 @@ class HttpFetcherSpec extends AnyFunSuite {
     }
   }
 
+  test("fetchMedia refuses a body over maxBodyBytes; text fetch keeps the bounded prefix") {
+    // the CAS store is first-write-wins on content hash — a silently
+    // truncated blob could never be repaired, so an over-cap media body
+    // must be a fetch FAILURE (598), while an exactly-cap body is fine
+    val big = Array.tabulate[Byte](2048)(i => (i & 0x7F).toByte)
+    val exact = Array.tabulate[Byte](1024)(i => (i & 0x7F).toByte)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val bytes = if (ex.getRequestURI.getPath == "/big.bin") big else exact
+        ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new HttpFetcher(maxBodyBytes = 1024)
+      val (stBig, blobBig) = f.fetchMedia(s"$base/big.bin")
+      assert(stBig == 598 && blobBig.isEmpty)
+      val (stExact, blobExact) = f.fetchMedia(s"$base/exact.bin")
+      assert(stExact == 200 && blobExact.get.bytes.length == 1024)
+      // text surfaces keep the truncated prefix — a partial HTML parse is
+      // useful, unlike a partial blob
+      val (stText, body) = f.fetchText(s"$base/big.bin")
+      assert(stText == 200 && body.get.length == 1024)
+    } finally server.stop(0)
+  }
+
   test("media plane over live HTTP: img refs fetched as binary into the CAS store") {
     // two pages share one logo (CAS collapse) and p1 adds a distinct image
     val logo = Array.tabulate[Byte](300)(i => ((i * 31 + 7) & 0xFF).toByte)

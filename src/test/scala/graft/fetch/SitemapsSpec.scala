@@ -76,6 +76,27 @@ class SitemapsSpec extends AnyFunSuite {
       Seq("https://s.example.jp/p1")) // cap is exact, first-listed wins
   }
 
+  test("seeds: duplicate sitemap references don't burn the fetch budget") {
+    // index lists itself first, then two leaves; with maxSitemaps = 3 a
+    // walker without a visited set would spend fetch #2 re-fetching the
+    // index and never reach b.xml
+    val pages = Map(
+      textDoc("https://v.example.jp/robots.txt",
+        "User-agent: *\nSitemap: https://v.example.jp/index.xml"),
+      textDoc("https://v.example.jp/index.xml",
+        """<sitemapindex>
+          |<sitemap><loc>https://v.example.jp/index.xml</loc></sitemap>
+          |<sitemap><loc>https://v.example.jp/a.xml</loc></sitemap>
+          |<sitemap><loc>https://v.example.jp/b.xml</loc></sitemap>
+          |</sitemapindex>""".stripMargin),
+      textDoc("https://v.example.jp/a.xml",
+        "<urlset><url><loc>https://v.example.jp/pa</loc></url></urlset>"),
+      textDoc("https://v.example.jp/b.xml",
+        "<urlset><url><loc>https://v.example.jp/pb</loc></url></urlset>"))
+    val got = Sitemaps.seeds(new MapFetcher(pages), Seq("v.example.jp"), maxSitemaps = 3)
+    assert(got.map(_.url) == Seq("https://v.example.jp/pa", "https://v.example.jp/pb"))
+  }
+
   test("seeds: hosts without robots fall back to /sitemap.xml; absent sitemap -> no seeds") {
     val pages = Map(
       textDoc("https://t.example.jp/sitemap.xml",

@@ -53,6 +53,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(tight == full)
   }
 
+  test("quotaPerStratum: NULL strata survive the prefiltered plan") {
+    val df = (0 until 300).map { i =>
+      (i.toLong, if (i % 5 == 0) null else if (i % 2 == 0) "en" else "ja")
+    }.toDF("doc_id", "lang")
+      .withColumn("h", xxhash64(col("doc_id")))
+    def res(pre: Boolean) =
+      Sampling.quotaPerStratum(df, "lang", col("h"), col("doc_id"), k = 15,
+        prefilter = pre)
+        .select($"lang", $"doc_id", $"sample_rank")
+        .as[(Option[String], Long, Int)].collect().toSet
+    val full = res(pre = false)
+    assert(res(pre = true) == full)
+    assert(full.count(_._1.isEmpty) == 15) // the null stratum is sampled too
+  }
+
+  test("quotaPerStratum: a stratum the prefilter empties entirely is rescued") {
+    // every 'dup' row carries the same top-bucket hash (duplicated content
+    // hashed identically — the degenerate real-world case): with safety=0
+    // the threshold keeps none of them, so the zero-survivor rescue must
+    // fire or the stratum would vanish from the sample
+    val df = (0 until 200).map(i => (i.toLong, if (i < 100) "dup" else "ok"))
+      .toDF("doc_id", "lang")
+      .withColumn("h",
+        when(col("lang") === "dup", lit(999999L)).otherwise(xxhash64(col("doc_id"))))
+    def res(pre: Boolean) =
+      Sampling.quotaPerStratum(df, "lang", col("h"), col("doc_id"), k = 10,
+        prefilter = pre, safety = 0.0)
+        .select($"lang", $"doc_id", $"sample_rank")
+        .as[(String, Long, Int)].collect().toSet
+    val full = res(pre = false)
+    assert(res(pre = true) == full)
+    assert(full.count(_._1 == "dup") == 10)
+  }
+
   test("quotaPerStratum: strata smaller than k keep all their rows, ranked") {
     val df = Seq((1L, "ja"), (2L, "ja"), (3L, "en")).toDF("doc_id", "lang")
       .withColumn("h", xxhash64(col("doc_id")))
