@@ -565,6 +565,61 @@ object QueriesC {
              |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
              |FROM ranked WHERE sample_rank <= 40
              |ORDER BY lang, sample_rank""".stripMargin),
-      "per-language quota sample (k smallest hashes): prefiltered plan == full-window SQL")
+      "per-language quota sample (k smallest hashes): prefiltered plan == full-window SQL"),
+
+    // Gopher-style repetition metrics (Rae et al. 2021 A1.1): the four
+    // boilerplate/spam detectors a curation pipeline gates on. Column-fn
+    // plane: pure HOFs in whole-stage codegen, zero shuffle — the 100 TB
+    // scan shape. DuckDB recomputes every fraction from the same
+    // line/token decompositions.
+    "q49_repetition_stats" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.Repetition.duplicateLineFraction(col("text")).as("dup_line_frac"),
+          graft.ops.Repetition.duplicateLineCharFraction(col("text")).as("dup_line_char_frac"),
+          graft.ops.Repetition.topBigramFraction(col("text")).as("top_bigram_frac"),
+          graft.ops.Repetition.dupTrigramFraction(col("text")).as("dup_trigram_frac"))
+        .orderBy(col("doc_id")),
+      Some(repetitionOracleSql),
+      "Gopher repetition metrics (column-fn plane) == DuckDB list-fn recomputation"),
+
+    // Same four metrics on the DF plane (explode -> count -> re-aggregate,
+    // linear in corpus size): the scale path for adversarially long
+    // documents where the per-row HOF plane goes quadratic. Equality with
+    // q49's oracle pins that the two planes agree exactly.
+    "q50_repetition_df" -> Q(
+      (s, d) => graft.ops.Repetition.statsDF(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(repetitionOracleSql),
+      "Gopher repetition metrics (DF plane) == same oracle (plane equivalence)")
   )
+
+  /** One oracle for q49/q50 — the two planes must produce identical
+    * numbers, so they share the SQL verbatim. (A `def`, not a `val`: it
+    * is referenced from `defs`' initializer above, where a later-declared
+    * `val` would still be null.) */
+  private def repetitionOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split(text, chr(10)) AS ls,
+      |    string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, ls,
+      |    list_filter(list_transform(ts, (x, i) -> CASE WHEN i + 1 <= len(ts) THEN x || ' ' || ts[i+1] END), s -> s IS NOT NULL) AS g2,
+      |    list_filter(list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END), s -> s IS NOT NULL) AS g3
+      |  FROM t)
+      |SELECT doc_id,
+      |  round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / greatest(len(ls), 1), 4) AS dup_line_frac,
+      |  round(CASE WHEN list_sum(list_transform(ls, l -> length(l))) > 0
+      |    THEN CAST(list_sum(list_transform(ls, l -> CASE WHEN len(list_filter(ls, x -> x = l)) > 1 THEN length(l) ELSE 0 END)) AS DOUBLE)
+      |         / list_sum(list_transform(ls, l -> length(l)))
+      |    ELSE 0 END, 4) AS dup_line_char_frac,
+      |  round(CASE WHEN len(g2) > 0
+      |    THEN least(CAST(list_max(list_transform(g2, y -> len(list_filter(g2, x -> x = y)))) AS DOUBLE) * 2.0 / (len(g2) + 1), 1.0)
+      |    ELSE 0 END, 4) AS top_bigram_frac,
+      |  round(CASE WHEN len(g3) > 0
+      |    THEN CAST(len(list_filter(g3, y -> len(list_filter(g3, x -> x = y)) > 1)) AS DOUBLE) / len(g3)
+      |    ELSE 0 END, 4) AS dup_trigram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
 }
