@@ -591,7 +591,51 @@ object QueriesC {
       (s, d) => graft.ops.Repetition.statsDF(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")),
       Some(repetitionOracleSql),
-      "Gopher repetition metrics (DF plane) == same oracle (plane equivalence)")
+      "Gopher repetition metrics (DF plane) == same oracle (plane equivalence)"),
+
+    // PII scrub + audit (training-data curation): emails / IPv4 / phones
+    // masked in the text plane, counted in the audit plane. The synthetic
+    // corpus has no PII, so both engines INJECT the same deterministic
+    // PII (keyed on doc_id) before scrubbing — the oracle then pins the
+    // regex semantics themselves (patterns live in the Java∩RE2 subset,
+    // one string drives both engines).
+    "q51_pii_scrub" -> Q(
+      (s, d) => {
+        val aug = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+              .otherwise(""),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"), lit(".25 logged")))
+              .otherwise(""),
+            when(col("doc_id") % 13 === 0,
+              concat(lit(" tel 03-"), (col("doc_id") % 90 + 10).cast("string"), lit("22-5678 desk")))
+              .otherwise("")).as("t"))
+        aug.select(col("doc_id"),
+          graft.ops.Scrub.scrub(col("t")).as("scrubbed"),
+          graft.ops.Scrub.emailCount(col("t")).as("n_email"),
+          graft.ops.Scrub.ipv4Count(col("t")).as("n_ipv4"),
+          graft.ops.Scrub.phoneCount(col("t")).as("n_phone"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.25 logged' ELSE '' END
+             |    || CASE WHEN doc_id % 13 = 0 THEN ' tel 03-' || CAST(doc_id % 90 + 10 AS VARCHAR) || '22-5678 desk' ELSE '' END
+             |    AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    '${graft.ops.Scrub.EmailRe}', '<EMAIL>', 'g'),
+             |    '${graft.ops.Scrub.Ipv4Re}', '<IP>', 'g'),
+             |    '${graft.ops.Scrub.PhoneRe}', '<PHONE>', 'g') AS scrubbed,
+             |  CAST(len(regexp_extract_all(t, '${graft.ops.Scrub.EmailRe}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t, '${graft.ops.Scrub.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+             |  CAST(len(regexp_extract_all(t, '${graft.ops.Scrub.PhoneRe}')) AS BIGINT) AS n_phone
+             |FROM aug ORDER BY doc_id""".stripMargin),
+      "PII scrub + audit counts: one Java-and-RE2 pattern set drives both engines")
   )
 
   /** One oracle for q49/q50 — the two planes must produce identical
