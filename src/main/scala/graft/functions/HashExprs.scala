@@ -81,6 +81,46 @@ object HashImpl {
     new GenericArrayData(java.util.Arrays.copyOf(out, n))
   }
 
+  /** POSITIONAL polynomial window hashes: one hash per window position,
+    * in order, repeats kept (index i = hash of tokens i..i+n-1). The
+    * positional form backs passage-level dedup, where the array index is
+    * the window's token offset and repeated windows must stay visible. */
+  def polyWindowHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val hs = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) { hs(i) = polyHashShingle(toks, i, n); i += 1 }
+    new GenericArrayData(hs)
+  }
+
+  /** POSITIONAL xxhash64 window hashes (seed 42): one hash per window
+    * position, in order, repeats kept — the production-scale twin of
+    * [[polyWindowHashes]]. */
+  def xxWindowHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    val hs = new Array[Long](cnt)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i < cnt) {
+      var k = 0
+      while (k < n) { window(k) = toks(i + k); k += 1 }
+      hs(i) = XXH64.hashUTF8String(UTF8String.concatWs(space, window: _*), Seed)
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
   /** Distinct polynomial hashes of word n-gram shingles, first-occurrence
     * order (array_distinct semantics). */
   def polyShingleHashes(arr: ArrayData, n: Int): ArrayData = {
@@ -238,6 +278,32 @@ case class PolyShingleHashes(child: Expression, n: Int)
 
 /** Distinct xxhash64 of word n-gram shingles of a token array (production
   * 64-bit variant; seed-42 compatible with Spark's xxhash64). */
+case class PolyWindowHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_window_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.polyWindowHashes(input.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.polyWindowHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): PolyWindowHashes =
+    copy(child = newChild)
+}
+
+case class XxWindowHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "xx_window_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.xxWindowHashes(input.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.xxWindowHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): XxWindowHashes =
+    copy(child = newChild)
+}
+
 case class XxShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -314,6 +380,10 @@ object HashFns {
     ColumnBridge.column(PolyShingleHashes(ex(tokens), n))
   def xxShingleHashes(tokens: Column, n: Int = 3): Column =
     ColumnBridge.column(XxShingleHashes(ex(tokens), n))
+  def polyWindowHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(PolyWindowHashes(ex(tokens), n))
+  def xxWindowHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(XxWindowHashes(ex(tokens), n))
   def simhash64(tokens: Column): Column = ColumnBridge.column(SimHash64Expr(ex(tokens)))
   def simhashPoly32(tokens: Column): Column = ColumnBridge.column(SimHashPoly32Expr(ex(tokens)))
   def dotF64(a: Column, b: Column): Column = ColumnBridge.column(DotF64(ex(a), ex(b)))

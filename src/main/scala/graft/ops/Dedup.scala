@@ -205,6 +205,54 @@ object Dedup {
         bit_count($("l.sig").bitwiseXOR($("r.sig"))).cast("long").as("hamming"))
   }
 
+  /** Passage-level duplicate coverage (the distributed re-expression of
+    * suffix-array substring dedup, Lee et al. 2021 "Deduplicating Training
+    * Data Makes Language Models Better"): a passage is a `w`-token window;
+    * a window duplicated across >= `minDocs` distinct documents marks its
+    * tokens as duplicated, and each document reports the fraction of its
+    * tokens covered by the union of its duplicated windows.
+    *
+    * Shape per stage (no pair join anywhere — this op is LINEAR where the
+    * near-dup ops are quadratic-in-bucket):
+    *  1. positional window hashes: one native loop per doc (XxWindowHashes),
+    *     posexplode to (doc, pos, h) — the array index is the token offset;
+    *  2. duplicated-hash set: distinct (doc, h) [map-side combine collapses
+    *     within-doc repeats] -> groupBy(h) count >= minDocs. Shuffle rows
+    *     carry 16 bytes, never text;
+    *  3. covered tokens: join positions against the dup set on h (AQE
+    *     picks broadcast when the dup set is small), then interval-union
+    *     per doc via one lag window: contribution = least(w, pos - prev),
+    *     first window contributes w. One shuffle keyed by doc id.
+    * A boilerplate window shared by millions of docs is ONE group in
+    * stage 2 and a 1:1 match in stage 3 — no degenerate-bucket expansion,
+    * so no skew cap is needed (unlike the pair generators). */
+  def duplicatePassageCoverage(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minDocs: Int = 2,
+      windowHasher: (Column, Int) => Column =
+        graft.functions.HashFns.xxWindowHashes): DataFrame = {
+    require(w >= 1 && minDocs >= 2)
+    val win = df
+      .select(col(idCol).as("doc"),
+        posexplode(windowHasher(tokens(col(textCol)), w)))
+      .toDF("doc", "pos", "h")
+    val dup = win.select(col("doc"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val covered = win.join(dup, "h")
+      .withColumn("prev", lag(col("pos"), 1)
+        .over(Window.partitionBy(col("doc")).orderBy(col("pos"))))
+      .withColumn("contrib", least(lit(w), col("pos") - coalesce(col("prev"), col("pos") - w)))
+      .groupBy(col("doc")).agg(sum(col("contrib")).as("dup_tokens"))
+    df.select(col(idCol).as("doc"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
   /** SimHash near-dup pairs from text: 64-bit xxhash SimHash + pigeonhole
     * blocking (block count derived from `maxHamming`), verified distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -635,7 +635,45 @@ object QueriesC {
              |  CAST(len(regexp_extract_all(t, '${graft.ops.Scrub.Ipv4Re}')) AS BIGINT) AS n_ipv4,
              |  CAST(len(regexp_extract_all(t, '${graft.ops.Scrub.PhoneRe}')) AS BIGINT) AS n_phone
              |FROM aug ORDER BY doc_id""".stripMargin),
-      "PII scrub + audit counts: one Java-and-RE2 pattern set drives both engines")
+      "PII scrub + audit counts: one Java-and-RE2 pattern set drives both engines"),
+
+    // Passage-level duplicate coverage (distributed re-expression of
+    // suffix-array substring dedup, Lee et al. 2021): per-doc fraction of
+    // tokens covered by the union of 8-token windows that appear in >= 2
+    // distinct documents. The Spark side runs the real op
+    // (Dedup.duplicatePassageCoverage) with the portable polynomial window
+    // hash swapped in, so the oracle pins the whole dataflow — positional
+    // windows -> cross-doc duplicated-hash set -> lag-window interval
+    // union — not just the hash. Linear end to end: no pair join.
+    "q52_dup_passages" -> Q(
+      (s, d) => graft.ops.Dedup.duplicatePassageCoverage(
+          t(s, d, "documents"), "doc_id", "text", w = 8, minDocs = 2,
+          windowHasher = graft.functions.HashFns.polyWindowHashes)
+        .orderBy(col("doc_id")),
+      Some {
+        val winSh = "x || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]"
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+           |winraw AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    list_transform(ts, (x, i) -> CASE WHEN i + 7 <= len(ts)
+           |      THEN {'pos': i, 'sh': $winSh} END),
+           |    s -> s IS NOT NULL)) AS u
+           |  FROM toks),
+           |win AS (SELECT doc_id, u.pos AS pos, ${QueriesB.polyHashSql("u.sh")} AS h FROM winraw),
+           |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+           |        GROUP BY h HAVING count(*) >= 2),
+           |contrib AS (
+           |  SELECT doc_id, least(8, pos - coalesce(
+           |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - 8)) AS c
+           |  FROM (SELECT doc_id, pos FROM win JOIN dup USING (h))),
+           |cov AS (SELECT doc_id, sum(c) AS dup_tokens FROM contrib GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           |  CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.ts) AS dup_fraction
+           |FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin
+      },
+      "passage-level duplicate coverage (Lee et al. substring dedup signal): op dataflow == SQL recomputation")
   )
 
   /** One oracle for q49/q50 — the two planes must produce identical

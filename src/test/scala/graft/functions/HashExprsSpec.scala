@@ -83,6 +83,40 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("window hashes (positional) == per-position HOF composition; distinct-in-order == shingle variants") {
+    def oldXxWin(ts: Column, n: Int): Column = filter(
+      transform(ts, (x, i) =>
+        when(i <= size(ts) - n,
+          xxhash64(concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*)))
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+    def oldPolyWin(ts: Column, n: Int): Column =
+      transform(oldShingles0(ts, n), sh => oldPolyHash(sh))
+    def oldShingles0(ts: Column, n: Int): Column = filter(
+      transform(ts, (x, i) =>
+        when(i <= size(ts) - n,
+          concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*))
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+    for (n <- Seq(2, 3, 8)) {
+      val got = sampleDf.select(col("doc_id"),
+        HashFns.xxWindowHashes(toks(col("text")), n).as("xw"),
+        HashFns.polyWindowHashes(toks(col("text")), n).as("pw"),
+        oldXxWin(toks(col("text")), n).as("oxw"),
+        oldPolyWin(toks(col("text")), n).as("opw"),
+        array_distinct(HashFns.xxWindowHashes(toks(col("text")), n)).as("xd"),
+        HashFns.xxShingleHashes(toks(col("text")), n).as("xs"),
+        array_distinct(HashFns.polyWindowHashes(toks(col("text")), n)).as("pd"),
+        HashFns.polyShingleHashes(toks(col("text")), n).as("ps")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](3), s"xx positional n=$n doc=${r.getLong(0)}")
+        assert(r.getSeq[Long](2) == r.getSeq[Long](4), s"poly positional n=$n doc=${r.getLong(0)}")
+        assert(r.getSeq[Long](5) == r.getSeq[Long](6), s"xx distinct-in-order n=$n doc=${r.getLong(0)}")
+        assert(r.getSeq[Long](7) == r.getSeq[Long](8), s"poly distinct-in-order n=$n doc=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("SimHash64Expr matches the 64-fold aggregate composition") {
     def oldSimhash(text: Column): Column = {
       val hs = transform(toks(text), t => xxhash64(t))

@@ -70,6 +70,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-passage coverage: hand-computed interval unions; within-doc repeats don't count") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),          // all 4 windows shared with 2/4
+      (2L, "z z a b c d y"),        // shares "a b c","b c d" -> covers "a b c d"
+      (3L, "q r s t u v"),          // unique
+      (4L, "a b c d e f"),          // exact dup of 1
+      (5L, "m n o p m n o p")       // repeats only within itself
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatePassageCoverage(corpus, "doc_id", "text", w = 3, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6L, 6L, 1.0)))
+    assert(out(4L) == ((6L, 6L, 1.0)))
+    assert(out(2L)._1 == 7L && out(2L)._2 == 4L) // union of overlapping windows at pos 2,3
+    assert(math.abs(out(2L)._3 - 4.0 / 7.0) < 1e-12)
+    assert(out(3L) == ((6L, 0L, 0.0)))
+    assert(out(5L) == ((8L, 0L, 0.0))) // within-doc repetition is not cross-doc duplication
+    // raising minDocs drops the windows only two docs share
+    val strict = Dedup.duplicatePassageCoverage(corpus, "doc_id", "text", w = 3, minDocs = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(strict(1L) == 4L && strict(2L) == 4L && strict(4L) == 4L && strict(3L) == 0L)
+  }
+
   test("ANN: LSH top-k recalls brute-force neighbors on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
