@@ -102,6 +102,18 @@ final case class CrawlConfig(
     maxHostWaveStallSec: Double = 600.0,
     maxWaves: Int = 10000,
     maxUrls: Long = Long.MaxValue,
+    // per-host crawl budget (trap guard): cap on URLs ever ADMITTED to
+    // the frontier per host. Crawler traps — calendar pages, faceted
+    // search, session-id link mills — generate unbounded novel URLs under
+    // ONE host; at 10^10-frontier scale one trap host otherwise starves
+    // the crawl (the reference never hits this: its hand-picked seed
+    // domains are finite by construction). Admission order is the
+    // deterministic (parent_seq, emission_idx) candidate order, so the
+    // surviving set is parallelism- and resume-invariant. URLs refused by
+    // the budget are still MARKED SEEN (a rediscovery never re-shuffles
+    // them); they are dropped knowingly, like the dedup skew caps.
+    // Long.MaxValue = uncapped fast path (no per-host counting at all).
+    maxPagesPerHost: Long = Long.MaxValue,
     // S11 — fetch cache: point at a prior run's `fetched` dir to reuse
     // still-fresh pages instead of re-fetching (reference: filesystem HTTP
     // cache with 600 s TTL, /root/reference/crawler/settings.py:84-86)
@@ -185,6 +197,14 @@ final case class Candidate(
  * merely couples two hosts' pacing (strictly more polite, never less).
  * Empty in simulated mode — the bench path carries no pace state.
  *
+ * `hostN` (per-host crawl budget / trap guard) maps hostHash → URLs
+ * ADMITTED to the frontier for that host so far. Maintained only when
+ * `maxPagesPerHost` is finite (the default uncapped config never touches
+ * it — zero cost on the bench path). All of a host's candidates land in
+ * its one bucket (host-bucket co-location), so a per-bucket count is
+ * globally exact with no extra shuffle. Keyed by hash like `pace`: a
+ * collision couples two hosts' budgets (strictly more conservative).
+ *
  * At 10^10-URL scale one bucket holds |seen|/hostBuckets entries; the
  * state lives partitioned across executors (never on the driver, never
  * broadcast). A deployment whose per-executor seen share exceeds memory
@@ -198,7 +218,8 @@ private[engine] final case class BucketSeen(
     seen: graft.seen.SeenSet128,
     log: List[graft.seen.SeenChunk],
     count: Long,
-    pace: Map[Long, Long] = Map.empty) {
+    pace: Map[Long, Long] = Map.empty,
+    hostN: Map[Long, Long] = Map.empty) {
   /** Exact membership; the filter short-circuits the common novel case
     * (no false negatives; positives verified against the exact set). */
   def isDup(h1: Long, h2: Long): Boolean =
@@ -471,7 +492,8 @@ private[engine] object WaveCore {
       base: Long,
       newWave: Int,
       seedWave: Boolean,
-      nBuckets: Long): Iterator[(Int, BucketWave)] = {
+      nBuckets: Long,
+      maxPerHost: Long = Long.MaxValue): Iterator[(Int, BucketWave)] = {
     val byBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Candidate]]()
     val paceByBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Candidate]]()
     cands.foreach { case (b, c) =>
@@ -496,20 +518,51 @@ private[engine] object WaveCore {
         val filter = CuckooFilter.deserialize(st.filter.serialized) // copy-on-write
         val seen = st.seen.copy() // copy-on-write (flat array clone)
         var emittedW = 0L // exact emitted count (weights survive the combiner)
+        // per-host budget (trap guard): active only for a finite cap. A
+        // refused URL is marked seen AND logged to the changelog chunk
+        // (else a resume would rebuild a seen set without it and re-admit
+        // what the live run refused — breaking resume-equivalence).
+        val budgeted = maxPerHost != Long.MaxValue
+        val hostCounts =
+          if (!budgeted) null
+          else {
+            val m = new java.util.HashMap[Long, Long](st.hostN.size * 2 + 16)
+            st.hostN.foreach { case (k, v) => m.put(k, v) }
+            m
+          }
+        val refused =
+          if (!budgeted) null
+          else scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        var budgetHost: String = null // memo for the admit-time host derivation
         sorted.foreach { c =>
           emittedW += c.weight
           val h2 = UrlCanon.urlHash2(c.canonical)
           // evolving copies: the same probe handles within-wave dups and
           // the prior seen set in one pass
           if (!(filter.contains(c.url_hash) && seen.contains(c.url_hash, h2))) {
-            seen.add(c.url_hash, h2)
-            filter.insert(c.url_hash)
-            novel += c
+            if (!budgeted) {
+              seen.add(c.url_hash, h2)
+              filter.insert(c.url_hash)
+              novel += c
+            } else {
+              budgetHost = UrlCanon.hostOfOrSame(c.canonical, budgetHost)
+              val hh = UrlCanon.urlHash(budgetHost)
+              val n = hostCounts.getOrDefault(hh, 0L)
+              seen.add(c.url_hash, h2)
+              filter.insert(c.url_hash)
+              if (n < maxPerHost) {
+                hostCounts.put(hh, n + 1L)
+                novel += c
+              } else {
+                refused += ((c.url_hash, c.canonical))
+              }
+            }
           }
         }
         val nn = novel.length
-        val hashes = new Array[Long](nn)
-        val canons = new Array[String](nn)
+        val nd = if (refused == null) 0 else refused.length
+        val hashes = new Array[Long](nn + nd)
+        val canons = new Array[String](nn + nd)
         val recs = new Array[UrlRecord](nn)
         var r = 0
         // host is re-derived here, not shipped through the shuffle; the
@@ -527,13 +580,28 @@ private[engine] object WaveCore {
             seq = base + r.toLong * nBuckets + b)
           r += 1
         }
+        // budget-refused URLs ride the same chunk (durable seen marks)
+        var d = 0
+        while (d < nd) {
+          val (h, cn) = refused(d)
+          hashes(nn + d) = h
+          canons(nn + d) = cn
+          d += 1
+        }
         // append ONE packed chunk; prior chunks shared by reference —
         // O(novel) per wave, and the SER persist re-serializes only
         // primitive arrays (no per-URL String objects)
         val log =
-          if (nn == 0) st.log
+          if (nn + nd == 0) st.log
           else graft.seen.SeenChunk.pack(newWave, hashes, canons) :: st.log
-        (b, BucketWave(BucketSeen(b, filter, seen, log, st.count + nn, st.pace),
+        val hostN =
+          if (!budgeted) st.hostN
+          else {
+            val bld = Map.newBuilder[Long, Long]
+            hostCounts.forEach((k, v) => bld += (k -> v))
+            bld.result()
+          }
+        (b, BucketWave(BucketSeen(b, filter, seen, log, st.count + nn + nd, st.pace, hostN),
           recs, emittedW))
       }
     }
@@ -559,7 +627,8 @@ private[engine] object WaveCore {
       rows: Iterator[(Int, (Long, String))],
       capacity: Int,
       resumedWave: Int,
-      paceRows: Iterator[(Int, (Long, Long))] = Iterator.empty): Iterator[(Int, BucketWave)] = {
+      paceRows: Iterator[(Int, (Long, Long))] = Iterator.empty,
+      hostNRows: Iterator[(Int, (Long, Long))] = Iterator.empty): Iterator[(Int, BucketWave)] = {
     val byBucket = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]()
     rows.foreach { case (b, hc) =>
       byBucket.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[(Long, String)]) += hc
@@ -572,9 +641,19 @@ private[engine] object WaveCore {
       val m = paceByBucket.getOrDefault(b, Map.empty)
       paceByBucket.put(b, m.updated(h, math.max(m.getOrElse(h, 0L), ms)))
     }
+    // checkpointed per-host admission counts (crawl-budget continuity
+    // across a resume — without them a resumed crawl would restart every
+    // host's budget from zero)
+    val hostNByBucket = new java.util.HashMap[Int, Map[Long, Long]]()
+    hostNRows.foreach { case (b, (h, n)) =>
+      val m = hostNByBucket.getOrDefault(b, Map.empty)
+      hostNByBucket.put(b, m.updated(h, math.max(m.getOrElse(h, 0L), n)))
+    }
     states.map { case (b, empty0) =>
       val pace = paceByBucket.getOrDefault(b, Map.empty)
-      val empty = if (pace.isEmpty) empty0 else empty0.copy(pace = pace)
+      val hostN = hostNByBucket.getOrDefault(b, Map.empty)
+      val empty1 = if (pace.isEmpty) empty0 else empty0.copy(pace = pace)
+      val empty = if (hostN.isEmpty) empty1 else empty1.copy(hostN = hostN)
       val rs = byBucket.get(b)
       if (rs == null) (b, BucketWave(empty, Array.empty, 0L))
       else {
@@ -591,7 +670,8 @@ private[engine] object WaveCore {
         }
         val chunk = graft.seen.SeenChunk.pack(resumedWave, hashBuf.toArray, canonBuf.toArray)
         (b, BucketWave(
-          BucketSeen(b, f, seen, chunk :: Nil, hashBuf.length.toLong, empty.pace),
+          BucketSeen(b, f, seen, chunk :: Nil, hashBuf.length.toLong, empty.pace,
+            empty.hostN),
           Array.empty, 0L))
       }
     }
@@ -864,6 +944,16 @@ class WaveEngine(
         .toDF("host_bucket", "host_hash", "next_allowed_ms")
         .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/pace_w$wave")
     }
+    // crawl-budget continuity across resume: persist per-host admission
+    // counts (O(hosts) rows; written only when the budget is active)
+    if (cfg.maxPagesPerHost != Long.MaxValue) {
+      val hostNRows = state.flatMap { case (b, st) =>
+        st.hostN.iterator.map { case (h, n) => (b, h, n) }
+      }
+      spark.createDataset(hostNRows)
+        .toDF("host_bucket", "host_hash", "admitted")
+        .write.mode(SaveMode.Overwrite).parquet(s"$ckpt/hostn_w$wave")
+    }
     writeState(wave, nextSeq, totalFetched, totalDeduped)
     // AFTER the commit (LATEST now points at `wave`): obsolete per-wave
     // artifacts die here — resume reads only the committed wave's
@@ -874,7 +964,8 @@ class WaveEngine(
       .filter { f =>
         val nm = f.getName
         (nm.startsWith("pending_w") && nm.stripPrefix("pending_w").toIntOption.exists(_ < wave)) ||
-          (nm.startsWith("pace_w") && nm.stripPrefix("pace_w").toIntOption.exists(_ < wave))
+          (nm.startsWith("pace_w") && nm.stripPrefix("pace_w").toIntOption.exists(_ < wave)) ||
+          (nm.startsWith("hostn_w") && nm.stripPrefix("hostn_w").toIntOption.exists(_ < wave))
       }
       .foreach(graft.util.Fs.deleteRecursively)
     // compaction must only ever cover committed flushes
@@ -901,7 +992,8 @@ class WaveEngine(
     new java.io.File(dir, "LATEST").delete()
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("state_w") || f.getName.startsWith("pending_w") ||
-        f.getName.startsWith("filters_w") || f.getName.startsWith("pace_w"))
+        f.getName.startsWith("filters_w") || f.getName.startsWith("pace_w") ||
+        f.getName.startsWith("hostn_w"))
       .foreach(graft.util.Fs.deleteRecursively)
     graft.util.Fs.deleteRecursively(new java.io.File(dir, "seen"))
     graft.util.Fs.deleteRecursively(new java.io.File(dir, "seen_compacting"))
@@ -915,13 +1007,14 @@ class WaveEngine(
     Files.createDirectories(Paths.get(ckpt))
     clearStaleRun()
     val nB = cfg.hostBuckets.toLong
+    val maxPerHostB = cfg.maxPagesPerHost // local: closures must not capture `this`
     val seedCands = sc.parallelize(seedCandidates(seeds), cfg.fetchPartitions)
       .map(c => (c.host_bucket, c)).partitionBy(partitioner)
     // the seed wave runs through the same advance pass as every other wave:
     // seeds are marked seen at enqueue and get interleaved seqs
     val out0 = emptyStateRdd().zipPartitions(seedCands, preservesPartitioning = true) {
       (st, cd) => WaveCore.advancePartition(st, cd, base = 0L, newWave = 0,
-        seedWave = true, nBuckets = nB)
+        seedWave = true, nBuckets = nB, maxPerHost = maxPerHostB)
     }
     out0.localCheckpoint()
     val nSeeds = out0.map(_._2.novel.length.toLong).reduce(_ + _)
@@ -966,8 +1059,19 @@ class WaveEngine(
         .as[(Int, Long, Long)].rdd
         .map { case (b, h, ms) => (b, (h, ms)) }
         .partitionBy(partitioner)
-    val out0 = emptyStateRdd().zipPartitions(seenRows, paceRows, preservesPartitioning = true) {
-      (st, rows, pace) => WaveCore.rebuildPartition(st, rows, capacity, wave, pace)
+    // per-host crawl-budget counts (absent when the budget is off)
+    val hostNDir = new java.io.File(s"$ckpt/hostn_w$wave")
+    val hostNRows: RDD[(Int, (Long, Long))] =
+      if (!hostNDir.isDirectory) sc.emptyRDD[(Int, (Long, Long))].partitionBy(partitioner)
+      else spark.read.parquet(hostNDir.getPath)
+        .select($"host_bucket", $"host_hash", $"admitted")
+        .as[(Int, Long, Long)].rdd
+        .map { case (b, h, n) => (b, (h, n)) }
+        .partitionBy(partitioner)
+    val out0 = emptyStateRdd().zipPartitions(seenRows, paceRows, hostNRows,
+        preservesPartitioning = true) {
+      (st, rows, pace, hostn) =>
+        WaveCore.rebuildPartition(st, rows, capacity, wave, pace, hostn)
     }
     out0.localCheckpoint()
     out0.count()
@@ -1018,6 +1122,7 @@ class WaveEngine(
     // UNIONS into the static maps, never replaces)
     var robotsResolved: Set[String] = Set.empty
     val maxPerHost = cfg.maxPerHostPerWave
+    val maxPerHostB = cfg.maxPagesPerHost // whole-crawl budget (trap guard)
     val fetcherL = fetcher
     val rps = cfg.politenessRps
     val realtime = cfg.realtime
@@ -1269,7 +1374,8 @@ class WaveEngine(
       val base = nextSeq
       val w1 = wave + 1
       val newOut = state.zipPartitions(cands, preservesPartitioning = true) { (st, cd) =>
-        WaveCore.advancePartition(st, cd, base, w1, seedWave = false, nBuckets = nB)
+        WaveCore.advancePartition(st, cd, base, w1, seedWave = false, nBuckets = nB,
+          maxPerHost = maxPerHostB)
       }
       // DESERIALIZED storage: since the state became packed primitive
       // chunks (SeenChunk/SeenSet128/CuckooFilter — no per-URL objects),

@@ -371,6 +371,58 @@ class WaveEngineSpec extends AnyFunSuite {
     assert(seenHashSet(ckpt) == seenHashSet(refCkpt))
   }
 
+  test("per-host crawl budget caps admissions deterministically; other hosts unaffected") {
+    import spark.implicits._
+    val s1 = SyntheticSite(nHosts = 3, basePagesPerHost = 12, branching = 2, hotFactor = 4)
+    val sd = (0 until 3).map(k => SeedSpec(s1.pageUrl(k, 0)))
+
+    def run(parts: Int): (Map[String, Long], Set[String], CrawlRunResult) = {
+      val ckpt = SparkTestSession.tmpDir(s"budget$parts")
+      val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = parts,
+        maxPagesPerHost = 6L)
+      val engine = new WaveEngine(spark, s1, parsers, cfg)
+      val res = engine.run(sd)
+      val perHost = engine.fetchedTable().groupBy($"host").count()
+        .as[(String, Long)].collect().toMap
+      val canons = engine.fetchedTable().select($"canonical").as[String].collect().toSet
+      (perHost, canons, res)
+    }
+
+    val (perHost2, canons2, res2) = run(2)
+    // every host is capped at exactly the budget (all have >= 6 reachable pages)
+    assert(perHost2 == Map("h0.example.jp" -> 6L, "h1.example.jp" -> 6L, "h2.example.jp" -> 6L))
+    // refused URLs are still marked seen (never re-shuffled on rediscovery)
+    assert(res2.seen > canons2.size)
+    // the surviving set is parallelism-invariant (deterministic admit order)
+    val (perHost4, canons4, _) = run(4)
+    assert(perHost4 == perHost2 && canons4 == canons2)
+  }
+
+  test("per-host crawl budget survives kill/resume (admission counts are checkpointed)") {
+    import spark.implicits._
+    // single-host chain (branching=1): one new page per wave, so the
+    // budget boundary lands well after the kill point
+    val s1 = SyntheticSite(nHosts = 1, basePagesPerHost = 12, branching = 1, hotFactor = 1)
+    val sd = Seq(SeedSpec(s1.pageUrl(0, 0)))
+    def cfgOf(ckpt: String, maxW: Int) = CrawlConfig(checkpointDir = ckpt, hostBuckets = 2,
+      fetchPartitions = 2, maxPagesPerHost = 5L, maxWaves = maxW)
+
+    val ckptFull = SparkTestSession.tmpDir("budgetfull")
+    val full = new WaveEngine(spark, s1, parsers, cfgOf(ckptFull, 10000))
+    full.run(sd)
+    val fullSet = full.fetchedTable().select($"canonical").as[String].collect().toSet
+    assert(fullSet.size == 5) // the budget, not the site size, bounds the crawl
+
+    val ckptPart = SparkTestSession.tmpDir("budgetpart")
+    new WaveEngine(spark, s1, parsers, cfgOf(ckptPart, 3)).run(sd)
+    val resumed = new WaveEngine(spark, s1, parsers, cfgOf(ckptPart, 10000))
+    resumed.resume()
+    val resumedSet = resumed.fetchedTable().select($"canonical").as[String].collect().toSet
+    // without persisted counts the resumed run would admit a fresh budget
+    // on top of the pages fetched before the kill
+    assert(resumedSet == fullSet)
+  }
+
   test("404s are data: cursor past the last page does not kill the crawl") {
     val ckpt = SparkTestSession.tmpDir("e404")
     val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = 2)
