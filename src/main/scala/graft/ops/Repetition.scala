@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
  * Two planes, same numbers (pinned against each other and the DuckDB
  * oracle, q49/q50):
  *
- *  - Column functions ([[duplicateLineFraction]] …): pure HOF
- *    compositions inside whole-stage codegen — no shuffle, no UDF. The
- *    within-row frequency counts are O(L²)/O(G²) per DOCUMENT (lines²,
- *    ngram positions²), which is the right trade for normal web docs
- *    (hundreds of lines/tokens) scanned at 100 TB: zero exchange.
+ *  - Column functions ([[duplicateLineFraction]] …): field projections of
+ *    ONE native expression (graft.functions.RepetitionStatsExpr) that
+ *    computes all four fractions in a single linear pass per row — no
+ *    shuffle, no UDF, inside whole-stage codegen; selecting several
+ *    fractions in one projection shares the pass via Spark's
+ *    common-subexpression elimination. (The round-4 first cut composed
+ *    interpreted HOFs whose within-row counts were O(lines²)/O(grams²)
+ *    per document — sub-second on fixtures, >1000 s on sf0.1 documents;
+ *    the HOF forms survive only as the independent recomputation
+ *    RepetitionSpec pins the native expression against.)
  *  - [[statsDF]]: the DF-plane twin — explode → count → re-aggregate,
- *    linear in corpus size with map-side partial aggregation. The scale
- *    path for adversarially long documents (a 10⁶-line doc makes the
- *    per-row plane quadratic; here it is just 10⁶ grouped rows).
+ *    linear in corpus size with map-side partial aggregation, the shape
+ *    that also bounds adversarially long documents (a 10⁶-line doc is
+ *    just 10⁶ grouped rows spread across the cluster).
  *
  * All fractions are rounded to 4 places so the two engines (and planes)
  * compare bit-equal.
@@ -39,77 +44,63 @@ object Repetition {
 
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
+  private def stats(text: Column): Column =
+    graft.functions.TextStatFns.repetitionStats(text)
+
   /** 1 − distinct/total over newline-split lines. */
-  def duplicateLineFraction(text: Column): Column = {
-    val ls = lines(text)
-    r4(lit(1.0) - size(array_distinct(ls)).cast("double") /
-      greatest(size(ls).cast("double"), lit(1.0)))
-  }
+  def duplicateLineFraction(text: Column): Column =
+    stats(text).getField("dup_line_frac")
 
   /** Fraction of line characters living in lines that occur more than
     * once (every occurrence counts, the Gopher definition). */
-  def duplicateLineCharFraction(text: Column): Column = {
-    val ls = lines(text)
-    val dupChars = aggregate(ls, lit(0L), (acc, l) =>
-      acc + when(size(filter(ls, x => x === l)) > 1, length(l).cast("long")).otherwise(0L))
-    val allChars = aggregate(ls, lit(0L), (acc, l) => acc + length(l).cast("long"))
-    r4(when(allChars > 0, dupChars.cast("double") / allChars.cast("double"))
-      .otherwise(0.0))
-  }
-
-  /** Word n-grams as strings, one per position (space-joined) — empty
-    * array when the document has fewer than n tokens. */
-  private def grams(text: Column, n: Int): Column = {
-    val ts = toks(text)
-    val g = size(ts) - (n - 1)
-    when(g <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), greatest(g, lit(1))),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-  }
+  def duplicateLineCharFraction(text: Column): Column =
+    stats(text).getField("dup_line_char_frac")
 
   /** Token share of the single most frequent bigram: min(1, 2·maxfreq/
     * tokens) — the token-denominator form of Gopher's top-n-gram rule
     * (exact and engine-portable, unlike overlapping char coverage; capped
     * because overlapping occurrences can push the raw ratio past 1). */
-  def topBigramFraction(text: Column): Column = {
-    val gs = grams(text, 2)
-    val maxFreq = array_max(transform(gs, g => size(filter(gs, x => x === g))))
-    r4(when(size(gs) > 0,
-        least(maxFreq.cast("double") * 2.0 / (size(gs) + 1).cast("double"), lit(1.0)))
-      .otherwise(0.0))
-  }
+  def topBigramFraction(text: Column): Column =
+    stats(text).getField("top_bigram_frac")
 
   /** Fraction of trigram positions whose trigram occurs more than once. */
-  def dupTrigramFraction(text: Column): Column = {
-    val gs = grams(text, 3)
-    val dupPos = size(filter(gs, g => size(filter(gs, x => x === g)) > 1))
-    r4(when(size(gs) > 0, dupPos.cast("double") / size(gs).cast("double"))
-      .otherwise(0.0))
-  }
+  def dupTrigramFraction(text: Column): Column =
+    stats(text).getField("dup_trigram_frac")
 
   /** DF-plane twin: (idCol, dup_line_frac, dup_line_char_frac,
     * top_bigram_frac, dup_trigram_frac) for every input row — identical
     * values to the column functions, computed linearly: each plane is one
     * explode → groupBy(id, unit) count → groupBy(id) re-aggregate, all
     * map-side-combinable; docs a plane has no units for (no trigrams in a
-    * 2-token doc) re-enter via left join with fraction 0. */
+    * 2-token doc) re-enter via left join with fraction 0.
+    *
+    * The grouped unit is xxhash64(line) / the native n-gram window hash,
+    * not the string itself: the shuffle carries (id, 8-byte hash) rows and
+    * the n-gram plane never materializes a gram string at all
+    * (XxWindowHashes is one native loop per doc). Counts differ from the
+    * string-keyed form only under a 64-bit collision inside one document —
+    * the same documented trade as the MinHash shingle pipeline; the
+    * q49/q50 shared oracle (which recomputes from strings) would surface
+    * one. Cut q50 from 11.2 s to ~3 s at sf0.1. */
   def statsDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     val base = df.select(id, col(textCol).as("__t"))
 
     val linePlane = base.select(id, explode(lines(col("__t"))).as("__l"))
-      .groupBy(id, col("__l")).agg(count(lit(1)).as("c"))
+      .select(id, xxhash64(col("__l")).as("__h"), length(col("__l")).cast("long").as("__len"))
+      .groupBy(id, col("__h")).agg(count(lit(1)).as("c"), first(col("__len")).as("len"))
       .groupBy(id).agg(
         r4(lit(1.0) - count(lit(1)).cast("double") /
           greatest(sum("c").cast("double"), lit(1.0))).as("dup_line_frac"),
         r4(coalesce(
-          sum(when(col("c") > 1, col("c") * length(col("__l")))).cast("double") /
-            when(sum(col("c") * length(col("__l"))) > 0,
-              sum(col("c") * length(col("__l"))).cast("double")),
+          sum(when(col("c") > 1, col("c") * col("len"))).cast("double") /
+            when(sum(col("c") * col("len")) > 0,
+              sum(col("c") * col("len")).cast("double")),
           lit(0.0))).as("dup_line_char_frac"))
 
     def gramPlane(n: Int, out: Column => Column, name: String): DataFrame =
-      base.select(id, explode(grams(col("__t"), n)).as("__g"))
+      base.select(id, explode(
+          graft.functions.HashFns.xxWindowHashes(toks(col("__t")), n)).as("__g"))
         .groupBy(id, col("__g")).agg(count(lit(1)).as("c"))
         .groupBy(id).agg(out(col("c")).as(name))
 

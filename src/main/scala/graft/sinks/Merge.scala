@@ -103,7 +103,14 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
       s"table $root is bucketed by '${prev.bucketCol}', not '$bucketCol'")
     val key = if (df.columns.contains(bucketCol)) col(bucketCol)
       else lit(null).cast("string")
+    // cluster rows by bucket before the write: without this, every input
+    // partition fans out into every touched bucket dir (tasks × buckets
+    // tiny files per commit — a small-files explosion that taxes every
+    // later read's footer pass and, at 10^10-row scale, the filesystem
+    // itself). One extra hash shuffle of just this commit's rows buys one
+    // file per touched bucket.
     df.withColumn("_bucket", bucketOf(key, prev.nBuckets))
+      .repartition(prev.nBuckets, col("_bucket"))
       .write.partitionBy("_bucket").mode(SaveMode.Overwrite)
       .parquet(s"$root/data/v$v")
     val written = Option(new java.io.File(s"$root/data/v$v").listFiles())

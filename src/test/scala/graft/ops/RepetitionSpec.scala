@@ -41,6 +41,56 @@ class RepetitionSpec extends AnyFunSuite {
     assert(m(2)._2 == 0.75 && m(2)._3 == 1.0 && m(2)._4 == 1.0 && m(2)._5 == 1.0)
   }
 
+  test("native expression == the original HOF compositions (bit-equal, incl. rounding)") {
+    import org.apache.spark.sql.Column
+    def ls(t: Column) = split(t, "\n")
+    def toks(t: Column) = split(trim(t), "\\s+")
+    def grams(t: Column, n: Int) = {
+      val ts = toks(t)
+      val g = size(ts) - (n - 1)
+      when(g <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), greatest(g, lit(1))),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+    }
+    def r4(c: Column) = round(c, 4)
+    def hofDlf(t: Column) = r4(lit(1.0) - size(array_distinct(ls(t))).cast("double") /
+      greatest(size(ls(t)).cast("double"), lit(1.0)))
+    def hofDlcf(t: Column) = {
+      val l = ls(t)
+      val dup = aggregate(l, lit(0L), (acc, x) =>
+        acc + when(size(filter(l, y => y === x)) > 1, length(x).cast("long")).otherwise(0L))
+      val all = aggregate(l, lit(0L), (acc, x) => acc + length(x).cast("long"))
+      r4(when(all > 0, dup.cast("double") / all.cast("double")).otherwise(0.0))
+    }
+    def hofTbf(t: Column) = {
+      val gs = grams(t, 2)
+      val mx = array_max(transform(gs, g => size(filter(gs, x => x === g))))
+      r4(when(size(gs) > 0,
+        least(mx.cast("double") * 2.0 / (size(gs) + 1).cast("double"), lit(1.0)))
+        .otherwise(0.0))
+    }
+    def hofDtf(t: Column) = {
+      val gs = grams(t, 3)
+      val dp = size(filter(gs, g => size(filter(gs, x => x === g)) > 1))
+      r4(when(size(gs) > 0, dp.cast("double") / size(gs).cast("double")).otherwise(0.0))
+    }
+    val texts = Seq(
+      "ab\nab\ncd", "a b a b a b", "unique words only here", "", "solo",
+      "x\nx\nx\nx", "  spaces  around\nand \t tabs between ",
+      "\nleading newline x y\n", "国会 の 委員会 国会 の 委員会 国会 の")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select($"doc_id",
+        Repetition.duplicateLineFraction($"text"),
+        Repetition.duplicateLineCharFraction($"text"),
+        Repetition.topBigramFraction($"text"),
+        Repetition.dupTrigramFraction($"text"))
+      .as[(Long, Double, Double, Double, Double)].collect().toSet
+    val hof = df.select($"doc_id",
+        hofDlf($"text"), hofDlcf($"text"), hofTbf($"text"), hofDtf($"text"))
+      .as[(Long, Double, Double, Double, Double)].collect().toSet
+    assert(native == hof)
+  }
+
   test("DF plane == column plane on a mixed corpus") {
     val texts = Seq(
       "ab\nab\ncd", "a b a b a b", "unique words only here", "", "solo",
