@@ -61,6 +61,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
   }
 
+  test("passage-dedup coverage is linear: never a cartesian, no self-join pair expansion") {
+    val names = treeNames(executed(
+      graft.ops.Dedup.duplicatePassageCoverage(docs, "doc_id", "text", w = 8, minDocs = 2)))
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
+    // the dup-hash attach and the final doc re-attach are the only joins:
+    // every join key is an equi-key (h or doc id), so each position row
+    // matches at most one dup-set row — no b² bucket blowup exists here
+    val joins = names.count(n => n.contains("Join"))
+    assert(joins <= 3, s"expected <= 3 equi-joins, saw $joins: ${names.distinct}")
+  }
+
   test("IVF assignment is a pure map: no Exchange, no join in the subplan") {
     // the round-3 plan shuffled N·nlist vector-carrying rows through a
     // per-id row_number window; the assignment must stay inside the scan
