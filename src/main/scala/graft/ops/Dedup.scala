@@ -253,6 +253,48 @@ object Dedup {
           col("n_tokens").cast("double")).as("dup_fraction"))
   }
 
+  /** Incremental cross-batch exact dedup: keep only the rows of `batch`
+    * whose content is NOVEL — absent from the persisted corpus hash index
+    * AND first (min id) among identical contents within the batch — then
+    * fold the survivors' hashes into the index, so the next batch dedups
+    * against everything ever accepted. This is the op a rolling crawl
+    * pipeline runs per ingestion batch; re-running global dedup over the
+    * accumulated corpus (O(corpus) per batch) does not survive 100 TB.
+    *
+    * Scale shape: the index is a graft.sinks.SnapshotTable bucketed by
+    * the content hash, so the membership anti-join reads ONLY the buckets
+    * the batch's hashes land in (never the whole index), and the index
+    * write is a fast-append of the novel keys. Shuffles carry
+    * (hash, id) — bodies never move. The hash is pluggable for the
+    * cross-engine oracle (q53); production uses xxhash64.
+    *
+    * Determinism: within-batch ties break on min id; index insertion is
+    * idempotent (insertIfAbsent), so replaying a batch after a crash
+    * cannot double-admit. */
+  def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, indexRoot: String,
+      contentHash: Column => Column = xxhash64(_)): DataFrame = {
+    val hashed = batch.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
+    // within-batch first-wins (min id per identical content)
+    val firstWins = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .cache() // read for the bucket probe, the anti-join, and the output
+    val index = new graft.sinks.SnapshotTable(spark, indexRoot)
+    val novel =
+      if (!index.exists) firstWins
+      else firstWins.join(
+        index.readForKeys(firstWins.select(col("content_hash")), "content_hash")
+          .select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+    val out = novel.select(col(idCol), col("content_hash")).cache()
+    out.count() // pin the survivor set BEFORE the index advances
+    index.insertIfAbsent(
+      out.select(col("content_hash"), col(idCol).as("witness_id")),
+      "content_hash", col("witness_id"))
+    firstWins.unpersist(blocking = false)
+    out
+  }
+
   /** SimHash near-dup pairs from text: 64-bit xxhash SimHash + pigeonhole
     * blocking (block count derived from `maxHamming`), verified distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

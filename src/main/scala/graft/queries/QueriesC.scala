@@ -673,7 +673,37 @@ object QueriesC {
            |  CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.ts) AS dup_fraction
            |FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin
       },
-      "passage-level duplicate coverage (Lee et al. substring dedup signal): op dataflow == SQL recomputation")
+      "passage-level duplicate coverage (Lee et al. substring dedup signal): op dataflow == SQL recomputation"),
+
+    // Incremental cross-batch dedup: the rolling-crawl shape — batch 1
+    // (even doc_ids) seeds a persisted content-hash index, batch 2 (odd
+    // doc_ids) dedups against it via a BUCKET-PRUNED anti-join (the index
+    // is a SnapshotTable bucketed by hash; only the batch's buckets are
+    // read) and appends its novel hashes. Output = batch-2 survivors.
+    // The oracle recomputes both stages in SQL: within-batch first-wins,
+    // then NOT EXISTS against batch 1's distinct hashes.
+    "q53_dedup_incremental" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val root = java.nio.file.Files.createTempDirectory("q53_dedup_inc").toString
+        val b1 = docs.filter(col("doc_id") % 2 === 0)
+        val b2 = docs.filter(col("doc_id") % 2 === 1)
+        val ph: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          c => graft.functions.HashFns.polyHash(trim(c))
+        graft.ops.Dedup.dedupIncremental(s, b1, "doc_id", "text", root, ph)
+        graft.ops.Dedup.dedupIncremental(s, b2, "doc_id", "text", root, ph)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, ${QueriesB.polyHashSql("trim(text)")} AS content_hash
+             |  FROM documents),
+             |b1 AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 2 = 0),
+             |fw AS (SELECT content_hash, min(doc_id) AS doc_id FROM h
+             |       WHERE doc_id % 2 = 1 GROUP BY content_hash)
+             |SELECT fw.doc_id, fw.content_hash FROM fw
+             |LEFT JOIN b1 ON fw.content_hash = b1.content_hash
+             |WHERE b1.content_hash IS NULL ORDER BY fw.doc_id""".stripMargin),
+      "incremental cross-batch dedup: bucket-pruned index anti-join == SQL two-stage recomputation")
   )
 
   /** One oracle for q49/q50 — the two planes must produce identical

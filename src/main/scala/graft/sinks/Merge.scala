@@ -82,6 +82,21 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
 
   def read(): DataFrame = readVersion(currentVersion)
 
+  /** The rows of only those buckets any of `keys`' values hash into — the
+    * membership-probe read (O(batch's buckets), never O(table)): an
+    * incremental-dedup batch probes the index without scanning it. */
+  def readForKeys(keys: DataFrame, keyCol: String): DataFrame = {
+    require(exists, s"no snapshot under $root")
+    val m = readManifest(currentVersion)
+    require(m.bucketCol == keyCol,
+      s"table $root is bucketed by '${m.bucketCol}', not '$keyCol'")
+    val touched = keys
+      .select(bucketOf(col(keyCol), m.nBuckets).as("b")).distinct()
+      .collect().map(_.getLong(0).toInt)
+    val paths = bucketPaths(m, touched)
+    if (paths.isEmpty) keys.select(col(keyCol)).limit(0) else readPaths(paths)
+  }
+
   /** Time travel: the table as of manifest version `v`. */
   def readVersion(v: Int): DataFrame = {
     require(v > 0, s"no snapshot v$v under $root")

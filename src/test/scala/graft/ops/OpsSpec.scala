@@ -94,6 +94,27 @@ class OpsSpec extends AnyFunSuite {
     assert(strict(1L) == 4L && strict(2L) == 4L && strict(4L) == 4L && strict(3L) == 0L)
   }
 
+  test("incremental dedup: batch-2 drops batch-1 content; replay is idempotent; index accumulates") {
+    val root = java.nio.file.Files.createTempDirectory("opsspec_inc").toString
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma"), (13L, "delta")).toDF("doc_id", "text")
+    val s1 = Dedup.dedupIncremental(spark, b1, "doc_id", "text", root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(1L, 2L)) // within-batch first-wins: 3 loses to 1
+    val s2 = Dedup.dedupIncremental(spark, b2, "doc_id", "text", root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(11L, 13L)) // beta known from batch 1; gamma first-wins 11
+    // replaying batch 2 admits nothing (crash-replay safety)
+    val s2again = Dedup.dedupIncremental(spark, b2, "doc_id", "text", root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2again.isEmpty)
+    // a third batch dedups against EVERYTHING accepted so far
+    val b3 = Seq((20L, "alpha"), (21L, "delta"), (22L, "epsilon")).toDF("doc_id", "text")
+    val s3 = Dedup.dedupIncremental(spark, b3, "doc_id", "text", root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 == Set(22L))
+  }
+
   test("ANN: LSH top-k recalls brute-force neighbors on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
