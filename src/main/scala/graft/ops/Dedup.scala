@@ -295,6 +295,73 @@ object Dedup {
     out
   }
 
+  /** Incremental NEAR-dup gate over pre-banded LSH signatures: the
+    * rolling-crawl twin of [[dedupIncremental]] for near-duplicates.
+    * `banded` is (idCol, band, bv) — one row per document per LSH band
+    * (from MinHash banding or any locality-sensitive bucketing). Each
+    * document reports how many of its band values already exist in the
+    * persisted index and the minimum prior witness; documents with zero
+    * hits are the batch's near-dup survivors, and ONLY their band values
+    * fold into the index (a rejected near-dup must not become a witness).
+    *
+    * Scale shape: the index is a SnapshotTable bucketed by
+    * xxhash64(band, bv), so the probe reads only the batch's buckets
+    * (readForKeys) and the update is a fast-append of novel keys with a
+    * deterministic min-id witness per key (insertIfAbsent ord). Shuffles
+    * carry (8-byte key, id); signatures and text never move. A band-key
+    * hash collision couples two buckets — strictly more conservative
+    * (extra hit), never a miss. Replay after a crash is idempotent.
+    *
+    * Within-batch near-dups are NOT chained here (order-dependent);
+    * run [[minhashLshPairs]] inside the batch first — this op gates the
+    * batch against the accumulated corpus. */
+  def lshIncrementalFor(spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame, banded: DataFrame, idCol: String,
+      indexRoot: String): DataFrame = {
+    val keyed = banded
+      .select(col(idCol), xxhash64(col("band"), col("bv")).as("band_key"))
+      .cache()
+    val index = new graft.sinks.SnapshotTable(spark, indexRoot)
+    val hitAgg =
+      if (!index.exists)
+        keyed.select(col(idCol)).limit(0)
+          .withColumn("hit_bands", lit(0L)).withColumn("witness", lit(null).cast("long"))
+      else keyed
+        .join(index.readForKeys(keyed.select(col("band_key")), "band_key"),
+          Seq("band_key"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("hit_bands"), min(col("witness_id")).as("witness"))
+    val out = batchIds.select(col(idCol))
+      .join(hitAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
+        col("witness"))
+      .cache()
+    out.count() // pin the gate decision BEFORE the index advances
+    val survivors = out.filter(col("hit_bands") === 0L).select(col(idCol))
+    index.insertIfAbsent(
+      keyed.join(survivors, Seq(idCol))
+        .select(col("band_key"), col(idCol).as("witness_id")),
+      "band_key", col("witness_id"))
+    keyed.unpersist(blocking = false)
+    out
+  }
+
+  /** [[lshIncrementalFor]] with the production MinHash banding
+    * ([[minhashSignature]], xxhash64 shingles). */
+  def lshIncremental(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, indexRoot: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = minhashSignature(batch, idCol, textCol, numHashes)
+    val banded = sig.select(col(idCol), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",", (0 until rows).map(r => $(s"m${b * rows + r}")): _*)).as("bv"))): _*)).as("x"))
+      .select(col(idCol), col("x.band"), col("x.bv"))
+    lshIncrementalFor(spark, batch.select(col(idCol)), banded, idCol, indexRoot)
+  }
+
   /** SimHash near-dup pairs from text: 64-bit xxhash SimHash + pigeonhole
     * blocking (block count derived from `maxHamming`), verified distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -42,7 +42,7 @@ object QueriesB {
     * folded per character. Distinct-hash vs distinct-string only differs
     * under a hash collision, which the downstream min()/band aggregates
     * are insensitive to. */
-  private def shingleHashed(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingleHashed(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), toks.as("ts"))
       .select(col("doc_id"), explode(HashFns.polyShingleHashes(col("ts"), 3)).as("h"))
@@ -50,14 +50,14 @@ object QueriesB {
   // shingle enumeration derives from len(ts) (indexed list_transform) so
   // the oracle and the (unbounded) Spark side agree for arbitrarily long
   // documents — round 1 capped the oracle at 2000 positions
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """SELECT doc_id, unnest(list_distinct(list_filter(
       |  list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),
       |  s -> s IS NOT NULL))) AS sh
       |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)""".stripMargin
 
   // minhash permutation params (deterministic, shared literally)
-  private val MinhashPerms: Seq[(Long, Long)] =
+  private[queries] val MinhashPerms: Seq[(Long, Long)] =
     (0 until 8).map(i => (2L * i + 3L, 7L * i + 11L))
 
   val defs: Map[String, Q] = Map(

@@ -703,7 +703,64 @@ object QueriesC {
              |SELECT fw.doc_id, fw.content_hash FROM fw
              |LEFT JOIN b1 ON fw.content_hash = b1.content_hash
              |WHERE b1.content_hash IS NULL ORDER BY fw.doc_id""".stripMargin),
-      "incremental cross-batch dedup: bucket-pruned index anti-join == SQL two-stage recomputation")
+      "incremental cross-batch dedup: bucket-pruned index anti-join == SQL two-stage recomputation"),
+
+    // Incremental NEAR-dup gate (the LSH twin of q53): batch 1 (even
+    // doc_ids) seeds a persisted band-value index with a deterministic
+    // min-id witness per (band, bv); batch 2 (odd doc_ids) probes it —
+    // per doc: how many of its 4 MinHash bands already exist in the
+    // index, and the minimum prior witness. The Spark side runs the real
+    // op (Dedup.lshIncrementalFor) over q26's portable polynomial
+    // banding, so the oracle pins the full gate dataflow.
+    "q54_lsh_incremental" -> Q(
+      (s, d) => {
+        val P = 1000000007L
+        def bandsOf(df: org.apache.spark.sql.DataFrame) = {
+          val sh = df.select(col("doc_id"),
+              explode(graft.functions.HashFns.polyShingleHashes(
+                split(trim(col("text")), "\\s+"), 3)).as("h"))
+          val perms = QueriesB.MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+            min((col("h") * a + b) % P).as(s"m$i")
+          }
+          val sig = sh.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
+          sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
+              struct(lit(b).as("band"),
+                (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("bv"))): _*)).as("x"))
+            .select(col("doc_id"), col("x.band"), col("x.bv"))
+        }
+        val docs = t(s, d, "documents")
+        val root = java.nio.file.Files.createTempDirectory("q54_lsh_inc").toString
+        val b1 = docs.filter(col("doc_id") % 2 === 0)
+        val b2 = docs.filter(col("doc_id") % 2 === 1)
+        graft.ops.Dedup.lshIncrementalFor(s, b1.select(col("doc_id")),
+          bandsOf(b1), "doc_id", root)
+        graft.ops.Dedup.lshIncrementalFor(s, b2.select(col("doc_id")),
+          bandsOf(b2), "doc_id", root)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sels = QueriesB.MinhashPerms.zipWithIndex
+          .map { case ((a, b), i) => s"min((h * $a + $b) % 1000000007) AS m$i" }
+          .mkString(", ")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band, m${2 * b} * 1000000007 + m${2 * b + 1} AS bv FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH sh AS (${QueriesB.shinglesSql}),
+           |hashed AS (SELECT doc_id, ${QueriesB.polyHashSql("sh")} AS h FROM sh),
+           |sig AS (SELECT doc_id, $sels FROM hashed GROUP BY doc_id),
+           |bands AS ($bandRows),
+           |idx AS (SELECT band, bv, min(doc_id) AS wit FROM bands
+           |        WHERE doc_id % 2 = 0 GROUP BY band, bv),
+           |hits AS (SELECT b.doc_id, count(*) AS hit_bands, min(i.wit) AS witness
+           |         FROM bands b JOIN idx i ON b.band = i.band AND b.bv = i.bv
+           |         WHERE b.doc_id % 2 = 1 GROUP BY b.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(h.hit_bands, 0) AS BIGINT) AS hit_bands,
+           |  h.witness
+           |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+           |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
+      },
+      "incremental LSH near-dup gate: bucket-pruned band-index probe == SQL recomputation")
   )
 
   /** One oracle for q49/q50 — the two planes must produce identical

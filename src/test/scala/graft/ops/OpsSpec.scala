@@ -115,6 +115,24 @@ class OpsSpec extends AnyFunSuite {
     assert(s3 == Set(22L))
   }
 
+  test("incremental LSH gate: batch-2 near-dups hit batch-1 witnesses; survivors extend the index") {
+    val root = java.nio.file.Files.createTempDirectory("opsspec_lshinc").toString
+    val b1 = docs.filter($"doc_id" <= 2) // docs 1, 2 (near-dups of each other)
+    val b2 = docs.filter($"doc_id" >= 3) // 4 = exact dup of 1; 3, 5 unrelated
+    val r1 = Dedup.lshIncremental(spark, b1, "doc_id", "text", root)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(r1.length == 2 && r1.forall(_._2 == 0L)) // empty index: everything survives
+    val r2 = Dedup.lshIncremental(spark, b2, "doc_id", "text", root)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(r2(4L)._1 == 4L && r2(4L)._2 == Some(1L)) // exact dup: all 4 bands hit, min witness
+    assert(r2(3L) == ((0L, None)) && r2(5L) == ((0L, None)))
+    // replay: 3 and 5 are now their own witnesses in the index
+    val r3 = Dedup.lshIncremental(spark, b2, "doc_id", "text", root)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(r3(3L) == ((4L, Some(3L))) && r3(5L) == ((4L, Some(5L))))
+    assert(r3(4L)._2 == Some(1L)) // a rejected near-dup never became a witness
+  }
+
   test("ANN: LSH top-k recalls brute-force neighbors on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
