@@ -878,6 +878,8 @@ class WaveEngine(
     // replay's contract is Scrapy's sequence (robots off, one global rps)
     require(!(cfg.referenceOrder && (cfg.robotsResolve.isDefined || cfg.hostRps.nonEmpty)),
       "robotsResolve/hostRps are not supported in referenceOrder mode")
+    require(!(cfg.referenceOrder && cfg.maxPagesPerHost != Long.MaxValue),
+      "maxPagesPerHost is not supported in referenceOrder mode")
     if (cfg.referenceOrder) runReference(seeds) else runScalable(seeds)
   }
 

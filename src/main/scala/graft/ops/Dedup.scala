@@ -270,10 +270,16 @@ object Dedup {
     *
     * Determinism: within-batch ties break on min id; index insertion is
     * idempotent (insertIfAbsent), so replaying a batch after a crash
-    * cannot double-admit. */
+    * cannot double-admit. Admission is AT-MOST-ONCE by default: a crash
+    * after the index advance but before the caller consumed the returned
+    * survivors loses them (the replay sees their hashes in the index).
+    * For exactly-once, pass `persistSurvivors` — it runs on the pinned
+    * survivor set BEFORE the index advances, so the durable write and
+    * the index move in write-ahead order. */
   def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String, indexRoot: String,
-      contentHash: Column => Column = xxhash64(_)): DataFrame = {
+      contentHash: Column => Column = xxhash64(_),
+      persistSurvivors: DataFrame => Unit = _ => ()): DataFrame = {
     val hashed = batch.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
     // within-batch first-wins (min id per identical content)
     val firstWins = hashed.groupBy(col("content_hash"))
@@ -286,8 +292,13 @@ object Dedup {
         index.readForKeys(firstWins.select(col("content_hash")), "content_hash")
           .select(col("content_hash")),
         Seq("content_hash"), "left_anti")
-    val out = novel.select(col(idCol), col("content_hash")).cache()
-    out.count() // pin the survivor set BEFORE the index advances
+    // localCheckpoint, not cache: the survivor set must stay CORRECT even
+    // after storage eviction — a cached plan re-evaluated after the index
+    // advance would anti-join against the updated index and come back
+    // empty. Eager checkpoint also pins the verdict before the advance.
+    val out = novel.select(col(idCol), col("content_hash"))
+      .localCheckpoint(true)
+    persistSurvivors(out) // write-ahead: durable consumer before the index moves
     index.insertIfAbsent(
       out.select(col("content_hash"), col(idCol).as("witness_id")),
       "content_hash", col("witness_id"))
@@ -314,10 +325,16 @@ object Dedup {
     *
     * Within-batch near-dups are NOT chained here (order-dependent);
     * run [[minhashLshPairs]] inside the batch first — this op gates the
-    * batch against the accumulated corpus. */
+    * batch against the accumulated corpus.
+    *
+    * Admission is AT-MOST-ONCE by default (same contract as
+    * [[dedupIncremental]]): pass `persistGate` to durably consume the
+    * pinned gate verdict BEFORE the index advances (write-ahead order)
+    * when exactly-once matters. */
   def lshIncrementalFor(spark: org.apache.spark.sql.SparkSession,
       batchIds: DataFrame, banded: DataFrame, idCol: String,
-      indexRoot: String): DataFrame = {
+      indexRoot: String,
+      persistGate: DataFrame => Unit = _ => ()): DataFrame = {
     val keyed = banded
       .select(col(idCol), xxhash64(col("band"), col("bv")).as("band_key"))
       .cache()
@@ -331,13 +348,16 @@ object Dedup {
           Seq("band_key"))
         .groupBy(col(idCol))
         .agg(count(lit(1)).as("hit_bands"), min(col("witness_id")).as("witness"))
+    // localCheckpoint, not cache: see dedupIncremental — an evicted plan
+    // re-evaluated after the index advance would gate against the updated
+    // index (every survivor would suddenly hit its own bands)
     val out = batchIds.select(col(idCol))
       .join(hitAgg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
         col("witness"))
-      .cache()
-    out.count() // pin the gate decision BEFORE the index advances
+      .localCheckpoint(true)
+    persistGate(out) // write-ahead: durable consumer before the index moves
     val survivors = out.filter(col("hit_bands") === 0L).select(col(idCol))
     index.insertIfAbsent(
       keyed.join(survivors, Seq(idCol))

@@ -94,7 +94,10 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
       .select(bucketOf(col(keyCol), m.nBuckets).as("b")).distinct()
       .collect().map(_.getLong(0).toInt)
     val paths = bucketPaths(m, touched)
-    if (paths.isEmpty) keys.select(col(keyCol)).limit(0) else readPaths(paths)
+    // empty probe result must still carry the TABLE's schema (payload
+    // columns included) — a key-only empty frame breaks consumers that
+    // aggregate payload columns of the join result
+    if (paths.isEmpty) read().limit(0) else readPaths(paths)
   }
 
   /** Time travel: the table as of manifest version `v`. */

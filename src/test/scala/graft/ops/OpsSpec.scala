@@ -115,6 +115,22 @@ class OpsSpec extends AnyFunSuite {
     assert(s3 == Set(22L))
   }
 
+  test("incremental dedup write-ahead: persistSurvivors failure leaves the index unadvanced") {
+    val root = java.nio.file.Files.createTempDirectory("opsspec_wal").toString
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    Dedup.dedupIncremental(spark, b1, "doc_id", "text", root)
+    val b2 = Seq((10L, "gamma")).toDF("doc_id", "text")
+    // downstream persist crashes AFTER the verdict is pinned but BEFORE
+    // the index advances — the batch must be safely replayable
+    intercept[RuntimeException] {
+      Dedup.dedupIncremental(spark, b2, "doc_id", "text", root,
+        persistSurvivors = _ => throw new RuntimeException("sink down"))
+    }
+    val replay = Dedup.dedupIncremental(spark, b2, "doc_id", "text", root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == Set(10L)) // gamma was NOT lost to a half-advanced index
+  }
+
   test("incremental LSH gate: batch-2 near-dups hit batch-1 witnesses; survivors extend the index") {
     val root = java.nio.file.Files.createTempDirectory("opsspec_lshinc").toString
     val b1 = docs.filter($"doc_id" <= 2) // docs 1, 2 (near-dups of each other)

@@ -71,6 +71,25 @@ class MergeSpec extends AnyFunSuite {
     assert(rows.toMap.apply("Bill:8") == "name8") // untouched bucket intact
   }
 
+  test("readForKeys: manifest-absent buckets yield an empty probe WITH the table's full schema") {
+    val t = new SnapshotTable(spark, SparkTestSession.tmpDir("readforkeys"), nBuckets = 16)
+    t.insertIfAbsent(Seq((100L, "w1")).toDF("k", "payload"), "k", col("payload"))
+    // find a key whose bucket the manifest does NOT contain (the one
+    // inserted row wrote exactly one bucket, so almost any other works)
+    val usedBucket = spark.range(1).select(pmod(xxhash64(lit(100L)), lit(16))).head().getLong(0)
+    val probeKey = (1L to 64L).find { k =>
+      spark.range(1).select(pmod(xxhash64(lit(k)), lit(16))).head().getLong(0) != usedBucket
+    }.get
+    val probe = t.readForKeys(Seq(probeKey).toDF("k"), "k")
+    assert(probe.columns.toSet == Set("k", "payload")) // payload column present
+    assert(probe.count() == 0)
+    // consumer shape that crashed before the fix: aggregate a payload
+    // column of the join result against the empty probe
+    val agg = Seq(probeKey).toDF("k").join(probe, Seq("k"))
+      .agg(count(lit(1)), min(col("payload"))).collect()
+    assert(agg.head.getLong(0) == 0L)
+  }
+
   test("K5 append is a fast-append: new files only, old data untouched") {
     val dir = SparkTestSession.tmpDir("append")
     val t = new SnapshotTable(spark, dir)
