@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end curation pipeline: the composition a training-data run
+ * executes over a raw crawled corpus before tokenization. One call chains
+ * the individually-verified stages in their canonical order:
+ *
+ *   1. exact dedup, first-wins by content hash   ([[Dedup]] shape, q22)
+ *   2. quality gate: token count + uniqueness    ([[TextStats]] shape, q21)
+ *   3. repetition gate: Gopher dup-line fraction ([[Repetition]], q49)
+ *   4. PII scrub + audit counts                  ([[Scrub]], q51)
+ *   5. deterministic Bernoulli sample            ([[Sampling]], q47)
+ *
+ * Stage ORDER is load-bearing: dedup must see the raw text (two copies of
+ * one page must collapse before any doc_id-keyed augmentation or sampling
+ * could tell them apart), gates run before the scrub so audit counts are
+ * only paid for surviving documents, and the sample is last so the kept
+ * fraction applies to the CURATED distribution, not the raw one.
+ *
+ * Scale shape (100 TB): the dedup DECISION shuffles only (64-bit content
+ * hash, id) pairs; document bodies move at most once, in the survivor
+ * semi-join, whose broadcast-vs-shuffle choice is left to AQE (near-total
+ * survival → winner set is O(corpus) and must shuffle; heavy duplication →
+ * it broadcasts and bodies never move). Stages 2-5 are row-local
+ * projections and filters fused into whole-stage codegen on top of that
+ * single pass — no further exchange. The repetition gate uses the native
+ * one-pass RepetitionStatsExpr, and the sample is a pure hash predicate
+ * (no RNG state, partition- and engine-invariant).
+ *
+ * The whole pipeline is pinned end-to-end against a DuckDB recomputation
+ * in q55 (every stage mirrored as a SQL CTE over the portable polynomial
+ * hash).
+ */
+object Curation {
+
+  /** Gate thresholds + sample rate. Defaults are deliberately permissive
+    * (Gopher's published cuts are corpus-tuned; these are the knobs, not
+    * the policy). `sampleRate >= 1.0` disables the sampling stage. */
+  final case class Config(
+      minTokens: Long = 10,
+      minUniqRatio: Double = 0.2,
+      maxDupLineFrac: Double = 0.5,
+      sampleRate: Double = 1.0)
+
+  /** Runs the five-stage pipeline over `docs`. Returns one row per
+    * surviving document: (idCol, n_tokens, scrubbed, n_email, n_ipv4,
+    * n_phone). `contentHash`/`sampleHash` are pluggable for the
+    * cross-engine oracle (q55); production uses xxhash64.
+    *
+    * `augment` (identity by default) is applied AFTER dedup and the
+    * gates but BEFORE scrub/audit — the hook the q55 oracle uses to
+    * inject deterministic PII into a corpus that has none (mirrors q51). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config(),
+      contentHash: Column => Column = c => xxhash64(c),
+      sampleHash: Column => Column = c => xxhash64(c),
+      augment: Column => Column = identity): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+
+    // 1. first-wins exact dedup — decision plane carries (hash, id) only
+    val winners = docs
+      .select(contentHash(trim(text)).as("__ch"), id)
+      .groupBy(col("__ch")).agg(min(id).as(idCol))
+      .select(id)
+    val deduped = docs.join(winners, Seq(idCol), "left_semi")
+
+    // 2 + 3. row-local quality and repetition gates
+    val ts = split(trim(text), "\\s+")
+    val gated = deduped
+      .withColumn("__nt", size(ts).cast("long"))
+      .filter(col("__nt") >= cfg.minTokens &&
+        size(array_distinct(ts)).cast("double") / size(ts).cast("double")
+          >= cfg.minUniqRatio &&
+        Repetition.duplicateLineFraction(text) <= cfg.maxDupLineFrac)
+
+    // 4. scrub + audit over the (possibly augmented) text
+    val aug = augment(text)
+    val scrubbed = gated.select(
+      id,
+      col("__nt").as("n_tokens"),
+      Scrub.scrub(aug).as("scrubbed"),
+      Scrub.emailCount(aug).as("n_email"),
+      Scrub.ipv4Count(aug).as("n_ipv4"),
+      Scrub.phoneCount(aug).as("n_phone"))
+
+    // 5. deterministic Bernoulli sample on the id
+    if (cfg.sampleRate >= 1.0) scrubbed
+    else Sampling.hashSample(scrubbed, sampleHash(id.cast("string")), cfg.sampleRate)
+  }
+}

@@ -279,7 +279,8 @@ object Dedup {
   def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String, indexRoot: String,
       contentHash: Column => Column = xxhash64(_),
-      persistSurvivors: DataFrame => Unit = _ => ()): DataFrame = {
+      persistSurvivors: DataFrame => Unit = _ => (),
+      compactOver: Int = 64): DataFrame = {
     val hashed = batch.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
     // within-batch first-wins (min id per identical content)
     val firstWins = hashed.groupBy(col("content_hash"))
@@ -302,6 +303,11 @@ object Dedup {
     index.insertIfAbsent(
       out.select(col("content_hash"), col(idCol).as("witness_id")),
       "content_hash", col("witness_id"))
+    // fast-append maintenance: each batch adds one data version to its
+    // touched buckets; without periodic compaction a 10^4-batch crawl
+    // makes every probe union 10^4 parquet dirs per bucket. The no-op
+    // path is one manifest read.
+    index.compact(compactOver): Unit
     firstWins.unpersist(blocking = false)
     out
   }
@@ -334,7 +340,8 @@ object Dedup {
   def lshIncrementalFor(spark: org.apache.spark.sql.SparkSession,
       batchIds: DataFrame, banded: DataFrame, idCol: String,
       indexRoot: String,
-      persistGate: DataFrame => Unit = _ => ()): DataFrame = {
+      persistGate: DataFrame => Unit = _ => (),
+      compactOver: Int = 64): DataFrame = {
     val keyed = banded
       .select(col(idCol), xxhash64(col("band"), col("bv")).as("band_key"))
       .cache()
@@ -363,6 +370,7 @@ object Dedup {
       keyed.join(survivors, Seq(idCol))
         .select(col("band_key"), col(idCol).as("witness_id")),
       "band_key", col("witness_id"))
+    index.compact(compactOver): Unit // see dedupIncremental
     keyed.unpersist(blocking = false)
     out
   }

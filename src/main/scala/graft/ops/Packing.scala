@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence-packing layout (training-data op): the "concatenate the corpus,
+ * then cut fixed-length windows" batching layout LLM training uses
+ * (GPT-style packing — documents are laid end-to-end in a deterministic
+ * order and the token stream is sliced into `seqLen`-token training
+ * sequences; a document may straddle a slice boundary). The op computes
+ * each document's interval in that stream and the sequences it spans —
+ * the metadata a data loader needs to materialize packed batches without
+ * ever re-scanning text.
+ *
+ * Output per doc: (id, n_tokens, start_tok, end_tok, first_seq, last_seq,
+ * n_seqs) with end_tok exclusive and seq indices 0-based.
+ *
+ * Scale shape: this is a corpus-wide prefix sum over a total order — the
+ * one genuinely order-coupled op in the pipeline. It runs as the textbook
+ * two-level distributed scan:
+ *   1. (id, n_tokens) rows — tokens counted by the codegen'd counter at
+ *      the scan; TEXT never leaves the scan projection — are
+ *      range-partitioned by the order key (one range exchange of 16-byte
+ *      rows);
+ *   2. per-partition token totals (one row per partition) come to the
+ *      driver and turn into a broadcast offset map;
+ *   3. each partition computes its local running sum + its offset — a
+ *      partition-local window, no further exchange.
+ * A global `Window.orderBy` (no partition) would instead drag the whole
+ * corpus through ONE task — the plan this op exists to avoid.
+ */
+object Packing {
+
+  /** `ord` must be a total order on rows (ties break nothing — equal keys
+    * get an arbitrary but range-contiguous placement); default orders by
+    * the id column. */
+  def layout(docs: DataFrame, idCol: String, textCol: String, seqLen: Long,
+      nParts: Int = 32, tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    // 1. slim to (id, n_tokens), range-partition by the order key
+    val slim = docs
+      .select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(nParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .cache() // read twice: partial sums + final layout
+    try {
+      // 2. per-partition totals -> driver (nParts rows) -> offset literal
+      // range partitioner numbers partitions in key order: pid order IS
+      // the global order
+      val partials = slim.groupBy(col("__pid"))
+        .agg(sum(col("n_tokens")).as("s"))
+        .collect()
+        .sortBy(_.getAs[Int]("__pid"))
+      val offsets = partials.scanLeft(0L)(_ + _.getAs[Long]("s")).init
+      val offsetMap = map(partials.map(_.getAs[Int]("__pid")).zip(offsets).flatMap {
+        case (pid, off) => Seq(lit(pid), lit(off))
+      }: _*)
+      // 3. partition-local running sum + broadcast offset
+      val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      slim
+        .withColumn("start_tok",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+            element_at(offsetMap, col("__pid")))
+        .withColumn("end_tok", col("start_tok") + col("n_tokens"))
+        .withColumn("first_seq", expr(s"start_tok DIV $seqLen"))
+        .withColumn("last_seq", expr(s"(end_tok - 1) DIV $seqLen"))
+        .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+        .drop("__pid")
+    } finally slim.unpersist(blocking = false)
+  }
+}

@@ -760,7 +760,134 @@ object QueriesC {
            |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
            |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
       },
-      "incremental LSH near-dup gate: bucket-pruned band-index probe == SQL recomputation")
+      "incremental LSH near-dup gate: bucket-pruned band-index probe == SQL recomputation"),
+
+    // Five-stage curation pipeline (ops/Curation): exact dedup →
+    // quality gate → repetition gate → PII scrub + audit → deterministic
+    // sample, composed as ONE plan — the end-to-end shape a training-data
+    // run executes. Bodies cross at most one exchange (the dedup
+    // semi-join); every later stage is a row-local projection. Both
+    // engines run the same portable polynomial hash for the dedup key and
+    // the sample gate, and inject the same doc_id-keyed PII after the
+    // gates (the corpus has none), so the oracle pins stage ORDER and
+    // semantics, not just each stage alone.
+    "q55_curation_pipeline" -> Q(
+      (s, d) => {
+        val aug: org.apache.spark.sql.Column => org.apache.spark.sql.Column = t0 => concat(t0,
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(""),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"), lit(".25 logged")))
+            .otherwise(""),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" tel 03-"), (col("doc_id") % 90 + 10).cast("string"), lit("22-5678 desk")))
+            .otherwise(""))
+        graft.ops.Curation.curate(t(s, d, "documents"), "doc_id", "text",
+            graft.ops.Curation.Config(minTokens = 10, minUniqRatio = 0.2,
+              maxDupLineFrac = 0.5, sampleRate = 0.5),
+            contentHash = c => graft.functions.HashFns.polyHash(c),
+            sampleHash = c => graft.functions.HashFns.polyHash(c),
+            augment = aug)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, ${QueriesB.polyHashSql("trim(text)")} AS ch FROM documents),
+             |win AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch),
+             |ded AS (SELECT d.doc_id, d.text FROM documents d JOIN win USING (doc_id)),
+             |tok AS (SELECT doc_id, text,
+             |    string_split_regex(trim(text), '\\s+') AS ts,
+             |    string_split(text, chr(10)) AS ls FROM ded),
+             |gated AS (
+             |  SELECT doc_id, text, CAST(len(ts) AS BIGINT) AS n_tokens FROM tok
+             |  WHERE len(ts) >= 10
+             |    AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.2
+             |    AND round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / greatest(len(ls), 1), 4) <= 0.5),
+             |aug AS (
+             |  SELECT doc_id, n_tokens, text
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.25 logged' ELSE '' END
+             |    || CASE WHEN doc_id % 13 = 0 THEN ' tel 03-' || CAST(doc_id % 90 + 10 AS VARCHAR) || '22-5678 desk' ELSE '' END
+             |    AS t
+             |  FROM gated),
+             |scr AS (
+             |  SELECT doc_id, n_tokens,
+             |    regexp_replace(regexp_replace(regexp_replace(t,
+             |      '${graft.ops.Scrub.EmailRe}', '<EMAIL>', 'g'),
+             |      '${graft.ops.Scrub.Ipv4Re}', '<IP>', 'g'),
+             |      '${graft.ops.Scrub.PhoneRe}', '<PHONE>', 'g') AS scrubbed,
+             |    CAST(len(regexp_extract_all(t, '${graft.ops.Scrub.EmailRe}')) AS BIGINT) AS n_email,
+             |    CAST(len(regexp_extract_all(t, '${graft.ops.Scrub.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+             |    CAST(len(regexp_extract_all(t, '${graft.ops.Scrub.PhoneRe}')) AS BIGINT) AS n_phone
+             |  FROM aug)
+             |SELECT doc_id, n_tokens, scrubbed, n_email, n_ipv4, n_phone
+             |FROM scr
+             |WHERE ${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 500000
+             |ORDER BY doc_id""".stripMargin),
+      "five-stage curation pipeline (dedup → gates → scrub → sample) == SQL CTE recomputation"),
+
+    // Benchmark decontamination (ops/Decontaminate, GPT-3-style n-gram
+    // overlap filter): docs with doc_id % 17 == 0 play the held-out
+    // benchmark, the rest the training corpus; a corpus doc is
+    // contaminated when any of its distinct word 8-grams appears in the
+    // benchmark. The Spark side runs the real op (broadcast benchmark
+    // gram-hash set; corpus never shuffles) over the portable polynomial
+    // shingle hash, and the oracle hashes gram strings with the same
+    // polynomial — identical even under hash collisions.
+    "q56_decontaminate" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          tx => graft.functions.HashFns.polyShingleHashes(split(trim(tx), "\\s+"), 8)
+        graft.ops.Decontaminate.contaminationHits(
+            docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 17 === 0), "text",
+            n = 8, shingles = Some(sh))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val g8 = "x || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]"
+        s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+           |grams AS (
+           |  SELECT doc_id, unnest(list_distinct(list_filter(
+           |    list_transform(ts, (x, i) -> CASE WHEN i + 7 <= len(ts) THEN $g8 END),
+           |    s -> s IS NOT NULL))) AS g
+           |  FROM tok),
+           |gh AS (SELECT DISTINCT doc_id, ${QueriesB.polyHashSql("g")} AS h FROM grams),
+           |bg AS (SELECT DISTINCT h FROM gh WHERE doc_id % 17 = 0)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM gh JOIN bg USING (h) WHERE doc_id % 17 <> 0
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "benchmark decontamination (8-gram overlap, broadcast bench set) == SQL recomputation"),
+
+    // Sequence-packing layout (ops/Packing): concat-then-chunk training
+    // batch layout — each doc's token interval in the corpus-wide stream
+    // and the 1024-token sequences it spans. The Spark side runs the
+    // two-level distributed scan (range exchange of (id, n_tokens) rows +
+    // partition-local windows + broadcast offsets — never a global
+    // single-partition window); the oracle is DuckDB's straight
+    // cumulative window over the same order.
+    "q57_packing_layout" -> Q(
+      (s, d) => graft.ops.Packing.layout(
+          t(s, d, "documents"), "doc_id", "text", seqLen = 1024L)
+        .orderBy(col("doc_id")),
+      Some("""WITH nt AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+             |  FROM nt)
+             |SELECT doc_id, n_tokens, start_tok,
+             |  start_tok + n_tokens AS end_tok,
+             |  start_tok // 1024 AS first_seq,
+             |  (start_tok + n_tokens - 1) // 1024 AS last_seq,
+             |  (start_tok + n_tokens - 1) // 1024 - start_tok // 1024 + 1 AS n_seqs
+             |FROM s ORDER BY doc_id""".stripMargin),
+      "sequence-packing layout: two-level distributed scan == SQL cumulative window")
   )
 
   /** One oracle for q49/q50 — the two planes must produce identical

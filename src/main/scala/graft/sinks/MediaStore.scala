@@ -44,7 +44,7 @@ object MediaStore {
     * Returns the number of media rows offered (0 = nothing to do; the
     * store is not even opened, so page-only crawls never create it). */
   def ingestWave(spark: SparkSession, fetched: DataFrame, root: String,
-      nBuckets: Int = 16): Long = {
+      nBuckets: Int = 16, compactOver: Int = 64): Long = {
     val media = fetched
       .filter(col("parse_fn") === graft.model.SpanKind.Media &&
         col("status") >= 200 && col("status") < 300 && col("media_bytes").isNotNull)
@@ -68,6 +68,11 @@ object MediaStore {
             col("media_type"), col("size_bytes"), col("wave"), col("seq")),
           "canonical",
           discoveryOrd)
+        // per-wave fast-appends accumulate one data version per touched
+        // bucket per wave; compact when any bucket's list crosses the
+        // threshold (no-op path = one manifest read per table)
+        blobsTable(spark, root, nBuckets).compact(compactOver): Unit
+        refsTable(spark, root, nBuckets).compact(compactOver): Unit
       }
       n
     } finally media.unpersist(blocking = false)

@@ -275,6 +275,68 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     } finally one.unpersist(blocking = false)
   }
 
+  /** Compaction — the fast-append maintenance op (Iceberg's
+    * `rewrite_data_files` analog). Every fast-append commit adds one more
+    * data version to each touched bucket, so a rolling crawl that ingests
+    * per wave leaves each bucket's read unioning O(commits) parquet dirs —
+    * at 10^4 waves that is 10^4 footer opens per bucket per read, which
+    * dwarfs the data it guards. Buckets whose version list exceeds
+    * `maxVersionsPerBucket` get their current rows rewritten into ONE new
+    * version; all other buckets keep their file lists byte-untouched. The
+    * swap is the same atomic CURRENT replace as any commit, and older
+    * manifests still resolve (time travel keeps working until
+    * [[expireSnapshots]] deletes the files). Returns the new current
+    * version — unchanged when nothing crossed the threshold, so calling
+    * this after every ingest is cheap: the no-op path reads one manifest. */
+  def compact(maxVersionsPerBucket: Int = 8): Int =
+    if (!exists) currentVersion
+    else {
+      val m = readManifest(currentVersion)
+      val toCompact = m.buckets.collect {
+        case (b, vs) if vs.length > maxVersionsPerBucket => b
+      }
+      if (toCompact.isEmpty) currentVersion
+      else {
+        // bucket assignment is a pure function of (bucketCol, nBuckets),
+        // so the rewrite lands each row back in its own bucket and
+        // replaceTouched points exactly the compacted buckets at the
+        // single new version
+        val rows = readPaths(bucketPaths(m, toCompact))
+        commit(rows, m.bucketCol, replaceTouched)
+      }
+    }
+
+  /** Snapshot expiry (Iceberg's `expire_snapshots` analog): drop manifests
+    * older than the last `keepLast` versions and delete data-version dirs
+    * no surviving manifest references. A data version stays alive as long
+    * as ANY kept manifest points at it (untouched buckets reference old
+    * versions indefinitely), so this never breaks `read()` or
+    * `readVersion` within the kept window — only time travel past it. */
+  def expireSnapshots(keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentVersion
+    if (cur > 0) {
+      val keepFrom = math.max(1, cur - keepLast + 1)
+      val live = (keepFrom to cur)
+        .flatMap(v => readManifest(v).buckets.values.flatten).toSet
+      for (v <- 1 until keepFrom) {
+        val p = Paths.get(s"$root/manifest_v$v.json")
+        if (Files.exists(p)) Files.delete(p)
+      }
+      val dataDir = new java.io.File(s"$root/data")
+      for {
+        d <- Option(dataDir.listFiles()).getOrElse(Array.empty)
+        if d.getName.startsWith("v") && d.getName.drop(1).forall(_.isDigit)
+        if !live.contains(d.getName.drop(1).toInt)
+      } deleteRecursively(d)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** K3 — delete rows matching `pred`, then insert `replacements`. */
   def deleteThenInsert(pred: Column, replacements: DataFrame): Int = {
     val bucketCol = inferBucketCol(replacements.columns)

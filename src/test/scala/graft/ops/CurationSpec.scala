@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 10 good docs (distinct, 12 varied tokens each), plus targeted rejects
+  private def goodText(i: Int) =
+    (0 until 12).map(k => s"w${i}_$k").mkString(" ")
+  private def corpus = (
+    (1 to 10).map(i => (i.toLong, goodText(i))) ++ Seq(
+      (21L, goodText(1)),                       // exact dup of doc 1 (loses: 21 > 1)
+      (22L, "too short"),                       // fails minTokens
+      (23L, Array.fill(15)("same").mkString(" ")), // fails uniq ratio
+      // 24 tokens (>=10), uniq ratio 12/24 = 0.5 (>=0.5), but 8 lines of
+      // which only 4 distinct -> dup_line_frac 0.5 > 0.3: the repetition
+      // gate alone rejects it
+      (24L, (Seq.fill(5)("a b c") ++ Seq("d e f", "g h i", "j k l")).mkString("\n"))
+    )).toDF("doc_id", "text")
+
+  test("curate: dedup first-wins, gates drop short/repetitive docs, audit counts") {
+    val out = Curation.curate(
+      corpus, "doc_id", "text",
+      Curation.Config(minTokens = 10, minUniqRatio = 0.5, maxDupLineFrac = 0.3),
+      augment = t => concat(t,
+        when(col("doc_id") === 3, lit(" mail me at a@b.example.com")).otherwise("")))
+    val rows = out.orderBy("doc_id").collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids == (1L to 10L)) // dup + all three gate victims gone
+    val d3 = rows.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(d3.getAs[Long]("n_email") == 1L)
+    assert(d3.getAs[String]("scrubbed").contains("<EMAIL>"))
+    assert(d3.getAs[String]("scrubbed").contains(goodText(3))) // body kept
+    assert(rows.forall(_.getAs[Long]("n_tokens") == 12L))
+    assert(rows.filter(_.getAs[Long]("doc_id") != 3L).forall(_.getAs[Long]("n_email") == 0L))
+  }
+
+  test("curate: sample stage is deterministic and subsets the curated set") {
+    val all = Curation.curate(corpus, "doc_id", "text",
+        Curation.Config(minTokens = 10, minUniqRatio = 0.5, maxDupLineFrac = 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    val half = Curation.curate(corpus, "doc_id", "text",
+        Curation.Config(minTokens = 10, minUniqRatio = 0.5, maxDupLineFrac = 0.3,
+          sampleRate = 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val half2 = Curation.curate(corpus.repartition(7), "doc_id", "text",
+        Curation.Config(minTokens = 10, minUniqRatio = 0.5, maxDupLineFrac = 0.3,
+          sampleRate = 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(half.subsetOf(all))
+    assert(half == half2) // partition-invariant
+  }
+}

@@ -163,6 +163,65 @@ class MergeSpec extends AnyFunSuite {
     assert(gated.select("id").as[String].collect().toSeq == Seq("Url:1"))
   }
 
+  test("compact: over-threshold buckets collapse to one data version, content and time travel intact") {
+    val dir = SparkTestSession.tmpDir("compact")
+    val t = new SnapshotTable(spark, dir, nBuckets = 4)
+    // 6 fast-appends, each one row; bucket lists grow one version per
+    // touched bucket per append
+    for (i <- 1 to 6)
+      t.append(Seq((s"Doc:$i", s"body$i")).toDF("id", "text"))
+    val preVersion = t.currentVersion
+    val preRows = t.read().orderBy("id").collect().toSeq
+    def versionsPerBucket: Map[Int, Int] = {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/manifest_v${t.currentVersion}.json"))
+      """"(\d+)":\[([\d,]*)\]""".r.findAllMatchIn(s)
+        .map(m => m.group(1).toInt -> m.group(2).split(",").count(_.nonEmpty)).toMap
+    }
+    assert(versionsPerBucket.values.max > 1) // something accumulated
+    val v = t.compact(maxVersionsPerBucket = 1)
+    assert(v == preVersion + 1)
+    assert(versionsPerBucket.values.forall(_ == 1)) // every bucket now one version
+    assert(t.read().orderBy("id").collect().toSeq == preRows) // content identical
+    assert(t.readVersion(preVersion).orderBy("id").collect().toSeq == preRows) // time travel
+    // idempotent: nothing over threshold -> no new version
+    assert(t.compact(maxVersionsPerBucket = 1) == v)
+    // under-threshold is a no-op too
+    assert(t.compact(maxVersionsPerBucket = 64) == v)
+  }
+
+  test("expireSnapshots: old manifests and unreferenced data versions deleted, current read intact") {
+    val dir = SparkTestSession.tmpDir("expire")
+    val t = new SnapshotTable(spark, dir, nBuckets = 4)
+    for (i <- 1 to 5)
+      t.append(Seq((s"Doc:$i", s"body$i")).toDF("id", "text"))
+    t.compact(maxVersionsPerBucket = 0) // threshold 0 = rewrite every bucket
+    val cur = t.currentVersion
+    val preRows = t.read().orderBy("id").collect().toSeq
+    t.expireSnapshots(keepLast = 1)
+    // only the current manifest survives
+    val manifests = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("manifest_")).map(_.getName).toSet
+    assert(manifests == Set(s"manifest_v$cur.json"))
+    // the compacted data version is the only one left (compaction put
+    // every bucket on the final version)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().map(_.getName).toSet
+    assert(dataDirs == Set(s"v$cur"))
+    assert(t.read().orderBy("id").collect().toSeq == preRows)
+    intercept[Exception] { t.readVersion(cur - 1).collect() } // past the window
+  }
+
+  test("expireSnapshots keeps data versions still referenced by kept manifests") {
+    val dir = SparkTestSession.tmpDir("expire-ref")
+    val t = new SnapshotTable(spark, dir, nBuckets = 4)
+    for (i <- 1 to 4)
+      t.append(Seq((s"Doc:$i", s"body$i")).toDF("id", "text"))
+    val preRows = t.read().orderBy("id").collect().toSeq
+    // no compaction: the current manifest references EVERY data version
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read().orderBy("id").collect().toSeq == preRows) // nothing live deleted
+  }
+
   test("K6 validate-or-quarantine splits on required fields") {
     val rows = Seq(("News:1", "title1", "body"), ("News:2", "", "body"),
       (null.asInstanceOf[String], "t", "b")).toDF("id", "title", "body")
