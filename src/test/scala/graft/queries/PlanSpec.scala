@@ -166,6 +166,109 @@ class PlanSpec extends AnyFunSuite {
     assert(readCols == Set("doc_id", "lang"), readCols)
   }
 
+  test("curation pipeline: no cartesian; document bodies cross at most one exchange") {
+    val out = graft.ops.Curation.curate(docs, "doc_id", "text",
+      graft.ops.Curation.Config(minTokens = 5, minUniqRatio = 0.1,
+        maxDupLineFrac = 0.9, sampleRate = 0.5))
+    val p = executed(out)
+    val names = treeNames(p)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    // exchanges whose output schema still carries the text column: only
+    // the dedup semi-join's corpus side may move bodies (AQE may instead
+    // broadcast the winner ids, making even that zero)
+    def bodyExchanges(n: SparkPlan): Int = {
+      val self = n match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "text") => 1
+        case _ => 0
+      }
+      val sub = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
+        case other => other.children
+      }
+      self + sub.map(bodyExchanges).sum
+    }
+    assert(bodyExchanges(p) <= 1, s"document bodies crossed >1 exchange:\n${names.distinct}")
+  }
+
+  test("decontamination: benchmark side broadcasts; corpus is never shuffled") {
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 0)
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 0)
+    val p = executed(graft.ops.Decontaminate.contaminationHits(
+      corpus, "doc_id", "text", bench, "text", n = 8))
+    val names = treeNames(p)
+    assert(names.exists(_.contains("BroadcastHashJoin")), names.distinct)
+    assert(!names.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")),
+      names.distinct)
+    // the only shuffle is the per-doc hit-count aggregation (id, count)
+    def shuffles(n: SparkPlan): Seq[Seq[String]] = {
+      val self = n match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          Seq(e.output.map(_.name).toSeq)
+        case _ => Nil
+      }
+      val sub = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
+        case other => other.children
+      }
+      self ++ sub.flatMap(shuffles)
+    }
+    // allowed: the BENCH side's distinct (a gram-hash-only shuffle, O(MB)
+    // by the op's contract). Forbidden: any shuffle of corpus gram rows
+    // (they carry doc_id alongside g) or of text.
+    assert(shuffles(p).forall(cols => !cols.contains("text") &&
+      !(cols.contains("g") && cols.contains("doc_id"))),
+      shuffles(p))
+  }
+
+  test("packing layout: range exchange of slim rows, windows are partition-local") {
+    val p = executed(graft.ops.Packing.layout(docs, "doc_id", "text", 1024L, nParts = 8))
+    val names = treeNames(p)
+    // no exchange may carry text; the scan projects it away
+    def exchangeCols(n: SparkPlan): Seq[Seq[String]] = {
+      val self = n match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          Seq(e.output.map(_.name).toSeq)
+        case _ => Nil
+      }
+      val sub = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(c.relation.cachedPlan)
+        case other => other.children
+      }
+      self ++ sub.flatMap(exchangeCols)
+    }
+    assert(exchangeCols(p).forall(!_.contains("text")), exchangeCols(p))
+    // every Window node must have a partition spec (a global orderBy
+    // window would single-partition the corpus)
+    def windows(n: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val self = n match {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case _ => Nil
+      }
+      val sub = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(c.relation.cachedPlan)
+        case other => other.children
+      }
+      self ++ sub.flatMap(windows)
+    }
+    val ws = windows(p)
+    assert(ws.nonEmpty, names.distinct)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"found a partition-less Window: ${names.distinct}")
+  }
+
   test("SangiinPipeline dim joins broadcast the dims") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
