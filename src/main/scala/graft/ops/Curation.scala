@@ -68,13 +68,13 @@ object Curation {
       .select(id)
     val deduped = docs.join(winners, Seq(idCol), "left_semi")
 
-    // 2 + 3. row-local quality and repetition gates
-    val ts = split(trim(text), "\\s+")
+    // 2 + 3. row-local quality and repetition gates — the SAME token
+    // definitions as the standalone metrics ops (TextStats.uniqueTokenRatio's
+    // divide guard is value-neutral here: split() output is never empty)
     val gated = deduped
-      .withColumn("__nt", size(ts).cast("long"))
+      .withColumn("__nt", TextStats.tokenCount(text))
       .filter(col("__nt") >= cfg.minTokens &&
-        size(array_distinct(ts)).cast("double") / size(ts).cast("double")
-          >= cfg.minUniqRatio &&
+        TextStats.uniqueTokenRatio(text) >= cfg.minUniqRatio &&
         Repetition.duplicateLineFraction(text) <= cfg.maxDupLineFrac)
 
     // 4. scrub + audit over the (possibly augmented) text

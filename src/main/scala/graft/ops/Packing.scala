@@ -39,36 +39,44 @@ object Packing {
   def layout(docs: DataFrame, idCol: String, textCol: String, seqLen: Long,
       nParts: Int = 32, tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    // 1. slim to (id, n_tokens), range-partition by the order key
+    // 1. slim to (id, n_tokens), range-partition by the order key.
+    // localCheckpoint (eager), NOT cache: the offsets below are computed
+    // from ONE materialization of this range shuffle, and the returned
+    // (lazy) frame must read the very same partitioning — a cache could
+    // be evicted (or unpersisted before the caller executes) and the
+    // re-run RangePartitioner may sample different bounds, silently
+    // pairing local sums with offsets from a different partitioning.
     val slim = docs
       .select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
       .repartitionByRange(nParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .cache() // read twice: partial sums + final layout
-    try {
-      // 2. per-partition totals -> driver (nParts rows) -> offset literal
-      // range partitioner numbers partitions in key order: pid order IS
-      // the global order
-      val partials = slim.groupBy(col("__pid"))
-        .agg(sum(col("n_tokens")).as("s"))
-        .collect()
-        .sortBy(_.getAs[Int]("__pid"))
-      val offsets = partials.scanLeft(0L)(_ + _.getAs[Long]("s")).init
-      val offsetMap = map(partials.map(_.getAs[Int]("__pid")).zip(offsets).flatMap {
-        case (pid, off) => Seq(lit(pid), lit(off))
-      }: _*)
-      // 3. partition-local running sum + broadcast offset
-      val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      slim
-        .withColumn("start_tok",
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
-            element_at(offsetMap, col("__pid")))
-        .withColumn("end_tok", col("start_tok") + col("n_tokens"))
-        .withColumn("first_seq", expr(s"start_tok DIV $seqLen"))
-        .withColumn("last_seq", expr(s"(end_tok - 1) DIV $seqLen"))
-        .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
-        .drop("__pid")
-    } finally slim.unpersist(blocking = false)
+      .localCheckpoint(true)
+    // 2. per-partition totals -> driver (nParts rows) -> offset literal
+    // range partitioner numbers partitions in key order: pid order IS
+    // the global order
+    val partials = slim.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect()
+      .sortBy(_.getAs[Int]("__pid"))
+    // empty corpus: map() would be map<string,string> and poison the
+    // arithmetic types downstream; any typed single-entry map works
+    // because no row will look anything up
+    val offsetMap =
+      if (partials.isEmpty) map(lit(0), lit(0L))
+      else map(partials.map(_.getAs[Int]("__pid"))
+        .zip(partials.scanLeft(0L)(_ + _.getAs[Long]("s")).init)
+        .flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
+    // 3. partition-local running sum + broadcast offset
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    slim
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+          element_at(offsetMap, col("__pid")))
+      .withColumn("end_tok", col("start_tok") + col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_tok DIV $seqLen"))
+      .withColumn("last_seq", expr(s"(end_tok - 1) DIV $seqLen"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .drop("__pid")
   }
 }

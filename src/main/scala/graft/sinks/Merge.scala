@@ -317,7 +317,10 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     val cur = currentVersion
     if (cur > 0) {
       val keepFrom = math.max(1, cur - keepLast + 1)
+      // a manifest inside the window may already be gone (an earlier
+      // expiry with a smaller keepLast deleted it) — skip, don't crash
       val live = (keepFrom to cur)
+        .filter(v => Files.exists(Paths.get(s"$root/manifest_v$v.json")))
         .flatMap(v => readManifest(v).buckets.values.flatten).toSet
       for (v <- 1 until keepFrom) {
         val p = Paths.get(s"$root/manifest_v$v.json")

@@ -39,6 +39,12 @@ class PackingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("empty corpus yields an empty layout, not an analysis error") {
+    val out = Packing.layout(corpus(5).filter($"doc_id" > 100), "doc_id", "text", 16L)
+    assert(out.count() == 0)
+    assert(out.columns.contains("start_tok"))
+  }
+
   test("doc straddling a boundary spans both sequences") {
     // two docs of 10 tokens each, seqLen 16: doc 1 covers [10, 20) ->
     // sequences 0 and 1

@@ -47,6 +47,27 @@ class PlanSpec extends AnyFunSuite {
 
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
 
+  /** All nodes of the executed plan, with every AQE / cache wrapper
+    * unwrapped — the one traversal every plan-shape assertion shares. */
+  private def collectNodes(n: SparkPlan): Seq[SparkPlan] = {
+    val sub = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(c.relation.cachedPlan)
+      case other => other.children
+    }
+    n +: sub.flatMap(collectNodes)
+  }
+
+  /** Output column names of every shuffle exchange in the plan. */
+  private def shuffleCols(p: SparkPlan): Seq[Seq[String]] =
+    collectNodes(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name).toSeq
+    }
+
   test("LSH band join is an equi-join, never a cartesian product") {
     val names = treeNames(executed(
       graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 16, bands = 8)))
@@ -176,21 +197,8 @@ class PlanSpec extends AnyFunSuite {
     // exchanges whose output schema still carries the text column: only
     // the dedup semi-join's corpus side may move bodies (AQE may instead
     // broadcast the winner ids, making even that zero)
-    def bodyExchanges(n: SparkPlan): Int = {
-      val self = n match {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if e.output.exists(_.name == "text") => 1
-        case _ => 0
-      }
-      val sub = n match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
-        case other => other.children
-      }
-      self + sub.map(bodyExchanges).sum
-    }
-    assert(bodyExchanges(p) <= 1, s"document bodies crossed >1 exchange:\n${names.distinct}")
+    val bodyExchanges = shuffleCols(p).count(_.contains("text"))
+    assert(bodyExchanges <= 1, s"document bodies crossed >1 exchange:\n${names.distinct}")
   }
 
   test("decontamination: benchmark side broadcasts; corpus is never shuffled") {
@@ -202,68 +210,24 @@ class PlanSpec extends AnyFunSuite {
     assert(names.exists(_.contains("BroadcastHashJoin")), names.distinct)
     assert(!names.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")),
       names.distinct)
-    // the only shuffle is the per-doc hit-count aggregation (id, count)
-    def shuffles(n: SparkPlan): Seq[Seq[String]] = {
-      val self = n match {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          Seq(e.output.map(_.name).toSeq)
-        case _ => Nil
-      }
-      val sub = n match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
-        case other => other.children
-      }
-      self ++ sub.flatMap(shuffles)
-    }
     // allowed: the BENCH side's distinct (a gram-hash-only shuffle, O(MB)
     // by the op's contract). Forbidden: any shuffle of corpus gram rows
     // (they carry doc_id alongside g) or of text.
-    assert(shuffles(p).forall(cols => !cols.contains("text") &&
+    assert(shuffleCols(p).forall(cols => !cols.contains("text") &&
       !(cols.contains("g") && cols.contains("doc_id"))),
-      shuffles(p))
+      shuffleCols(p))
   }
 
-  test("packing layout: range exchange of slim rows, windows are partition-local") {
+  test("packing layout: no text in any exchange, windows are partition-local") {
     val p = executed(graft.ops.Packing.layout(docs, "doc_id", "text", 1024L, nParts = 8))
     val names = treeNames(p)
     // no exchange may carry text; the scan projects it away
-    def exchangeCols(n: SparkPlan): Seq[Seq[String]] = {
-      val self = n match {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          Seq(e.output.map(_.name).toSeq)
-        case _ => Nil
-      }
-      val sub = n match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
-        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          Seq(c.relation.cachedPlan)
-        case other => other.children
-      }
-      self ++ sub.flatMap(exchangeCols)
-    }
-    assert(exchangeCols(p).forall(!_.contains("text")), exchangeCols(p))
+    assert(shuffleCols(p).forall(!_.contains("text")), shuffleCols(p))
     // every Window node must have a partition spec (a global orderBy
     // window would single-partition the corpus)
-    def windows(n: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
-      val self = n match {
-        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
-        case _ => Nil
-      }
-      val sub = n match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => Seq(r.child)
-        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          Seq(c.relation.cachedPlan)
-        case other => other.children
-      }
-      self ++ sub.flatMap(windows)
+    val ws = collectNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    val ws = windows(p)
     assert(ws.nonEmpty, names.distinct)
     assert(ws.forall(_.partitionSpec.nonEmpty),
       s"found a partition-less Window: ${names.distinct}")

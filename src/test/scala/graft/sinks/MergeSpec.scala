@@ -211,6 +211,18 @@ class MergeSpec extends AnyFunSuite {
     intercept[Exception] { t.readVersion(cur - 1).collect() } // past the window
   }
 
+  test("expireSnapshots tolerates a keep window wider than the surviving manifests") {
+    val dir = SparkTestSession.tmpDir("expire-widen")
+    val t = new SnapshotTable(spark, dir, nBuckets = 4)
+    for (i <- 1 to 5)
+      t.append(Seq((s"Doc:$i", s"body$i")).toDF("id", "text"))
+    t.expireSnapshots(keepLast = 1) // deletes manifests v1..v4
+    t.append(Seq(("Doc:6", "body6")).toDF("id", "text"))
+    val preRows = t.read().orderBy("id").collect().toSeq
+    t.expireSnapshots(keepLast = 3) // window reaches back into deleted manifests
+    assert(t.read().orderBy("id").collect().toSeq == preRows)
+  }
+
   test("expireSnapshots keeps data versions still referenced by kept manifests") {
     val dir = SparkTestSession.tmpDir("expire-ref")
     val t = new SnapshotTable(spark, dir, nBuckets = 4)
