@@ -275,12 +275,25 @@ object Dedup {
     * survivors loses them (the replay sees their hashes in the index).
     * For exactly-once, pass `persistSurvivors` — it runs on the pinned
     * survivor set BEFORE the index advances, so the durable write and
-    * the index move in write-ahead order. */
+    * the index move in write-ahead order.
+    *
+    * `replayStable = true` upgrades replay semantics from at-most-once to
+    * REPLAY-EXACT: a row whose content hash is already indexed still
+    * survives when the index's witness is the row ITSELF (ids are unique
+    * corpus-wide, so only the original admission can match) — re-running
+    * the same batch after a crash between the index advance and the
+    * output commit reproduces the original survivor set instead of an
+    * empty one. This is the mode the streaming foreachBatch sink
+    * ([[graft.streaming.Streams.streamingIncrementalDedup]]) pairs with
+    * batch-id-keyed overwrite for an exactly-once survivor log. Fresh
+    * (non-replayed) batches are unaffected: a different doc with the
+    * same content has a different id and still dies in the gate. */
   def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String, indexRoot: String,
       contentHash: Column => Column = xxhash64(_),
       persistSurvivors: DataFrame => Unit = _ => (),
-      compactOver: Int = 64): DataFrame = {
+      compactOver: Int = 64,
+      replayStable: Boolean = false): DataFrame = {
     val hashed = batch.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
     // within-batch first-wins (min id per identical content)
     val firstWins = hashed.groupBy(col("content_hash"))
@@ -289,6 +302,13 @@ object Dedup {
     val index = new graft.sinks.SnapshotTable(spark, indexRoot)
     val novel =
       if (!index.exists) firstWins
+      else if (replayStable)
+        firstWins.join(
+          index.readForKeys(firstWins.select(col("content_hash")), "content_hash")
+            .select(col("content_hash"), col("witness_id").as("__wit")),
+          Seq("content_hash"), "left")
+          .filter(col("__wit").isNull || col("__wit") === col(idCol))
+          .drop("__wit")
       else firstWins.join(
         index.readForKeys(firstWins.select(col("content_hash")), "content_hash")
           .select(col("content_hash")),

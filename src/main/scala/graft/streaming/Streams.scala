@@ -144,4 +144,39 @@ object Streams {
         new java.sql.Timestamp(s.last), s.n)).iterator
     }
   }
+
+  /** Continuous-ingest twin of [[graft.ops.Dedup.dedupIncremental]]: each
+    * micro-batch of documents is gated against the persisted cross-batch
+    * content-hash index inside `foreachBatch`, and the batch's survivors
+    * land in `outDir/batch_<id>` as parquet.
+    *
+    * Exactly-once: Structured Streaming replays an uncommitted micro-batch
+    * with the same batchId after a crash; the gate runs REPLAY-STABLE
+    * (a row already indexed with itself as witness survives again), so the
+    * replay regenerates the identical survivor set and the
+    * mode("overwrite") of the batch-id-keyed dir makes the rewrite a
+    * no-op — the standard idempotent-foreachBatch layout, here backed by
+    * the index's own witness column instead of an external transaction
+    * log. Survivors are written BEFORE the index advances (write-ahead,
+    * via dedupIncremental's persistSurvivors hook).
+    *
+    * Scale shape is the batch op's: bucket-pruned index probe, (hash, id)
+    * shuffles only, periodic index compaction. */
+  def streamingIncrementalDedup(docs: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, outDir: String,
+      contentHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.xxhash64(_))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming, "streamingIncrementalDedup needs a streaming DataFrame")
+    docs.writeStream
+      .outputMode(OutputMode.Update()) // pass-through; foreachBatch sees raw rows
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.dedupIncremental(
+          batch.sparkSession, batch, idCol, textCol, indexRoot, contentHash,
+          persistSurvivors = s => s.write.mode("overwrite")
+            .parquet(s"$outDir/batch_$batchId"),
+          replayStable = true): Unit
+      }
+      .start()
+  }
 }

@@ -50,6 +50,58 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.toSet == expected)
   }
 
+  test("streaming incremental dedup: per-micro-batch gate equals the batch op, replay is exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = SparkTestSession.tmpDir("stream-incdedup")
+    // two micro-batches: file-source with maxFilesPerTrigger=1 over two
+    // staged files (even ids, then odd ids)
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in1")
+    val f1 = new java.io.File(s"$dir/in1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    docs.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in2")
+    val f2 = new java.io.File(s"$dir/in2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    new java.io.File(s"$dir/in").mkdirs()
+    java.nio.file.Files.copy(f1.toPath, java.nio.file.Paths.get(s"$dir/in/a.parquet"))
+
+    val streaming = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Streams.streamingIncrementalDedup(streaming, "doc_id", "text",
+      s"$dir/index", s"$dir/out")
+    q.processAllAvailable()
+    java.nio.file.Files.copy(f2.toPath, java.nio.file.Paths.get(s"$dir/in/b.parquet"))
+    q.processAllAvailable()
+    q.stop()
+
+    // expected: the batch op over the same two-batch split, fresh index
+    val e1 = graft.ops.Dedup.dedupIncremental(spark,
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", s"$dir/index-ref")
+      .select("doc_id").as[Long].collect().toSet
+    val e2 = graft.ops.Dedup.dedupIncremental(spark,
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", s"$dir/index-ref")
+      .select("doc_id").as[Long].collect().toSet
+    val got = spark.read.parquet(s"$dir/out/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (e1 ++ e2))
+
+    // replay-exact: re-running batch 2's data against the ADVANCED index
+    // in replayStable mode reproduces its survivors (at-most-once mode
+    // would return nothing)
+    val replay = graft.ops.Dedup.dedupIncremental(spark,
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", s"$dir/index-ref",
+      replayStable = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == e2)
+    // and a DIFFERENT doc with already-seen content still dies in the gate
+    val probe = docs.filter($"doc_id" % 2 === 1).limit(1)
+      .withColumn("doc_id", $"doc_id" + 1000000)
+    assert(graft.ops.Dedup.dedupIncremental(spark, probe, "doc_id", "text",
+      s"$dir/index-ref", replayStable = true).count() == 0)
+  }
+
   test("streaming sessionization: event-time timeout flushes open sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // offset from epoch 0: a row at exactly the initial watermark (epoch)
