@@ -887,7 +887,24 @@ object QueriesC {
              |  (start_tok + n_tokens - 1) // 1024 AS last_seq,
              |  (start_tok + n_tokens - 1) // 1024 - start_tok // 1024 + 1 AS n_seqs
              |FROM s ORDER BY doc_id""".stripMargin),
-      "sequence-packing layout: two-level distributed scan == SQL cumulative window")
+      "sequence-packing layout: two-level distributed scan == SQL cumulative window"),
+
+    // Corpus-mix report (ops/Mix): per-language doc/token counts and
+    // shares — the summary a training run reads before setting
+    // per-stratum quotas. One map-side-combinable groupBy; the share
+    // window runs over the aggregated strata only.
+    "q58_corpus_mix" -> Q(
+      (s, d) => graft.ops.Mix.report(t(s, d, "documents"), "lang", "text")
+        .orderBy(col("lang")),
+      Some("""WITH agg AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY lang)
+             |SELECT lang, n_docs, n_tokens,
+             |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+             |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+             |FROM agg ORDER BY lang""".stripMargin),
+      "corpus-mix report (per-stratum doc/token shares) == SQL recomputation")
   )
 
   /** One oracle for q49/q50 — the two planes must produce identical
