@@ -904,7 +904,38 @@ object QueriesC {
              |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
              |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
              |FROM agg ORDER BY lang""".stripMargin),
-      "corpus-mix report (per-stratum doc/token shares) == SQL recomputation")
+      "corpus-mix report (per-stratum doc/token shares) == SQL recomputation"),
+
+    // Unicode NFC normalization (functions/NormalizeExprs): the first
+    // transform a multilingual curation pipeline applies. The synthetic
+    // corpus is already composed, so both engines inject the same
+    // deterministic DECOMPOSED sequences (combining acute / combining
+    // voiced mark, built from code points — never source literals) and
+    // the oracle pins the native expression against DuckDB's
+    // nfc_normalize, plus the folded-code-point count.
+    "q59_nfc_normalize" -> Q(
+      (s, d) => {
+        val comb = new String(Character.toChars(0x301))   // combining acute
+        val ka = new String(Character.toChars(0x30AB))    // katakana KA
+        val dakuten = new String(Character.toChars(0x3099)) // combining voiced mark
+        val aug = concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" cafe" + comb)).otherwise(""),
+          when(col("doc_id") % 5 === 0, lit(" " + ka + dakuten)).otherwise(""))
+        t(s, d, "documents").select(col("doc_id"),
+            graft.functions.NormalizeFns.nfc(aug).as("nfc_text"),
+            (length(aug) - length(graft.functions.NormalizeFns.nfc(aug)))
+              .cast("long").as("chars_folded"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(12459) || chr(12441) ELSE '' END AS t
+             |  FROM documents)
+             |SELECT doc_id, nfc_normalize(t) AS nfc_text,
+             |  CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS chars_folded
+             |FROM aug ORDER BY doc_id""".stripMargin),
+      "native NFC normalization == DuckDB nfc_normalize on injected decomposed text")
   )
 
   /** One oracle for q49/q50 — the two planes must produce identical
