@@ -91,6 +91,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs over RARE shingles — the
+    * LSH-free exact form (q23). Shingles with document frequency >
+    * `maxDf` are dropped BEFORE the posting-list self-join: a shingle in
+    * f documents emits f² join rows, so one hot boilerplate n-gram would
+    * otherwise dominate the whole job at scale, while carrying ~no
+    * near-dup signal. Jaccard is computed over the capped sets on BOTH
+    * sides (sizes too), so the estimate is self-consistent. The df guard
+    * is a streaming window count (bounded memory per shingle, unlike a
+    * collect_list posting build, which one degenerate shingle OOMs).
+    * Shuffles carry (8-byte shingle hash, id) — text never moves. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.25, maxDf: Int = 64,
+      shingles: Column => Column = shingleHashes(_, 3)): DataFrame = {
+    val all = docs.select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+    val rare = all
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = rare.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val pairs = rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over token hashes — single native pass per document
     * (graft.functions.SimHash64Expr). Round 1 ran 64 interpreted aggregate
     * folds per row, each re-hashing every token. */

@@ -423,33 +423,16 @@ object Queries {
     // worst case); hot shingles also carry ~no near-dup signal. Jaccard is
     // computed over the capped sets on BOTH sides (sizes too).
     "q23_ngram_jaccard" -> Q(
-      (s, d) => {
-        // shingle identity = 64-bit xxhash of the n-gram (native codegen'd
-        // XxShingleHashes, distinct per doc) — intersection counts equal
-        // the oracle's string-shingle counts absent a 64-bit collision
-        // (P < 1e-7 at these corpus sizes); the self-join shuffles 8-byte
-        // keys instead of n-gram strings
-        val allShingles = t(s, d, "documents")
-          .select(col("doc_id"),
-            explode(graft.ops.Dedup.shingleHashes(col("text"))).as("sh"))
-        val shingles = allShingles
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-          .filter(col("df") <= 64).drop("df")
-        val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val pairs = shingles.as("x").join(shingles.as("y"),
-            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-          .withColumn("jaccard", round(col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double"), 4))
-          .filter(col("jaccard") >= 0.25)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      // shingle identity = 64-bit xxhash of the n-gram (native codegen'd
+      // XxShingleHashes, distinct per doc) — intersection counts equal
+      // the oracle's string-shingle counts absent a 64-bit collision
+      // (P < 1e-7 at these corpus sizes); the self-join shuffles 8-byte
+      // keys instead of n-gram strings. The dataflow lives in
+      // Dedup.ngramJaccardPairs (library surface), df-cap mirrored in
+      // the oracle's QUALIFY.
+      (s, d) => graft.ops.Dedup.ngramJaccardPairs(
+          t(s, d, "documents"), "doc_id", "text", threshold = 0.25, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH sh0 AS (
              |  SELECT doc_id, unnest(list_distinct(list_filter(
              |    list_transform(ts, (x, i) -> CASE WHEN i + 2 <= len(ts) THEN x || ' ' || ts[i+1] || ' ' || ts[i+2] END),

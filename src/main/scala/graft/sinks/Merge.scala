@@ -235,7 +235,10 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
       val novel =
         if (paths.isEmpty) fresh
         else fresh.join(readPaths(paths), fresh.columns.toSeq, "left_anti")
-      commit(novel, m.bucketCol, appendTouched)
+      // a batch that adds nothing (a replay, or fully-known edges) must
+      // not burn a version + a write job + a bucket data dir
+      if (novel.isEmpty) currentVersion
+      else commit(novel, m.bucketCol, appendTouched)
     }
   }
 
@@ -270,7 +273,9 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
         val novel =
           if (paths.isEmpty) one
           else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti")
-        commit(novel, keyCol, appendTouched)
+        // idempotent replays re-offer only known keys: no version, no write
+        if (novel.isEmpty) currentVersion
+        else commit(novel, keyCol, appendTouched)
       }
     } finally one.unpersist(blocking = false)
   }

@@ -163,6 +163,17 @@ class MergeSpec extends AnyFunSuite {
     assert(gated.select("id").as[String].collect().toSeq == Seq("Url:1"))
   }
 
+  test("insertIfAbsent of only-known keys is a version no-op") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val t = new SnapshotTable(spark, SparkTestSession.tmpDir("noop-insert"))
+    val rows = Seq(("k1", "v1", 1L), ("k2", "v2", 2L)).toDF("id", "payload", "seq")
+    t.insertIfAbsent(rows, "id", struct(col("seq")))
+    val v = t.currentVersion
+    t.insertIfAbsent(rows, "id", struct(col("seq"))) // full replay
+    assert(t.currentVersion == v) // no version burned, no data dir written
+    assert(t.read().count() == 2)
+  }
+
   test("compact: over-threshold buckets collapse to one data version, content and time travel intact") {
     val dir = SparkTestSession.tmpDir("compact")
     val t = new SnapshotTable(spark, dir, nBuckets = 4)
