@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph analytics over the crawl's href plane. The reference never
+ * ranks pages (its frontier is a LIFO queue, crawler/settings.py:23), but
+ * a 10^10-URL frontier cannot fetch everything — admission and ordering
+ * need a quality signal, and the classic crawl-native one is link analysis
+ * over the pages already fetched (PageRank / in-degree / anchor text).
+ * These ops consume the same `(src, dst)` edge rows the wave engine's
+ * link-follow expansion (S9) already produces, so a crawl can periodically
+ * rank its own discovered graph and feed `UrlRecord.priority`.
+ *
+ * Scale discipline:
+ *  - every shuffle carries fixed-width (id, double) or (id, id) rows —
+ *    never page text;
+ *  - PageRank iterations reuse ONE hash partitioning: edges are
+ *    pre-partitioned by `src` and cached once, each iteration's
+ *    contribution shuffle is sized by |E|, and rank lineage is truncated
+ *    with localCheckpoint so Catalyst analysis stays O(1) per round
+ *    (same pattern as [[Cluster.connectedComponents]]);
+ *  - dangling mass (pages fetched but with no out-links yet — the frontier
+ *    tail is mostly dangling) is folded in with one scalar aggregate per
+ *    iteration, not an N×N fixup;
+ *  - anchor-text top-k runs its window over the PRE-AGGREGATED
+ *    (dst, term, cnt) plane — the corpus-sized explode collapses in a
+ *    map-side-combinable groupBy first, so the window never sorts raw
+ *    anchor occurrences (the hot-page skew case: millions of in-links
+ *    collapse to at most |distinct terms| rows per page before ranking).
+ */
+object Graph {
+
+  /** PageRank with damping `d` over directed `edges(srcCol, dstCol)`.
+    * `nodes` fixes the node universe (pages with no in- OR out-links
+    * still hold rank mass). Returns (`id`, `rank`) with sum(rank) ≈ 1:
+    * rank_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} rank_t(u)/outdeg(u) + D_t/N)
+    * where D_t is the total rank of dangling nodes. Deterministic up to
+    * float summation order. Duplicate edges are collapsed first (the
+    * href plane repeats links across boilerplate). */
+  def pageRank(nodes: DataFrame, edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val spark = nodes.sparkSession
+    val idCol = nodes.columns.head
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty node set")
+    val uniq = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // one partitioning, reused by every iteration's rank⋈edges join
+    val e = uniq.repartition(col("src")).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .repartition(col("src")).cache()
+    try {
+      var ranks = nodes.select(col(idCol).as("id"), lit(1.0 / n).as("rank"))
+        .repartition(col("id")).localCheckpoint(eager = true)
+      for (_ <- 1 to iters) {
+        // dangling = rank mass on nodes with no out-edges. A one-row
+        // aggregate cross-joined into the update (AQE broadcasts it) —
+        // NOT a driver-side action: one materializing job per iteration,
+        // not three
+        val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+        val contrib = ranks.join(e, ranks("id") === e("src"))
+          .join(deg, "src")
+          .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        ranks = nodes.select(col(idCol).as("id"))
+          .join(contrib, col("id") === contrib("dst"), "left")
+          .crossJoin(dangling)
+          .select(col("id"),
+            (lit((1.0 - damping) / n) + lit(damping) *
+              (coalesce(col("s"), lit(0.0)) + col("dm") / n)).as("rank"))
+          .repartition(col("id")).localCheckpoint(eager = true)
+      }
+      ranks
+    } finally { e.unpersist(blocking = false); deg.unpersist(blocking = false) }
+  }
+
+  /** Per-target anchor summary: in-link count (distinct sources) and the
+    * top `k` anchor terms by (occurrence count desc, term asc) joined
+    * with ','. Input rows are raw anchor occurrences
+    * (srcCol, dstCol, termCol) — one per link; sources repeating a term
+    * count each occurrence (boilerplate nav links dominate by design:
+    * that IS the signal anchor text carries). */
+  def anchorSummary(anchors: DataFrame, srcCol: String, dstCol: String,
+      termCol: String, k: Int = 3): DataFrame = {
+    val byTerm = anchors
+      .groupBy(col(dstCol).as("dst"), col(termCol).as("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val topTerms = byTerm
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("dst").orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .groupBy("dst")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("rk"), col("term")))),
+          x => x.getField("term"))).as("top_terms"))
+    val inDeg = anchors
+      .select(col(dstCol).as("dst"), col(srcCol).as("src")).distinct()
+      .groupBy("dst").agg(count(lit(1)).as("in_links"))
+    inDeg.join(topTerms, "dst")
+  }
+}
