@@ -48,34 +48,39 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty node set")
     val uniq = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    // one partitioning, reused by every iteration's rank⋈edges join
-    val e = uniq.repartition(col("src")).cache()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .repartition(col("src")).cache()
+    val deg = uniq.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg pre-joined onto the edge rows ONCE — iterations join a single
+    // cached (src, dst, outdeg) relation, hash-partitioned by src so the
+    // per-iteration rank⋈edge join reuses this partitioning
+    val e = uniq.join(deg, "src").repartition(col("src")).cache()
     try {
-      var ranks = nodes.select(col(idCol).as("id"), lit(1.0 / n).as("rank"))
+      // the dangling flag is a pure function of the graph — computed once
+      // and CARRIED through the iterations, so the per-iteration dangling
+      // mass is a filter+agg over the rank rows, not an anti-join
+      var ranks = nodes.select(col(idCol).as("id"))
+        .join(deg.select(col("src").as("id"), lit(true).as("_out")), Seq("id"), "left")
+        .select(col("id"), lit(1.0 / n).as("rank"), col("_out").isNull.as("dang"))
         .repartition(col("id")).localCheckpoint(eager = true)
       for (_ <- 1 to iters) {
         // dangling = rank mass on nodes with no out-edges. A one-row
         // aggregate cross-joined into the update (AQE broadcasts it) —
-        // NOT a driver-side action: one materializing job per iteration,
-        // not three
-        val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        // NOT a driver-side action: one materializing job per iteration
+        val dangling = ranks.filter(col("dang"))
           .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
         val contrib = ranks.join(e, ranks("id") === e("src"))
-          .join(deg, "src")
           .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
           .groupBy("dst").agg(sum("c").as("s"))
-        ranks = nodes.select(col(idCol).as("id"))
+        ranks = ranks.select("id", "dang")
           .join(contrib, col("id") === contrib("dst"), "left")
           .crossJoin(dangling)
           .select(col("id"),
             (lit((1.0 - damping) / n) + lit(damping) *
-              (coalesce(col("s"), lit(0.0)) + col("dm") / n)).as("rank"))
-          .repartition(col("id")).localCheckpoint(eager = true)
+              (coalesce(col("s"), lit(0.0)) + col("dm") / n)).as("rank"),
+            col("dang"))
+          .localCheckpoint(eager = true)
       }
-      ranks
-    } finally { e.unpersist(blocking = false); deg.unpersist(blocking = false) }
+      ranks.select("id", "rank")
+    } finally e.unpersist(blocking = false)
   }
 
   /** Per-target anchor summary: in-link count (distinct sources) and the

@@ -232,13 +232,17 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
         .select(bucketOf(col(m.bucketCol), m.nBuckets).as("b")).distinct()
         .collect().map(_.getLong(0).toInt)
       val paths = bucketPaths(m, touched)
+      // cached: the no-op probe (isEmpty) and the commit write must not
+      // each re-run the anti-join's bucket read
       val novel =
-        if (paths.isEmpty) fresh
-        else fresh.join(readPaths(paths), fresh.columns.toSeq, "left_anti")
-      // a batch that adds nothing (a replay, or fully-known edges) must
-      // not burn a version + a write job + a bucket data dir
-      if (novel.isEmpty) currentVersion
-      else commit(novel, m.bucketCol, appendTouched)
+        (if (paths.isEmpty) fresh
+         else fresh.join(readPaths(paths), fresh.columns.toSeq, "left_anti")).cache()
+      try {
+        // a batch that adds nothing (a replay, or fully-known edges) must
+        // not burn a version + a write job + a bucket data dir
+        if (novel.isEmpty) currentVersion
+        else commit(novel, m.bucketCol, appendTouched)
+      } finally novel.unpersist(blocking = false)
     }
   }
 
@@ -270,12 +274,15 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
           .select(bucketOf(col(keyCol), m.nBuckets).as("b")).distinct()
           .collect().map(_.getLong(0).toInt)
         val paths = bucketPaths(m, touched)
+        // cached for the same reason as mergeEdges: isEmpty + commit
         val novel =
-          if (paths.isEmpty) one
-          else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti")
-        // idempotent replays re-offer only known keys: no version, no write
-        if (novel.isEmpty) currentVersion
-        else commit(novel, keyCol, appendTouched)
+          (if (paths.isEmpty) one
+           else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti")).cache()
+        try {
+          // idempotent replays re-offer only known keys: no version, no write
+          if (novel.isEmpty) currentVersion
+          else commit(novel, keyCol, appendTouched)
+        } finally novel.unpersist(blocking = false)
       }
     } finally one.unpersist(blocking = false)
   }
