@@ -58,6 +58,31 @@ object FollowLinksAndMedia extends PageParser {
     }
 }
 
+/** Link-rank frontier feedback: wraps any parser and stamps each
+  * follow-up whose parser left priority at 0 with the target HOST's
+  * priority level (e.g. from [[graft.ops.Graph.hostPriorities]] computed
+  * over a previous crawl's fetched table). Priorities steer the engine's
+  * existing machinery — budgeted wave admission and politeness slot
+  * order (`maxPerHostPerWave`, slot sort (priority desc, seq)) — so a
+  * high-rank host's pages fetch earlier under contention. The map is
+  * O(hosts) and rides the task closure like a broadcast dim; hosts
+  * absent from the map keep priority 0. Relative refs resolve against
+  * the emitting document's id (= its canonical URL) exactly as the
+  * candidate path will. */
+final case class RankPrioritizingParser(inner: PageParser,
+    hostPriority: Map[String, Int]) extends PageParser {
+  def followUps(doc: Document, meta: Map[String, String]): Seq[FollowUp] =
+    inner.followUps(doc, meta).map { f =>
+      if (f.priority != 0) f
+      else {
+        val abs = graft.urls.UrlCanon.resolve(doc.doc_id, f.url)
+        val host = graft.urls.UrlCanon.hostOfOrSame(abs, "")
+        val p = hostPriority.getOrElse(host, 0)
+        if (p == 0) f else f.copy(priority = p)
+      }
+    }
+}
+
 final case class CrawlConfig(
     checkpointDir: String,
     hostBuckets: Int = 64,

@@ -107,4 +107,44 @@ object Graph {
       .groupBy("dst").agg(count(lit(1)).as("in_links"))
     inDeg.join(topTerms, "dst")
   }
+
+  /** Host-level link graph of a crawl's fetched pages: one distinct
+    * (src, dst) host pair per observed cross-page link, built from the
+    * link spans of successful page fetches with the same native
+    * canonicalize/resolve expressions the frontier itself uses — so the
+    * ranked graph is exactly the graph the crawl discovered. Input is
+    * [[graft.engine.WaveEngine.fetchedTable]]. */
+  def hostGraphFromFetched(fetched: DataFrame): DataFrame = {
+    import graft.functions.UrlFns
+    fetched
+      .filter(col("status") >= 200 && col("status") < 300 &&
+        col("parse_fn") =!= "media")
+      .select(col("host").as("src"), col("canonical"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "link" && length(col("s.media_ref")) > 0)
+      .select(col("src"),
+        UrlFns.urlHost(UrlFns.canonicalizeUrl(
+          UrlFns.resolveUrl(col("canonical"), col("s.media_ref")))).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= "")
+      .distinct()
+  }
+
+  /** Host → frontier priority (0..levels-1, higher = fetch earlier) from
+    * PageRank over the crawl's own discovered host graph — the standard
+    * between-crawl feedback loop: crawl, rank what was found, seed the
+    * next crawl's [[graft.engine.RankPrioritizingParser]] with this map.
+    * Driver-side by design: the HOST universe is O(10^7) at worst (the
+    * URL universe is the 10^10 one), and the per-host map is broadcast
+    * into parser closures anyway. The global ntile window runs over
+    * O(hosts) rank rows, never URLs. */
+  def hostPriorities(fetched: DataFrame, iters: Int = 5,
+      levels: Int = 10): Map[String, Int] = {
+    val g = hostGraphFromFetched(fetched)
+    val nodes = g.select(col("src").as("h"))
+      .union(g.select(col("dst").as("h"))).distinct()
+    if (nodes.isEmpty) Map.empty
+    else pageRank(nodes, g, iters = iters)
+      .select(col("id"),
+        (ntile(levels).over(Window.orderBy(col("rank"), col("id"))) - 1).as("p"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
 }

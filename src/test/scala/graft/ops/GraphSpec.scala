@@ -51,6 +51,53 @@ class GraphSpec extends AnyFunSuite {
     for (v <- got.values) assert(math.abs(v - 0.2) < 1e-12)
   }
 
+  test("crawl feedback loop: host graph from fetched table → PageRank priorities → prioritized re-crawl") {
+    import graft.engine._
+    import graft.fetch.SyntheticSite
+    val site = SyntheticSite(nHosts = 4, basePagesPerHost = 3, branching = 2, hotFactor = 3)
+    val seeds = (0 until 4).map(k => SeedSpec(site.pageUrl(k, 0)))
+    val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
+    val engine = new WaveEngine(spark, site, parsers,
+      CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir("rankcrawl"),
+        hostBuckets = 8, fetchPartitions = 2))
+    engine.run(seeds)
+
+    val g = Graph.hostGraphFromFetched(engine.fetchedTable()).cache()
+    val hosts = (g.select($"src".as[String]).collect() ++
+      g.select($"dst".as[String]).collect()).toSet
+    assert(hosts == (0 until 4).map(site.hostName).toSet)
+    assert(g.filter($"src" =!= $"dst").count() > 0) // cross-host edges exist
+
+    // 4 hosts into 4 ntile levels → a total priority order, deterministic
+    val prio = Graph.hostPriorities(engine.fetchedTable(), levels = 4)
+    assert(prio.keySet == hosts)
+    assert(prio.values.toSet == Set(0, 1, 2, 3))
+    assert(prio == Graph.hostPriorities(engine.fetchedTable(), levels = 4))
+
+    // the wrapper stamps follow-ups by TARGET host (relative refs resolve
+    // against the emitting page)
+    val wrapped = RankPrioritizingParser(FollowAllLinks, prio)
+    val doc = graft.model.Document(site.pageUrl(0, 0), Seq(
+      graft.model.Span("link", "", site.pageUrl(1, 2), 0),
+      graft.model.Span("link", "", "/p5", 1)))
+    val fus = wrapped.followUps(doc, Map.empty)
+    assert(fus.map(_.priority) ==
+      Seq(prio(site.hostName(1)), prio(site.hostName(0))))
+
+    // a prioritized crawl under budget contention fetches the SAME set —
+    // priority reorders politeness slots, never admission correctness
+    val engine2 = new WaveEngine(spark, site,
+      Map("follow_links" -> wrapped),
+      CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir("rankcrawl2"),
+        hostBuckets = 8, fetchPartitions = 2, maxPerHostPerWave = 1))
+    engine2.run(seeds)
+    import org.apache.spark.sql.functions.col
+    def canonSet(e: WaveEngine) =
+      e.fetchedTable().select(col("canonical").as[String]).collect().toSet
+    assert(canonSet(engine2) == canonSet(engine))
+    g.unpersist()
+  }
+
   test("anchorSummary: top-k by (count desc, term asc), distinct-source in-links") {
     val anchors = Seq(
       // dst 100: term "news" ×3 (two srcs), "home" ×2, "misc" ×1 → top2 = news,home
