@@ -249,4 +249,42 @@ class PlanSpec extends AnyFunSuite {
     assert(memberNames.exists(_.contains("BroadcastNestedLoopJoin")), memberNames.distinct)
     assert(!memberNames.exists(_.contains("CartesianProduct")), memberNames.distinct)
   }
+
+  test("bm25: df plane broadcasts; no exchange carries document text") {
+    val p = executed(graft.ops.Search.bm25(
+      docs, "doc_id", "text", Seq("data", "spark", "join")))
+    val names = treeNames(p)
+    assert(names.exists(_.contains("BroadcastHashJoin")), names.distinct)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    // the corpus explode is filtered at the scan; text dies before any
+    // shuffle — only (doc_id, term, counts) rows move
+    assert(shuffleCols(p).forall(!_.contains("text")), shuffleCols(p))
+  }
+
+  test("pageRank iteration: shuffles carry fixed-width rank/edge rows only") {
+    import spark.implicits._
+    val nodes = (0L until 50L).toDF("id")
+    val edges = (0L until 49L).map(i => (i, i + 1)).toDF("src", "dst")
+    val p = executed(graft.ops.Graph.pageRank(nodes, edges, iters = 2))
+    assert(!treeNames(p).exists(_.contains("CartesianProduct")), treeNames(p).distinct)
+    // every exchange in the final iteration's plan is (id/src/dst, rank,
+    // outdeg, flags) — nothing wider than 4 columns ever moves
+    assert(shuffleCols(p).forall(_.size <= 4), shuffleCols(p))
+  }
+
+  test("anchorSummary: the top-k window runs over the aggregated (dst, term, cnt) plane") {
+    import spark.implicits._
+    val anchors = (0L until 200L).map(i => (i % 7, i % 11, s"t${i % 5}"))
+      .toDF("src", "dst", "term")
+    val p = executed(graft.ops.Graph.anchorSummary(anchors, "src", "dst", "term", 3))
+    val ws = collectNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty)
+    // the window's child must already be an aggregate (HashAggregate
+    // below it in the same subtree), and it must be partitioned
+    assert(ws.forall(_.partitionSpec.nonEmpty))
+    assert(ws.forall(w => collectNodes(w.child).exists(_.nodeName.contains("HashAggregate"))),
+      treeNames(p).distinct)
+  }
 }
