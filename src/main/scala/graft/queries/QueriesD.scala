@@ -136,5 +136,80 @@ object QueriesD {
               |  sum(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) * (h.tf*2.2)/(h.tf + 1.2*(0.25 + 0.75*h.dl/s.avgdl))) AS score
               |  FROM hits h JOIN dfp d ON h.term = d.term CROSS JOIN stats s GROUP BY 1)
               |SELECT doc_id, round(score, 6) AS score FROM sc ORDER BY doc_id""".stripMargin),
-      "BM25 query scoring over the inverted-index plane (Search.bm25)"))
+      "BM25 query scoring over the inverted-index plane (Search.bm25)"),
+
+    // ------------------------------------------------------------------
+    // q63: adaptive recrawl scheduling (Recrawl.schedule) — per URL the
+    // revisit interval doubles while content is unchanged, resets on
+    // change (Cho/Garcia-Molina policy). History synthesized: 5 waves per
+    // url, content hash advances every (1 + url % 3) waves.
+    // ------------------------------------------------------------------
+    "q63_recrawl_schedule" -> Q(
+      (s, d) => {
+        val obs = t(s, d, "documents")
+          .select(col("doc_id").as("url"),
+            explode(sequence(lit(0), lit(4))).as("wave"))
+          .withColumn("h", col("url") * 100 +
+            floor(col("wave") / (lit(1) + col("url") % 3)).cast("long"))
+        graft.ops.Recrawl.schedule(obs, "url", "wave", "h",
+            minInterval = 1, maxInterval = 64)
+          .select(col("url"), col("n_obs").cast("long").as("n_obs"),
+            col("n_changes").cast("long").as("n_changes"),
+            col("streak").cast("long").as("streak"),
+            col("interval").cast("long").as("interval"),
+            col("next_due_wave").cast("long").as("next_due_wave"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT doc_id AS url, w.wave AS wave,
+             |    doc_id*100 + CAST(floor(w.wave/(1 + doc_id % 3)) AS BIGINT) AS h
+             |  FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) w(wave)),
+             |m AS (SELECT url, wave, h,
+             |    row_number() OVER (PARTITION BY url ORDER BY wave) AS rnk,
+             |    CASE WHEN lag(h) OVER (PARTITION BY url ORDER BY wave) IS NOT NULL
+             |          AND h <> lag(h) OVER (PARTITION BY url ORDER BY wave)
+             |         THEN 1 ELSE 0 END AS changed
+             |  FROM obs),
+             |a AS (SELECT url, count(*) AS n_obs, sum(changed) AS n_changes,
+             |    max(CASE WHEN changed = 1 THEN rnk END) AS lcr, max(wave) AS last_wave
+             |  FROM m GROUP BY 1)
+             |SELECT url, CAST(n_obs AS BIGINT) AS n_obs,
+             |  CAST(n_changes AS BIGINT) AS n_changes,
+             |  CAST(n_obs - coalesce(lcr, 1) AS BIGINT) AS streak,
+             |  CAST(least(64, 1 << least(CAST(n_obs - coalesce(lcr, 1) AS INT), 6)) AS BIGINT) AS interval,
+             |  CAST(last_wave + least(64, 1 << least(CAST(n_obs - coalesce(lcr, 1) AS INT), 6)) AS BIGINT) AS next_due_wave
+             |FROM a ORDER BY url""".stripMargin),
+      "adaptive revisit schedule: doubling interval, change reset (Recrawl.schedule)"),
+
+    // ------------------------------------------------------------------
+    // q64: mirror-host detection (Mirror.mirrorHosts) — host pairs whose
+    // page-hash sets have containment ≥ 0.5. Pages synthesized: 8 hosts,
+    // hash = doc_id % 60 with a deterministic 1-in-13 perturbation so
+    // overlaps differ per pair.
+    // ------------------------------------------------------------------
+    "q64_mirror_hosts" -> Q(
+      (s, d) => {
+        val pages = t(s, d, "documents").select(
+          concat(lit("h"), (col("doc_id") % 8).cast("string")).as("host"),
+          ((col("doc_id") % 60) +
+            when(col("doc_id") % 13 === 0, 1000).otherwise(0)).as("h"))
+        graft.ops.Mirror.mirrorHosts(pages, "host", "h",
+            minContainment = 0.5, maxHashDf = 256)
+          .select(col("host_a"), col("host_b"), col("inter"),
+            round(col("containment"), 4).as("containment"))
+          .orderBy(col("host_a"), col("host_b"))
+      },
+      Some("""WITH pg AS (SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+             |    (doc_id % 60) + CASE WHEN doc_id % 13 = 0 THEN 1000 ELSE 0 END AS h
+             |  FROM documents),
+             |ph AS (SELECT DISTINCT host, h FROM pg),
+             |sizes AS (SELECT host, count(*) AS n FROM ph GROUP BY 1),
+             |i AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS inter
+             |      FROM ph a JOIN ph b ON a.h = b.h AND a.host < b.host GROUP BY 1, 2)
+             |SELECT host_a, host_b, inter,
+             |  round(CAST(inter AS DOUBLE)/least(sa.n, sb.n), 4) AS containment
+             |FROM i JOIN sizes sa ON sa.host = host_a JOIN sizes sb ON sb.host = host_b
+             |WHERE CAST(inter AS DOUBLE)/least(sa.n, sb.n) >= 0.5
+             |ORDER BY host_a, host_b""".stripMargin),
+      "mirror-host detection: page-set containment over content hashes (Mirror.mirrorHosts)"))
 }

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MirrorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long)], minC: Double = 0.5,
+      maxDf: Int = 256) =
+    Mirror.mirrorHosts(rows.toDF("host", "h"), "host", "h", minC, maxDf)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+  test("containment over distinct page hashes, hand-computed") {
+    val got = run(Seq(
+      ("h1", 1L), ("h1", 2L), ("h1", 3L), ("h1", 4L),
+      ("h2", 1L), ("h2", 2L), ("h2", 3L), ("h2", 9L),
+      ("h2", 9L), // duplicate page rows collapse
+      ("h3", 100L), ("h3", 1L)))
+    // h1∩h2 = {1,2,3} → 3/min(4,4) = 0.75
+    assert(got(("h1", "h2")) == ((3L, 0.75)))
+    // h1∩h3 = {1} → 1/min(4,2) = 0.5 (boundary kept)
+    assert(got(("h1", "h3")) == ((1L, 0.5)))
+    // h2∩h3 = {1} → 0.5
+    assert(got(("h2", "h3")) == ((1L, 0.5)))
+  }
+
+  test("df cap drops boilerplate hashes BEFORE pair expansion (conservative)") {
+    // every host serves boilerplate hash 0; only h1/h2 truly mirror
+    val rows = (1 to 6).map(k => (s"h$k", 0L)) ++ Seq(
+      ("h1", 10L), ("h1", 11L), ("h2", 10L), ("h2", 11L),
+      ("h3", 30L), ("h4", 40L), ("h5", 50L), ("h6", 60L))
+    val capped = run(rows, minC = 0.5, maxDf = 3)
+    // hash 0 (df=6 > 3) contributes nothing: only the real mirror remains
+    assert(capped.keySet == Set(("h1", "h2")))
+    assert(capped(("h1", "h2")) == ((2L, 2.0 / 3.0)))
+    val uncapped = run(rows, minC = 0.5, maxDf = 100)
+    // without the cap the boilerplate hash fabricates pairs
+    assert(uncapped.keySet.size > 1)
+    // cap only ever LOWERS containment (sizes stay pre-cap)
+    assert(capped(("h1", "h2"))._2 <= uncapped(("h1", "h2"))._2)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RecrawlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sched(rows: Seq[(String, Int, Long)],
+      minI: Int = 1, maxI: Int = 64) =
+    Recrawl.schedule(rows.toDF("url", "wave", "h"), "url", "wave", "h", minI, maxI)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("schedule: doubling on unchanged, reset on change, hand-computed") {
+    val got = sched(Seq(
+      // a: change at obs 4 of 5 → streak 1, interval 2
+      ("a", 0, 1L), ("a", 1, 1L), ("a", 2, 1L), ("a", 3, 2L), ("a", 4, 2L),
+      // b: never changes over waves 0,5,9 → streak 2, interval 4, due 13
+      ("b", 0, 7L), ("b", 5, 7L), ("b", 9, 7L),
+      // c: changes every observation → streak 0, interval 1
+      ("c", 0, 1L), ("c", 1, 2L), ("c", 2, 3L),
+      // d: single observation → streak 0, interval 1
+      ("d", 3, 9L)))
+    assert(got("a") == ((5L, 1L, 1L, 2L, 6L)))
+    assert(got("b") == ((3L, 0L, 2L, 4L, 13L)))
+    assert(got("c") == ((3L, 2L, 0L, 1L, 3L)))
+    assert(got("d") == ((1L, 0L, 0L, 1L, 4L)))
+  }
+
+  test("schedule: interval clamps at maxInterval") {
+    val obs = (0 until 10).map(w => ("u", w, 42L))
+    val got = sched(obs, minI = 1, maxI = 16)
+    assert(got("u") == ((10L, 0L, 9L, 16L, 25L)))
+    // and respects minInterval scaling
+    val got2 = sched(Seq(("v", 0, 1L), ("v", 1, 2L)), minI = 3, maxI = 24)
+    assert(got2("v") == ((2L, 1L, 0L, 3L, 4L))) // streak 0 → interval = minI
+  }
+
+  test("due: admission filter on next_due_wave") {
+    val df = Recrawl.schedule(Seq(
+      ("x", 0, 1L), ("x", 1, 1L), // due at 1 + 2 = 3
+      ("y", 0, 1L), ("y", 1, 2L)  // due at 1 + 1 = 2
+    ).toDF("url", "wave", "h"), "url", "wave", "h")
+    assert(Recrawl.due(df, 2).as[String].collect().toSet == Set("y"))
+    assert(Recrawl.due(df, 3).as[String].collect().toSet == Set("x", "y"))
+  }
+}
