@@ -66,4 +66,32 @@ object Search {
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
       .groupBy("doc_id").agg(sum("w").as("score"))
   }
+
+  /** Per-document topic signature: the top `k` terms by tf·idf
+    * (idf = ln(N/df), score rounded to 6 dp BEFORE ranking so ties break
+    * deterministically on the term — float ordering never decides alone).
+    * Returns (doc_id, top_terms, top_score). The df plane is vocab-sized
+    * — a term-keyed equi-join, NOT a broadcast (web vocab doesn't fit an
+    * executor); the ranking window partitions by doc_id over each doc's
+    * own distinct terms, never globally. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val post = postings(docs, idCol, textCol)
+    val dfp = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = post.join(dfp, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("rk"), col("term")))),
+          x => x.getField("term"))).as("top_terms"),
+        max(when(col("rk") === 1, col("score"))).as("top_score"))
+  }
 }

@@ -211,5 +211,30 @@ object QueriesD {
              |FROM i JOIN sizes sa ON sa.host = host_a JOIN sizes sb ON sb.host = host_b
              |WHERE CAST(inter AS DOUBLE)/least(sa.n, sb.n) >= 0.5
              |ORDER BY host_a, host_b""".stripMargin),
-      "mirror-host detection: page-set containment over content hashes (Mirror.mirrorHosts)"))
+      "mirror-host detection: page-set containment over content hashes (Mirror.mirrorHosts)"),
+
+    // ------------------------------------------------------------------
+    // q65: per-document tf-idf topic signature (Search.tfIdfTopTerms) —
+    // top-3 terms by tf·ln(N/df), score rounded before ranking so ties
+    // break on the term, df plane term-keyed (never broadcast).
+    // ------------------------------------------------------------------
+    "q65_tfidf_topterms" -> Q(
+      (s, d) => graft.ops.Search.tfIdfTopTerms(
+          t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id")),
+      Some("""WITH dt AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |            FROM documents),
+             |post AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+             |stats AS (SELECT count(*) AS n FROM documents),
+             |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+             |sc AS (SELECT p.doc_id, p.term,
+             |         round(p.tf * ln(CAST(s.n AS DOUBLE)/d.df), 6) AS score
+             |       FROM post p JOIN dfp d ON p.term = d.term CROSS JOIN stats s),
+             |rk AS (SELECT doc_id, term, score,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+             |       FROM sc)
+             |SELECT doc_id, string_agg(term, ',' ORDER BY rk) AS top_terms,
+             |  max(CASE WHEN rk = 1 THEN score END) AS top_score
+             |FROM rk WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "per-doc tf-idf topic signature, deterministic rank (Search.tfIdfTopTerms)"))
 }

@@ -62,6 +62,24 @@ class SearchSpec extends AnyFunSuite {
     assert(got(2L) > 0 && got(1L) > 0)
   }
 
+  test("tfIdfTopTerms: rarest-weighted terms win, rounded-score ties break on term") {
+    val corpus = Seq(
+      (1L, "rare common common"),        // 'rare' df=1 outranks 'common' df=3
+      (2L, "common zz zz"),
+      (3L, "common aa zz"))
+      .toDF("doc_id", "text")
+    val got = Search.tfIdfTopTerms(corpus, "doc_id", "text", k = 2)
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: rare: 1*ln(3/1)=1.0986; common: 2*ln(3/3)=0
+    assert(got(1L)._1 == "rare,common")
+    assert(math.abs(got(1L)._2 - 1.098612) < 1e-9)
+    // doc 3: aa (df=1) vs zz (df=2): 1.0986 > 0.4055; common last
+    assert(got(3L)._1 == "aa,zz")
+    // doc 2: zz tf=2 -> 0.8109; common 0
+    assert(got(2L)._1 == "zz,common")
+  }
+
   test("bm25 counts duplicate query terms once") {
     val a = Search.bm25(docs, "doc_id", "text", Seq("data", "data"))
       .as[(Long, Double)].collect().toMap
