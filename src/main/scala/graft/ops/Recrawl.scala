@@ -68,4 +68,18 @@ object Recrawl {
     * they are due at `wave` (composes with the frontier's seed path). */
   def due(scheduleDf: DataFrame, wave: Long): DataFrame =
     scheduleDf.filter(col("next_due_wave") <= wave).select(col("url"))
+
+  /** Observation rows from a crawl's fetched table
+    * ([[graft.engine.WaveEngine.fetchedTable]]): one
+    * (url, wave, stored_at_ms, h) per successful page fetch, with `h` a
+    * content hash over the page's whole span sequence (order included).
+    * Cross-RUN histories union several runs' rows and feed [[schedule]]
+    * keyed on whichever time axis fits — `wave` within a run,
+    * `stored_at_ms` across runs. */
+  def observationsFromFetched(fetched: DataFrame): DataFrame =
+    fetched
+      .filter(col("status") >= 200 && col("status") < 300 &&
+        col("parse_fn") =!= "media")
+      .select(col("canonical").as("url"), col("wave"), col("stored_at_ms"),
+        xxhash64(to_json(col("spans"))).as("h"))
 }

@@ -38,6 +38,33 @@ class RecrawlSpec extends AnyFunSuite {
     assert(got2("v") == ((2L, 1L, 0L, 3L, 4L))) // streak 0 → interval = minI
   }
 
+  test("observationsFromFetched: one content-hashed row per fetched page, schedulable") {
+    import graft.engine._
+    import graft.fetch.SyntheticSite
+    val site = SyntheticSite(nHosts = 2, basePagesPerHost = 3, branching = 2, hotFactor = 2)
+    val engine = new WaveEngine(spark, site,
+      Map("follow_links" -> FollowAllLinks),
+      CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir("recrawlobs"),
+        hostBuckets = 4, fetchPartitions = 2))
+    engine.run((0 until 2).map(k => SeedSpec(site.pageUrl(k, 0))))
+    val obs = Recrawl.observationsFromFetched(engine.fetchedTable())
+    val n = engine.fetchedTable().count()
+    assert(obs.count() == n) // every page observed exactly once this run
+    assert(obs.select("url").distinct().count() == n)
+    // a single-run history schedules every URL at minInterval after its wave
+    val s = Recrawl.schedule(obs, "url", "wave", "h")
+    import org.apache.spark.sql.functions.col
+    assert(s.count() == n)
+    assert(s.filter(col("n_obs") =!= 1).count() == 0)
+    assert(s.filter(col("interval") =!= 1).count() == 0)
+    // identical content on a re-observation hashes identically: replaying
+    // the same fetched table as wave+1 yields zero changes, doubled interval
+    val again = obs.union(obs.withColumn("wave", col("wave") + 100))
+    val s2 = Recrawl.schedule(again, "url", "wave", "h")
+    assert(s2.filter(col("n_changes") =!= 0).count() == 0)
+    assert(s2.filter(col("interval") =!= 2).count() == 0)
+  }
+
   test("due: admission filter on next_due_wave") {
     val df = Recrawl.schedule(Seq(
       ("x", 0, 1L), ("x", 1, 1L), // due at 1 + 2 = 3
