@@ -46,4 +46,36 @@ object Mirror {
         (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment"))
       .filter(col("containment") >= minContainment)
   }
+
+  /** Mirror GROUPS: [[mirrorHosts]] pairs → connected components
+    * ([[Cluster.connectedComponents]] — mirror relations are transitive
+    * in practice but the pair list isn't: A~B, B~C with A,C just under
+    * threshold still belong to one group) → one CANONICAL host per
+    * group: the host serving the most distinct pages (ties → smallest
+    * host string — deterministic). This is the crawl-side decision
+    * table: fetch canonical hosts, skip the rest.
+    *
+    * Returns one row per grouped host:
+    * (host, canonical, n_hosts, n_pages, is_canonical), hosts in no
+    * mirror pair absent (each is trivially its own canonical). Scale:
+    * the pair list and component table are O(hosts) — tiny next to
+    * pages — so every join here is broadcast-able by AQE; page rows
+    * are touched once, for the distinct-hash host sizes. */
+  def mirrorGroups(pages: DataFrame, hostCol: String, hashCol: String,
+      minContainment: Double = 0.5, maxHashDf: Int = 256): DataFrame = {
+    val pairs = mirrorHosts(pages, hostCol, hashCol, minContainment, maxHashDf)
+    val comp = Cluster.connectedComponents(pairs, "host_a", "host_b")
+      .withColumnRenamed("id", "host")
+    val sizes = pages
+      .select(col(hostCol).as("host"), col(hashCol).as("h")).distinct()
+      .groupBy("host").agg(count(lit(1)).as("n_pages"))
+    val member = comp.join(sizes, "host")
+    val groups = member.groupBy("component").agg(
+      count(lit(1)).as("n_hosts"),
+      min_by(col("host"), struct((-col("n_pages")).as("np"), col("host")))
+        .as("canonical"))
+    member.join(groups, "component")
+      .select(col("host"), col("canonical"), col("n_hosts"), col("n_pages"),
+        (col("host") === col("canonical")).as("is_canonical"))
+  }
 }

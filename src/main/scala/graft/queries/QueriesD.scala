@@ -214,6 +214,161 @@ object QueriesD {
       "mirror-host detection: page-set containment over content hashes (Mirror.mirrorHosts)"),
 
     // ------------------------------------------------------------------
+    // q66: mirror GROUPS (Mirror.mirrorGroups) — pairs → connected
+    // components → canonical host (most distinct pages, ties → smallest
+    // host). Pages synthesized as 3 families of 4 hosts sharing a page
+    // plane (page id = doc_id div 12, independent of the host residue;
+    // family offset 10000·family; a 1-in-13 perturbation differentiates
+    // per-host sets), so the component step has real work (3 groups,
+    // ties broken on host). The oracle computes the
+    // closure with a recursive CTE; the df cap (256) never binds at 12
+    // hosts, so both engines see identical pair lists.
+    // ------------------------------------------------------------------
+    "q66_mirror_groups" -> Q(
+      (s, d) => {
+        val pages = t(s, d, "documents").select(
+          concat(lit("h"),
+            lpad((col("doc_id") % 12).cast("string"), 2, "0")).as("host"),
+          (expr("((doc_id div 12) % 50)") +
+            expr("((doc_id % 12) div 4) * 10000") +
+            when(col("doc_id") % 13 === 0, 1000).otherwise(0)).as("h"))
+        graft.ops.Mirror.mirrorGroups(pages, "host", "h",
+            minContainment = 0.5, maxHashDf = 256)
+          .orderBy(col("host"))
+      },
+      Some("""WITH RECURSIVE
+             |pg AS (SELECT 'h' || lpad(CAST(doc_id % 12 AS VARCHAR), 2, '0') AS host,
+             |    ((doc_id // 12) % 50) + ((doc_id % 12) // 4) * 10000 +
+             |    CASE WHEN doc_id % 13 = 0 THEN 1000 ELSE 0 END AS h
+             |  FROM documents),
+             |ph AS (SELECT DISTINCT host, h FROM pg),
+             |sizes AS (SELECT host, count(*) AS n_pages FROM ph GROUP BY 1),
+             |i AS (SELECT a.host AS ha, b.host AS hb, count(*) AS inter
+             |      FROM ph a JOIN ph b ON a.h = b.h AND a.host < b.host GROUP BY 1, 2),
+             |p AS (SELECT ha, hb FROM i
+             |      JOIN sizes sa ON sa.host = ha JOIN sizes sb ON sb.host = hb
+             |      WHERE CAST(inter AS DOUBLE)/least(sa.n_pages, sb.n_pages) >= 0.5),
+             |e AS (SELECT ha AS u, hb AS v FROM p UNION SELECT hb, ha FROM p),
+             |reach(u, v) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM e) s
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+             |comp AS (SELECT u AS host, min(v) AS component FROM reach GROUP BY 1),
+             |ws AS (SELECT c.host, c.component, s.n_pages
+             |       FROM comp c JOIN sizes s ON s.host = c.host),
+             |rk AS (SELECT host, component, n_pages,
+             |         row_number() OVER (PARTITION BY component
+             |                            ORDER BY n_pages DESC, host) AS rk
+             |       FROM ws),
+             |can AS (SELECT component, host AS canonical FROM rk WHERE rk = 1),
+             |nh AS (SELECT component, count(*) AS n_hosts FROM ws GROUP BY 1)
+             |SELECT ws.host, can.canonical, nh.n_hosts, ws.n_pages,
+             |  ws.host = can.canonical AS is_canonical
+             |FROM ws JOIN can ON can.component = ws.component
+             |        JOIN nh ON nh.component = ws.component
+             |ORDER BY ws.host""".stripMargin),
+      "mirror groups: components over mirror pairs, canonical host per group (Mirror.mirrorGroups)"),
+
+    // ------------------------------------------------------------------
+    // q67: DUST param mining (Dust.irrelevantParams) — per (host, param),
+    // is the query param content-irrelevant? Fetches synthesized with a
+    // page param that drives content and a sid param that doesn't —
+    // except on host h0 where sid leaks into the hash, so the verdict
+    // must differ BY HOST. Moduli 4/9/5/7 are pairwise coprime-enough
+    // that both params get multi-value evidence groups at 500 docs.
+    // ------------------------------------------------------------------
+    "q67_dust_params" -> Q(
+      (s, d) => {
+        val id = col("doc_id")
+        val fetched = t(s, d, "documents").select(
+          concat(lit("http://h"), (id % 4).cast("string"), lit(".ex/p"),
+            (id % 9).cast("string"), lit("?page="), (id % 5).cast("string"),
+            lit("&sid=s"), (id % 7).cast("string")).as("url"),
+          ((id % 4) * 1000 + (id % 9) * 100 + (id % 5) * 10 +
+            when(id % 4 === 0, id % 7).otherwise(0)).as("h"))
+        graft.ops.Dust.irrelevantParams(fetched, "url", "h", minEvidence = 2)
+          .orderBy(col("host"), col("param"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR) || '.ex/p'
+             |      || CAST(doc_id % 9 AS VARCHAR)
+             |      || '?page=' || CAST(doc_id % 5 AS VARCHAR)
+             |      || '&sid=s' || CAST(doc_id % 7 AS VARCHAR) AS url,
+             |    (doc_id % 4) * 1000 + (doc_id % 9) * 100 + (doc_id % 5) * 10 +
+             |      CASE WHEN doc_id % 4 = 0 THEN doc_id % 7 ELSE 0 END AS h
+             |  FROM documents),
+             |parts AS (
+             |  SELECT url, h,
+             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+             |    split_part(url, '?', 1) AS base,
+             |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&') AS kvs
+             |  FROM f),
+             |ex AS (
+             |  SELECT host, h, split_part(kv, '=', 1) AS param, kv,
+             |    base || '|' ||
+             |      array_to_string(list_sort(list_filter(kvs, x -> x <> kv)), '&') AS gk
+             |  FROM (SELECT host, h, base, kvs, unnest(kvs) AS kv FROM parts)),
+             |g AS (
+             |  SELECT host, param, gk, count(DISTINCT kv) AS n_vals,
+             |    count(DISTINCT h) AS n_hashes
+             |  FROM ex GROUP BY 1, 2, 3 HAVING count(DISTINCT kv) >= 2)
+             |SELECT host, param, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN n_hashes = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_consistent,
+             |  (sum(CASE WHEN n_hashes = 1 THEN 1 ELSE 0 END) = count(*)
+             |    AND count(*) >= 2) AS irrelevant
+             |FROM g GROUP BY 1, 2 ORDER BY host, param""".stripMargin),
+      "DUST: content-irrelevant URL params per host (Dust.irrelevantParams)"),
+
+    // ------------------------------------------------------------------
+    // q68: trap templates (Traps.templateStats) — per (host, path
+    // template with digit runs collapsed), URL-family size vs content
+    // novelty. h0 hosts a calendar trap (every doc a fresh URL, 5
+    // contents total); h1/h2 host 20-article archives (novelty 1.0).
+    // ------------------------------------------------------------------
+    "q68_trap_templates" -> Q(
+      (s, d) => {
+        val id = col("doc_id")
+        val fetched = t(s, d, "documents").select(
+          when(id % 3 === 0,
+              concat(lit("http://h0.ex/cal/"), id.cast("string")))
+            .otherwise(concat(lit("http://h"), (id % 3).cast("string"),
+              lit(".ex/art/"), (id % 20).cast("string"))).as("url"),
+          when(id % 3 === 0, id % 5)
+            .otherwise((id % 20) * 10 + id % 3).as("h"))
+        graft.ops.Traps.templateStats(fetched, "url", "h",
+            minUrls = 50, maxNovelty = 0.1)
+          .select(col("host"), col("template"), col("n_urls"),
+            col("n_hashes"), round(col("novelty"), 6).as("novelty"),
+            col("is_trap"))
+          .orderBy(col("host"), col("template"))
+      },
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN doc_id % 3 = 0
+             |      THEN 'http://h0.ex/cal/' || CAST(doc_id AS VARCHAR)
+             |      ELSE 'http://h' || CAST(doc_id % 3 AS VARCHAR)
+             |        || '.ex/art/' || CAST(doc_id % 20 AS VARCHAR) END AS url,
+             |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 5
+             |         ELSE (doc_id % 20) * 10 + doc_id % 3 END AS h
+             |  FROM documents),
+             |p AS (SELECT
+             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+             |    regexp_replace(regexp_extract(url,
+             |      '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
+             |      '[0-9]+', '{d}', 'g') AS template,
+             |    url AS u, h
+             |  FROM f),
+             |a AS (SELECT host, template, count(DISTINCT u) AS n_urls,
+             |        count(DISTINCT h) AS n_hashes
+             |      FROM p GROUP BY 1, 2)
+             |SELECT host, template, CAST(n_urls AS BIGINT) AS n_urls,
+             |  CAST(n_hashes AS BIGINT) AS n_hashes,
+             |  round(CAST(n_hashes AS DOUBLE)/n_urls, 6) AS novelty,
+             |  (n_urls >= 50 AND CAST(n_hashes AS DOUBLE)/n_urls <= 0.1) AS is_trap
+             |FROM a ORDER BY host, template""".stripMargin),
+      "trap templates: URL-family size vs content novelty (Traps.templateStats)"),
+
+    // ------------------------------------------------------------------
     // q65: per-document tf-idf topic signature (Search.tfIdfTopTerms) —
     // top-3 terms by tf·ln(N/df), score rounded before ranking so ties
     // break on the term, df plane term-keyed (never broadcast).

@@ -42,4 +42,27 @@ class MirrorSpec extends AnyFunSuite {
     // cap only ever LOWERS containment (sizes stay pre-cap)
     assert(capped(("h1", "h2"))._2 <= uncapped(("h1", "h2"))._2)
   }
+
+  test("mirrorGroups: transitive closure + canonical = most pages, loner absent") {
+    // group 1: a1~a2~a3 chained (a1/a3 share only via a2); a2 largest.
+    // group 2: b1~b2. c1 shares nothing.
+    val rows = Seq(
+      ("a1", 1L), ("a1", 2L),
+      ("a2", 1L), ("a2", 2L), ("a2", 3L), ("a2", 4L),
+      ("a3", 3L), ("a3", 4L),
+      ("b1", 10L), ("b1", 11L), ("b2", 10L), ("b2", 11L),
+      ("c1", 99L))
+    val got = Mirror.mirrorGroups(rows.toDF("host", "h"), "host", "h",
+        minContainment = 0.9, maxHashDf = 256)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // a1∩a3 = ∅ yet one group via a2; canonical a2 (4 pages)
+    assert(got.keySet == Set("a1", "a2", "a3", "b1", "b2"))
+    assert(got("a1") == (("a2", 3L, 2L, false)))
+    assert(got("a2") == (("a2", 3L, 4L, true)))
+    assert(got("a3") == (("a2", 3L, 2L, false)))
+    // b-group ties on pages (2,2) → smallest host string wins
+    assert(got("b1") == (("b1", 2L, 2L, true)))
+    assert(got("b2") == (("b1", 2L, 2L, false)))
+  }
 }
