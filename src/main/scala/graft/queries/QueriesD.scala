@@ -369,6 +369,50 @@ object QueriesD {
       "trap templates: URL-family size vs content novelty (Traps.templateStats)"),
 
     // ------------------------------------------------------------------
+    // q69: corpus-frequency boilerplate line removal
+    // (Boilerplate.stripFrequentLines, C4-style) — docs synthesized as
+    // 4 lines: universal nav chrome, a content slice, a footer on even
+    // ids / a unique line on odd ids, a second content slice. minDocs=50
+    // drops the nav (df 500) and footer (df 250), keeps the rest.
+    // ------------------------------------------------------------------
+    "q69_boilerplate_lines" -> Q(
+      (s, d) => {
+        val id = col("doc_id")
+        val src = t(s, d, "documents").select(id,
+          concat(lit("NAV MENU\n"), substring(col("text"), 1, 40), lit("\n"),
+            when(id % 2 === 0, lit("COPYRIGHT FOOTER"))
+              .otherwise(concat(lit("rare-"), id.cast("string"))),
+            lit("\n"), substring(col("text"), 60, 40)).as("text"))
+        graft.ops.Boilerplate.stripFrequentLines(src, "doc_id", "text",
+            minDocs = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH src AS (SELECT doc_id,
+             |    'NAV MENU' || chr(10) || substr(text, 1, 40) || chr(10) ||
+             |    CASE WHEN doc_id % 2 = 0 THEN 'COPYRIGHT FOOTER'
+             |         ELSE 'rare-' || CAST(doc_id AS VARCHAR) END
+             |    || chr(10) || substr(text, 60, 40) AS text
+             |  FROM documents),
+             |l AS (SELECT doc_id, a[1] AS line, a[2] AS pos
+             |      FROM (SELECT doc_id,
+             |              unnest(list_zip(ls, generate_series(1, len(ls)))) AS a
+             |            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |                  FROM src))),
+             |freq AS (SELECT line
+             |         FROM (SELECT line, count(DISTINCT doc_id) AS df
+             |               FROM l GROUP BY 1)
+             |         WHERE df >= 50),
+             |kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM freq)),
+             |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             |        CAST(count(*) AS BIGINT) AS n_kept
+             |      FROM kept GROUP BY 1)
+             |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+             |  coalesce(r.n_kept, 0) AS n_kept
+             |FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      "boilerplate line removal by corpus df (Boilerplate.stripFrequentLines)"),
+
+    // ------------------------------------------------------------------
     // q65: per-document tf-idf topic signature (Search.tfIdfTopTerms) —
     // top-3 terms by tf·ln(N/df), score rounded before ranking so ties
     // break on the term, df plane term-keyed (never broadcast).
