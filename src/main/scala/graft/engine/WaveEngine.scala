@@ -83,6 +83,47 @@ final case class RankPrioritizingParser(inner: PageParser,
     }
 }
 
+/** DUST frontier feedback: wraps any parser and strips, per target host,
+  * the query parameters a previous crawl judged content-irrelevant
+  * ([[graft.ops.Dust.irrelevantParams]] → [[graft.ops.Dust.dropMap]]).
+  * The rewrite happens at EMISSION, before the engine's canonicalize →
+  * seen-filter path, so an entire session-id URL family collapses to one
+  * frontier row — the fetch never happens, which is the point: exact
+  * dedup fires only AFTER the wasted fetch, this fires before. The map is
+  * O(hosts·params) and rides the task closure like a broadcast dim;
+  * remaining pairs keep their original order (canonicalization sorts them
+  * downstream), a query that empties loses its `?`, hosts absent from the
+  * map pass through untouched. */
+final case class DustCanonicalizingParser(inner: PageParser,
+    dropParams: Map[String, Set[String]]) extends PageParser {
+  def followUps(doc: Document, meta: Map[String, String]): Seq[FollowUp] =
+    inner.followUps(doc, meta).map { f =>
+      val abs = graft.urls.UrlCanon.resolve(doc.doc_id, f.url)
+      val qi = abs.indexOf('?')
+      if (qi < 0) f
+      else {
+        val host = graft.urls.UrlCanon.hostOfOrSame(abs, "")
+        val drop = dropParams.getOrElse(host, Set.empty)
+        if (drop.isEmpty) f
+        else {
+          val hi = abs.indexOf('#', qi)
+          val end = if (hi < 0) abs.length else hi
+          val kept = abs.substring(qi + 1, end).split("&").filter { kv =>
+            kv.nonEmpty && {
+              val e = kv.indexOf('=')
+              !drop.contains(if (e < 0) kv else kv.substring(0, e))
+            }
+          }
+          val frag = if (hi < 0) "" else abs.substring(hi)
+          val rewritten =
+            if (kept.isEmpty) abs.substring(0, qi) + frag
+            else abs.substring(0, qi) + "?" + kept.mkString("&") + frag
+          f.copy(url = rewritten)
+        }
+      }
+    }
+}
+
 final case class CrawlConfig(
     checkpointDir: String,
     hostBuckets: Int = 64,

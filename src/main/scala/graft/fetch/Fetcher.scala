@@ -200,3 +200,69 @@ final case class SyntheticSite(
     Document(pageUrl(k, i), spans.toSeq)
   }
 }
+
+/**
+ * DUST fixture site (Bar-Yossef et al., WWW'07 "Do Not Crawl in the
+ * DUST"): wraps [[SyntheticSite]] so every emitted link carries a
+ * content-IRRELEVANT session parameter — the URL-family explosion a real
+ * crawl hits on session-id sites — plus, on each host's root page, two
+ * links to print-view variants whose parameter DOES change content.
+ *
+ * Content is a pure function of (base URL, variant): every member of a
+ * session family returns byte-identical spans, so a crawl's fetched table
+ * exhibits exactly the (different URL, same content hash) evidence that
+ * [[graft.ops.Dust.irrelevantParams]] mines, while the variant pages give
+ * the miner a parameter it must NOT judge irrelevant. A ring link (every
+ * page → its predecessor) guarantees ≥ 2 distinct inbound session values
+ * per page, i.e. ≥ 2 evidence groups per host at the miner's default
+ * `minEvidence`. Fully deterministic: sid = hash(emitting base, target),
+ * identical across crawls and JVMs.
+ */
+final case class DustySite(inner: SyntheticSite,
+    sessionParam: String = "sid", variantParam: String = "v") extends Fetcher {
+
+  private def sidFor(base: String, target: String): String =
+    java.lang.Long.toHexString(
+      graft.urls.UrlCanon.urlHash(base + " " + target) & 0xffffffffL)
+
+  private def withSid(base: String, target: String): String =
+    target + "?" + sessionParam + "=" + sidFor(base, target)
+
+  def fetch(url: String): (Int, Option[Document]) = {
+    val qi = url.indexOf('?')
+    val base = if (qi < 0) url else url.substring(0, qi)
+    var variant: String = null
+    if (qi >= 0) {
+      for (kv <- url.substring(qi + 1).split("&"); if kv.nonEmpty) {
+        val e = kv.indexOf('=')
+        val k = if (e < 0) kv else kv.substring(0, e)
+        if (k == variantParam) variant = if (e < 0) "" else kv.substring(e + 1)
+        else if (k != sessionParam) return (404, None) // unknown param
+      }
+    }
+    inner.fetch(base) match {
+      case (200, Some(doc)) =>
+        val out = scala.collection.mutable.ArrayBuffer[Span]()
+        doc.spans.foreach { s =>
+          out += (if (s.kind == "link")
+            s.copy(media_ref = withSid(doc.doc_id, s.media_ref)) else s)
+        }
+        inner.parseUrl(base).foreach { case (k, i) =>
+          val n = inner.pagesOf(k)
+          val prev = s"/p${(i + n - 1) % n}"
+          out += Span("link", s"前へ$prev", withSid(doc.doc_id, prev), out.size)
+          if (i == 0) { // print-view variants: param v CHANGES content
+            out += Span("link", "印刷様式1", base + "?" + variantParam + "=1", out.size)
+            out += Span("link", "印刷様式2", base + "?" + variantParam + "=2", out.size)
+          }
+        }
+        if (variant != null)
+          out += Span("text", s"印刷スタイル $variant", "", out.size)
+        (200, Some(Document(doc.doc_id, out.toSeq)))
+      case other => other
+    }
+  }
+
+  override def fetchMedia(url: String): (Int, Option[MediaBlob]) =
+    inner.fetchMedia(url)
+}

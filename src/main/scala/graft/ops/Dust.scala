@@ -69,6 +69,14 @@ object Dust {
           col("n_groups") >= minEvidence).as("irrelevant"))
   }
 
+  /** Collapse [[irrelevantParams]] verdicts to host → params-to-drop, the
+    * form the frontier-side consumers take
+    * ([[graft.engine.DustCanonicalizingParser]], [[canonicalizeUrls]]'s
+    * broadcast side). O(hosts·keys) — driver-safe by construction. */
+  def dropMap(verdicts: DataFrame): Map[String, Set[String]] =
+    verdicts.filter(col("irrelevant")).select("host", "param").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+
   /** Rewrite URLs dropping the params judged irrelevant for their host
     * — the frontier-side consumer of [[irrelevantParams]]. `verdicts`
     * is broadcast (O(hosts·keys)); the rewrite is a map-side transform:
