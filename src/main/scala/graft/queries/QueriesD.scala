@@ -413,6 +413,79 @@ object QueriesD {
       "boilerplate line removal by corpus df (Boilerplate.stripFrequentLines)"),
 
     // ------------------------------------------------------------------
+    // q70: DUST canonicalization from mined verdicts — the DF-plane
+    // consumer of q67's (host, param) irrelevance table
+    // (Dust.canonicalizeUrls; the frontier-side twin is
+    // graft.engine.DustCanonicalizingParser). Same synthetic fetched
+    // derivation as q67: sid is content-irrelevant except on host h0
+    // (where it perturbs the hash), page always changes content — so the
+    // rewrite must drop sid on h1-h3 only and never touch page.
+    // ------------------------------------------------------------------
+    "q70_dust_canonical" -> Q(
+      (s, d) => {
+        val id = col("doc_id")
+        val fetched = t(s, d, "documents").select(
+          concat(lit("http://h"), (id % 4).cast("string"), lit(".ex/p"),
+            (id % 9).cast("string"), lit("?page="), (id % 5).cast("string"),
+            lit("&sid=s"), (id % 7).cast("string")).as("url"),
+          ((id % 4) * 1000 + (id % 9) * 100 + (id % 5) * 10 +
+            when(id % 4 === 0, id % 7).otherwise(0)).as("h"))
+        val verdicts =
+          graft.ops.Dust.irrelevantParams(fetched, "url", "h", minEvidence = 2)
+        graft.ops.Dust.canonicalizeUrls(
+            fetched.select(col("url")).distinct(), "url", verdicts)
+          .select(col("url"), col("canonical_url"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'http://h' || CAST(doc_id % 4 AS VARCHAR) || '.ex/p'
+             |      || CAST(doc_id % 9 AS VARCHAR)
+             |      || '?page=' || CAST(doc_id % 5 AS VARCHAR)
+             |      || '&sid=s' || CAST(doc_id % 7 AS VARCHAR) AS url,
+             |    (doc_id % 4) * 1000 + (doc_id % 9) * 100 + (doc_id % 5) * 10 +
+             |      CASE WHEN doc_id % 4 = 0 THEN doc_id % 7 ELSE 0 END AS h
+             |  FROM documents),
+             |parts AS (
+             |  SELECT url, h,
+             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+             |    split_part(url, '?', 1) AS base,
+             |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&') AS kvs
+             |  FROM f),
+             |ex AS (
+             |  SELECT host, h, split_part(kv, '=', 1) AS param, kv,
+             |    base || '|' ||
+             |      array_to_string(list_sort(list_filter(kvs, x -> x <> kv)), '&') AS gk
+             |  FROM (SELECT host, h, base, kvs, unnest(kvs) AS kv FROM parts)),
+             |g AS (
+             |  SELECT host, param, gk, count(DISTINCT kv) AS n_vals,
+             |    count(DISTINCT h) AS n_hashes
+             |  FROM ex GROUP BY 1, 2, 3 HAVING count(DISTINCT kv) >= 2),
+             |v AS (
+             |  SELECT host, param,
+             |    (sum(CASE WHEN n_hashes = 1 THEN 1 ELSE 0 END) = count(*)
+             |      AND count(*) >= 2) AS irrelevant
+             |  FROM g GROUP BY 1, 2),
+             |drops AS (SELECT host, list(param) AS dps FROM v WHERE irrelevant GROUP BY 1),
+             |u AS (SELECT DISTINCT url FROM f),
+             |j AS (SELECT u.url,
+             |    regexp_extract(u.url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+             |  FROM u),
+             |r AS (SELECT j.url,
+             |    CASE WHEN d.dps IS NULL OR strpos(j.url, '?') = 0 THEN NULL
+             |         ELSE list_filter(
+             |           string_split(regexp_extract(j.url, '\?([^#]*)', 1), '&'),
+             |           x -> NOT list_contains(d.dps, split_part(x, '=', 1)))
+             |    END AS kept
+             |  FROM j LEFT JOIN drops d ON d.host = j.host)
+             |SELECT url,
+             |  CASE WHEN kept IS NULL THEN url
+             |       WHEN len(kept) = 0 THEN split_part(url, '?', 1)
+             |       ELSE split_part(url, '?', 1) || '?' || array_to_string(kept, '&')
+             |  END AS canonical_url
+             |FROM r ORDER BY url""".stripMargin),
+      "DUST URL canonicalization from mined verdicts (Dust.canonicalizeUrls)"),
+
+    // ------------------------------------------------------------------
     // q65: per-document tf-idf topic signature (Search.tfIdfTopTerms) —
     // top-3 terms by tf·ln(N/df), score rounded before ranking so ties
     // break on the term, df plane term-keyed (never broadcast).
