@@ -124,6 +124,23 @@ final case class DustCanonicalizingParser(inner: PageParser,
     }
 }
 
+/** Mirror frontier feedback: wraps any parser and drops follow-ups whose
+  * target host a previous crawl's mirror mining judged a non-canonical
+  * copy ([[graft.ops.Mirror.mirrorGroups]] → [[graft.ops.Mirror.skipHosts]]).
+  * Page-level exact dedup cannot stop a mirror HOST — every mirror page
+  * is a new URL, so the fetch happens before the content hash can kill
+  * it; this prunes the whole host at link emission, before the
+  * canonicalize → seen path. Prune the seed list with the same set. The
+  * set is O(hosts) and rides the task closure like a broadcast dim. */
+final case class MirrorSkippingParser(inner: PageParser,
+    skipHosts: Set[String]) extends PageParser {
+  def followUps(doc: Document, meta: Map[String, String]): Seq[FollowUp] =
+    inner.followUps(doc, meta).filter { f =>
+      val abs = graft.urls.UrlCanon.resolve(doc.doc_id, f.url)
+      !skipHosts.contains(graft.urls.UrlCanon.hostOfOrSame(abs, ""))
+    }
+}
+
 final case class CrawlConfig(
     checkpointDir: String,
     hostBuckets: Int = 64,

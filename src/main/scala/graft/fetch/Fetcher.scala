@@ -266,3 +266,67 @@ final case class DustySite(inner: SyntheticSite,
   override def fetchMedia(url: String): (Int, Option[MediaBlob]) =
     inner.fetchMedia(url)
 }
+
+/**
+ * Mirror fixture site: alias hosts serving byte-identical copies of a
+ * [[SyntheticSite]]'s primary hosts — the country-mirror / re-host case
+ * [[graft.ops.Mirror.mirrorHosts]] detects. `aliases` maps alias host →
+ * primary host.
+ *
+ * To make copies byte-identical AND self-contained, the wrapper applies
+ * one pure transform to every fetched page (primary or alias alike):
+ *  - same-host refs (links and media) are RELATIVIZED, so they resolve
+ *    into whichever host space the page was fetched from;
+ *  - cross-host link refs are REMAPPED to the target's alias when one
+ *    exists, so primaries link INTO mirrors (the in-links that make a
+ *    blind crawl fetch every mirror copy — the waste the feedback loop
+ *    then eliminates).
+ * Span text is untouched, so a page's span sequence is a pure function
+ * of its primary — identical across the family. The returned doc_id is
+ * the REQUESTED url, so relative refs resolve within the fetched host.
+ */
+final case class MirroredSite(inner: SyntheticSite,
+    aliases: Map[String, String]) extends Fetcher {
+
+  private val mirrorOf: Map[String, String] = aliases.map(_.swap)
+
+  private def hostOf(url: String): String =
+    graft.urls.UrlCanon.hostOfOrSame(url, "")
+
+  private def swapHost(url: String, from: String, to: String): String = {
+    val i = url.indexOf(from)
+    if (i < 0) url else url.substring(0, i) + to + url.substring(i + from.length)
+  }
+
+  def fetch(url: String): (Int, Option[Document]) = {
+    val host = hostOf(url)
+    val primary = aliases.getOrElse(host, host)
+    val pUrl = if (primary == host) url else swapHost(url, host, primary)
+    inner.fetch(pUrl) match {
+      case (200, Some(doc)) =>
+        val pHost = hostOf(doc.doc_id)
+        val prefix = "https://" + pHost
+        val spans = doc.spans.map { s =>
+          val ref = s.media_ref
+          if (ref == null || ref.isEmpty || !ref.startsWith("https://")) s
+          else if (ref.startsWith(prefix)) // same-host: relativize
+            s.copy(media_ref = ref.substring(prefix.length))
+          else if (s.kind == "link") { // cross-host link: remap to alias
+            val tgt = hostOf(ref)
+            mirrorOf.get(tgt) match {
+              case Some(a) => s.copy(media_ref = swapHost(ref, tgt, a))
+              case None => s
+            }
+          } else s
+        }
+        (200, Some(Document(url, spans)))
+      case other => other
+    }
+  }
+
+  override def fetchMedia(url: String): (Int, Option[MediaBlob]) = {
+    val host = hostOf(url)
+    val primary = aliases.getOrElse(host, host)
+    inner.fetchMedia(if (primary == host) url else swapHost(url, host, primary))
+  }
+}

@@ -47,6 +47,15 @@ object Mirror {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Collapse [[mirrorGroups]] to the hosts a next crawl should SKIP
+    * (every grouped host that is not its group's canonical) — the form
+    * the frontier consumer takes
+    * ([[graft.engine.MirrorSkippingParser]], seed-list pruning).
+    * O(hosts) — driver-safe by construction. */
+  def skipHosts(groups: DataFrame): Set[String] =
+    groups.filter(!col("is_canonical"))
+      .select("host").collect().map(_.getString(0)).toSet
+
   /** Mirror GROUPS: [[mirrorHosts]] pairs → connected components
     * ([[Cluster.connectedComponents]] — mirror relations are transitive
     * in practice but the pair list isn't: A~B, B~C with A,C just under

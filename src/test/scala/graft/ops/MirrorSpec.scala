@@ -65,4 +65,49 @@ class MirrorSpec extends AnyFunSuite {
     assert(got("b1") == (("b1", 2L, 2L, true)))
     assert(got("b2") == (("b1", 2L, 2L, false)))
   }
+
+  test("e2e mirror feedback: crawl → mirror groups → re-crawl skips the non-canonical copies") {
+    import graft.engine._
+    import graft.fetch.{MirroredSite, SyntheticSite}
+    import org.apache.spark.sql.functions.{col, to_json, xxhash64}
+    val inner = SyntheticSite(nHosts = 2, basePagesPerHost = 4, branching = 2, hotFactor = 2)
+    val site = MirroredSite(inner, Map(
+      "m0.example.jp" -> "h0.example.jp", "m1.example.jp" -> "h1.example.jp"))
+    val seeds = (0 until 2).map(k => SeedSpec(inner.pageUrl(k, 0)))
+    def pages(e: WaveEngine) = e.fetchedTable()
+      .filter(col("status") === 200 && col("parse_fn") =!= "media")
+      .select(col("host"), xxhash64(to_json(col("spans"))).as("h"))
+
+    val e1 = new WaveEngine(spark, site,
+      Map[String, PageParser]("follow_links" -> FollowAllLinks),
+      CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir("mir1"),
+        hostBuckets = 8, fetchPartitions = 2))
+    e1.run(seeds)
+    val p1 = pages(e1).cache()
+    val hosts1 = p1.select($"host".as[String]).distinct().collect().toSet
+    // cross-links remapped into mirror space pull the crawl onto BOTH copies
+    assert(hosts1 == Set("h0.example.jp", "h1.example.jp", "m0.example.jp", "m1.example.jp"))
+    val contents1 = p1.select($"h".as[Long]).distinct().collect().toSet
+    assert(contents1.size == inner.totalPages) // mirror pages add no content
+    val waste = p1.count() - inner.totalPages
+    assert(waste > 0) // ... but they did cost fetches
+
+    val groups = Mirror.mirrorGroups(p1, "host", "h", minContainment = 0.9)
+    val skip = Mirror.skipHosts(groups)
+    assert(skip == Set("m0.example.jp", "m1.example.jp")) // primaries canonical (size, then name)
+
+    val e2 = new WaveEngine(spark, site,
+      Map[String, PageParser](
+        "follow_links" -> MirrorSkippingParser(FollowAllLinks, skip)),
+      CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir("mir2"),
+        hostBuckets = 8, fetchPartitions = 2))
+    e2.run(seeds)
+    val p2 = pages(e2).cache()
+    // zero mirror waste, full content coverage
+    assert(p2.select($"host".as[String]).distinct().collect().toSet ==
+      Set("h0.example.jp", "h1.example.jp"))
+    assert(p2.count() == inner.totalPages.toLong)
+    assert(p2.select($"h".as[Long]).distinct().collect().toSet == contents1)
+    p1.unpersist(); p2.unpersist()
+  }
 }
