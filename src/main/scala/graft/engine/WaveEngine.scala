@@ -141,6 +141,28 @@ final case class MirrorSkippingParser(inner: PageParser,
     }
 }
 
+/** Trap frontier feedback: wraps any parser and drops follow-ups whose
+  * (target host, digit-collapsed path template) a previous crawl judged a
+  * low-novelty trap family ([[graft.ops.Traps.templateStats]] →
+  * [[graft.ops.Traps.trapMap]]). The engine's per-host admission budget
+  * caps trap damage blindly (and throttles the GOOD pages with it); this
+  * stops admitting the offending template specifically, keeping the rest
+  * of the host crawlable. Template derivation is the single-pass
+  * regex-free [[graft.ops.Traps.templateOf]] — it must agree with the
+  * miner's scan-stage projection, which TrapsSpec pins. The map is
+  * O(hosts·templates) and rides the task closure like a broadcast dim. */
+final case class TrapSkippingParser(inner: PageParser,
+    trapTemplates: Map[String, Set[String]]) extends PageParser {
+  def followUps(doc: Document, meta: Map[String, String]): Seq[FollowUp] =
+    inner.followUps(doc, meta).filter { f =>
+      val abs = graft.urls.UrlCanon.resolve(doc.doc_id, f.url)
+      trapTemplates.get(graft.urls.UrlCanon.hostOfOrSame(abs, "")) match {
+        case Some(ts) => !ts.contains(graft.ops.Traps.templateOf(abs))
+        case None => true
+      }
+    }
+}
+
 final case class CrawlConfig(
     checkpointDir: String,
     hostBuckets: Int = 64,

@@ -330,3 +330,42 @@ final case class MirroredSite(inner: SyntheticSite,
     inner.fetchMedia(if (primary == host) url else swapHost(url, host, primary))
   }
 }
+
+/**
+ * Crawler-trap fixture site: wraps [[SyntheticSite]] so every page (k, i)
+ * additionally links to `calPerPage` auto-generated calendar URLs
+ * `/cal/<k>/<n>` (disjoint per page, so the family has one distinct URL
+ * per link). Calendar pages serve CONSTANT per-host content — the
+ * low-novelty template family [[graft.ops.Traps.templateStats]] flags
+ * (real case: empty calendar/faceted-listing pages) — and emit no links.
+ * The waste is exact-dedup-proof: every family member is a distinct URL,
+ * so a blind crawl fetches all of them; only the template verdict can
+ * stop the family while leaving /p pages crawlable. Deterministic.
+ */
+final case class TrapSite(inner: SyntheticSite, calPerPage: Int = 3)
+    extends Fetcher {
+
+  private val CalRe = "^https://h([0-9]+)\\.example\\.jp/cal/([0-9]+)/([0-9]+)$".r
+
+  def fetch(url: String): (Int, Option[Document]) = url match {
+    case CalRe(hk, ck, _) =>
+      val k = hk.toInt
+      if (k < inner.nHosts && hk == ck)
+        (200, Some(Document(url, Seq(
+          Span("title", s"カレンダー ${inner.hostName(k)}", "", 0),
+          Span("text", "予定はありません。", "", 1)))))
+      else (404, None)
+    case _ => inner.fetch(url) match {
+      case (200, Some(doc)) =>
+        val (k, i) = inner.parseUrl(doc.doc_id).get
+        val extra = (1 to calPerPage).map(j =>
+          Span("link", s"カレンダー$j", s"/cal/$k/${i * calPerPage + j}",
+            doc.spans.size + j - 1))
+        (200, Some(Document(doc.doc_id, doc.spans ++ extra)))
+      case other => other
+    }
+  }
+
+  override def fetchMedia(url: String): (Int, Option[MediaBlob]) =
+    inner.fetchMedia(url)
+}

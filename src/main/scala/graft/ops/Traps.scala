@@ -47,4 +47,35 @@ object Traps {
       .withColumn("is_trap",
         col("n_urls") >= minUrls && col("novelty") <= maxNovelty)
   }
+
+  /** The path template of an absolute URL — the executor-side twin of
+    * [[templateStats]]'s scan-stage projection (digit runs in the path
+    * collapse to `{d}`; query/fragment excluded; no path → ""). Single
+    * pass, no regex: this runs once per emitted follow-up on the
+    * frontier's hot path ([[graft.engine.TrapSkippingParser]]). */
+  def templateOf(url: String): String = {
+    val ss = url.indexOf("://")
+    if (ss < 0) return ""
+    val start = url.indexOf('/', ss + 3)
+    if (start < 0) return ""
+    val sb = new java.lang.StringBuilder(url.length - start)
+    var i = start
+    var inDigits = false
+    while (i < url.length && url.charAt(i) != '?' && url.charAt(i) != '#') {
+      val c = url.charAt(i)
+      if (c >= '0' && c <= '9') {
+        if (!inDigits) { sb.append("{d}"); inDigits = true }
+      } else { sb.append(c); inDigits = false }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Collapse [[templateStats]] to host → trap templates, the form the
+    * frontier consumer takes ([[graft.engine.TrapSkippingParser]]).
+    * O(hosts·templates) — driver-safe: template cardinality is bounded
+    * by site structure, and only flagged rows are collected. */
+  def trapMap(stats: DataFrame): Map[String, Set[String]] =
+    stats.filter(col("is_trap")).select("host", "template").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
 }

@@ -37,4 +37,67 @@ class TrapsSpec extends AnyFunSuite {
     assert(got(("a.ex", "/p/{d}")) == true)   // 2 urls, 1 hash
     assert(got(("b.ex", "/p/{d}")) == false)  // 2 urls, 2 hashes
   }
+
+  test("templateOf agrees with the miner's scan-stage template projection") {
+    import org.apache.spark.sql.functions.{col, regexp_extract, regexp_replace}
+    val urls = Seq(
+      "https://a.ex/cal/2020/12/5",
+      "https://a.ex/p3",
+      "https://a.ex/about",
+      "https://a.ex/",
+      "https://a.ex",                      // no path at all
+      "https://a.ex/x2y9z?page=3#f",       // query/fragment excluded
+      "https://a.ex/2020abc2021")          // adjacent runs collapse separately
+    val viaOp = urls.map(Traps.templateOf)
+    val viaMiner = urls.toDF("url").select(
+        regexp_replace(
+          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1),
+          "[0-9]+", "{d}").as("t"))
+      .as[String].collect().toSeq
+    assert(viaOp == viaMiner)
+    assert(Traps.templateOf("https://a.ex/cal/2020/12/5") == "/cal/{d}/{d}/{d}")
+  }
+
+  test("e2e trap feedback: crawl → template mining → re-crawl stops admitting the trap family") {
+    import graft.engine._
+    import graft.fetch.{SyntheticSite, TrapSite}
+    import org.apache.spark.sql.functions.{col, to_json, xxhash64}
+    val inner = SyntheticSite(nHosts = 2, basePagesPerHost = 4, branching = 2, hotFactor = 2)
+    val site = TrapSite(inner, calPerPage = 3)
+    val seeds = (0 until 2).map(k => SeedSpec(inner.pageUrl(k, 0)))
+    def pages(e: WaveEngine) = e.fetchedTable()
+      .filter(col("status") === 200 && col("parse_fn") =!= "media")
+      .select(col("canonical").as("url"), xxhash64(to_json(col("spans"))).as("h"))
+
+    val e1 = new WaveEngine(spark, site,
+      Map[String, PageParser]("follow_links" -> FollowAllLinks),
+      CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir("trap1"),
+        hostBuckets = 8, fetchPartitions = 2))
+    e1.run(seeds)
+    val p1 = pages(e1).cache()
+    // blind crawl fetched every distinct-URL calendar page: 3 per page
+    assert(p1.count() == 4L * inner.totalPages) // 12 pages + 36 cal fetches
+    val goodContents = p1.filter(!col("url").contains("/cal/"))
+      .select($"h".as[Long]).distinct().collect().toSet
+
+    val stats = Traps.templateStats(p1, "url", "h", minUrls = 10, maxNovelty = 0.1)
+    val tm = Traps.trapMap(stats)
+    // exactly the cal template, on both hosts; /p{d} survives (diverse/small)
+    assert(tm == Map(
+      "h0.example.jp" -> Set("/cal/{d}/{d}"),
+      "h1.example.jp" -> Set("/cal/{d}/{d}")))
+
+    val e2 = new WaveEngine(spark, site,
+      Map[String, PageParser](
+        "follow_links" -> TrapSkippingParser(FollowAllLinks, tm)),
+      CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir("trap2"),
+        hostBuckets = 8, fetchPartitions = 2))
+    e2.run(seeds)
+    val p2 = pages(e2).cache()
+    // the family is gone, the hosts' real pages all still crawl
+    assert(p2.filter(col("url").contains("/cal/")).count() == 0)
+    assert(p2.count() == inner.totalPages.toLong)
+    assert(p2.select($"h".as[Long]).distinct().collect().toSet == goodContents)
+    p1.unpersist(); p2.unpersist()
+  }
 }
