@@ -113,6 +113,23 @@ class DustSpec extends AnyFunSuite {
       "/plain"))
   }
 
+  test("the three feedback parsers stack: dust-canonicalize → trap-skip → mirror-skip") {
+    import graft.engine._
+    import graft.model.{Document, Span}
+    val stacked = MirrorSkippingParser(
+      TrapSkippingParser(
+        DustCanonicalizingParser(FollowAllLinks, Map("a.ex" -> Set("sid"))),
+        Map("a.ex" -> Set("/cal/{d}"))),
+      Set("m.ex"))
+    val doc = Document("https://a.ex/p1", Seq(
+      Span("link", "", "/x?sid=9&page=2", 0),  // sid stripped, page kept
+      Span("link", "", "/cal/2020", 1),        // trap template dropped
+      Span("link", "", "https://m.ex/p0", 2),  // mirror host dropped
+      Span("link", "", "/ok", 3)))             // untouched
+    assert(stacked.followUps(doc, Map.empty).map(_.url) ==
+      Seq("https://a.ex/x?page=2", "/ok"))
+  }
+
   test("e2e frontier feedback: crawl → DUST mining → canonicalized re-crawl fetches each content exactly once") {
     import graft.engine._
     import graft.fetch.{DustySite, SyntheticSite}
