@@ -369,3 +369,32 @@ final case class TrapSite(inner: SyntheticSite, calPerPage: Int = 3)
   override def fetchMedia(url: String): (Int, Option[MediaBlob]) =
     inner.fetchMedia(url)
 }
+
+/**
+ * Change-over-time fixture site: serves [[SyntheticSite]]'s pages with an
+ * extra revision span appended to every page whose index is a multiple of
+ * `changeEvery` — those pages' content differs across `version`s, the
+ * rest are byte-stable. The adaptive-recrawl case
+ * ([[graft.ops.Recrawl.schedule]]): a refresh crawl across two versions
+ * observes exactly the changing pages as changed (interval resets) and
+ * the stable ones as unchanged (interval doubles), so the next refresh
+ * epoch re-fetches only the fast-moving subset. Deterministic.
+ */
+final case class VersionedSite(inner: SyntheticSite, version: Int,
+    changeEvery: Int = 3) extends Fetcher {
+
+  def changes(k: Int, i: Int): Boolean = i % changeEvery == 0
+
+  def fetch(url: String): (Int, Option[Document]) = inner.fetch(url) match {
+    case (200, Some(doc)) =>
+      val (k, i) = inner.parseUrl(doc.doc_id).get
+      if (changes(k, i))
+        (200, Some(Document(doc.doc_id, doc.spans :+
+          Span("text", s"改訂第${version}版", "", doc.spans.size))))
+      else (200, Some(doc))
+    case other => other
+  }
+
+  override def fetchMedia(url: String): (Int, Option[MediaBlob]) =
+    inner.fetchMedia(url)
+}

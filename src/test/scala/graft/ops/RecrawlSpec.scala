@@ -73,4 +73,53 @@ class RecrawlSpec extends AnyFunSuite {
     assert(Recrawl.due(df, 2).as[String].collect().toSet == Set("y"))
     assert(Recrawl.due(df, 3).as[String].collect().toSet == Set("x", "y"))
   }
+
+  test("e2e recrawl feedback: crawl → schedule across a refresh → only the changed subset is due and re-fetched") {
+    import graft.engine._
+    import graft.fetch.{SyntheticSite, VersionedSite}
+    import org.apache.spark.sql.functions.col
+    val inner = SyntheticSite(nHosts = 2, basePagesPerHost = 4, branching = 2, hotFactor = 2)
+    def crawl(version: Int, seeds: Seq[SeedSpec], tag: String,
+        parser: PageParser = FollowAllLinks) = {
+      val e = new WaveEngine(spark, VersionedSite(inner, version),
+        Map[String, PageParser]("follow_links" -> parser),
+        CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir(tag),
+          hostBuckets = 4, fetchPartitions = 2))
+      e.run(seeds)
+      e
+    }
+    // discovery crawl on version 1
+    val e1 = crawl(1, (0 until 2).map(k => SeedSpec(inner.pageUrl(k, 0))), "rc1")
+    val obs1 = Recrawl.observationsFromFetched(e1.fetchedTable()).cache()
+    val allUrls = obs1.select($"url".as[String]).collect().toSeq.sorted
+    assert(allUrls.size.toLong == inner.totalPages)
+    val w1 = obs1.agg(org.apache.spark.sql.functions.max("wave")).head.getInt(0)
+
+    // full refresh on version 2, relabeled onto the shared wave axis
+    val e2 = crawl(2, allUrls.map(u => SeedSpec(u, parseFn = "follow_links")), "rc2", NoFollow)
+    val obs2 = Recrawl.observationsFromFetched(e2.fetchedTable())
+      .withColumn("wave", col("wave") + w1 + 1)
+    val sched = Recrawl.schedule(obs1.union(obs2), "url", "wave", "h").cache()
+
+    // changing pages reset to min interval, stable pages doubled
+    val changed = sched.filter(col("n_changes") === 1)
+      .select($"url".as[String]).collect().toSet
+    val expectChanged = (0 until 2).flatMap(k =>
+      (0 until inner.pagesOf(k)).collect {
+        case i if VersionedSite(inner, 1).changes(k, i) => inner.pageUrl(k, i)
+      }).toSet
+    assert(changed == expectChanged)
+    assert(sched.filter(col("n_changes") === 1 && col("interval") =!= 1).count() == 0)
+    assert(sched.filter(col("n_changes") === 0 && col("interval") =!= 2).count() == 0)
+
+    // at the first epoch after the refresh wave, exactly the fast-moving
+    // subset is due — the refresh crawl re-fetches ONLY those
+    val refreshWave = obs2.agg(org.apache.spark.sql.functions.max("wave")).head.getInt(0)
+    val due = Recrawl.due(sched, refreshWave + 1).as[String].collect().toSet
+    assert(due == expectChanged)
+    val e3 = crawl(3, due.toSeq.sorted.map(u => SeedSpec(u)), "rc3", NoFollow)
+    val got3 = e3.fetchedTable().select($"canonical".as[String]).collect().toSet
+    assert(got3 == expectChanged) // stable pages cost no fetch this epoch
+    obs1.unpersist(); sched.unpersist()
+  }
 }
