@@ -236,7 +236,11 @@ object Queries {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       "URL-seen dedup, first discovery wins (SURVEY §2.1 dupefilter)"),
 
-    // frontier priority-queue ordering (priority desc, then discovery seq)
+    // frontier priority-queue ordering (priority desc, then discovery seq).
+    // Top-k FIRST via orderBy+limit — Spark plans it as TakeOrderedAndProject
+    // (per-partition heaps + driver merge, distributed); the rank window then
+    // runs over only the k survivors. A corpus-wide partitionless row_number
+    // (the naive form) would drag the whole table into ONE partition.
     "q13_frontier_order" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -244,8 +248,8 @@ object Queries {
         t(s, d, "documents")
           .select(col("doc_id"), (col("doc_id") % 3).cast("long").as("priority"),
             col("doc_id").as("seq"))
+          .orderBy(col("priority").desc, col("seq")).limit(100)
           .withColumn("pop_rank", row_number().over(w).cast("long"))
-          .filter(col("pop_rank") <= 100)
           .select(col("pop_rank"), col("doc_id"), col("priority"))
           .orderBy(col("pop_rank"))
       },

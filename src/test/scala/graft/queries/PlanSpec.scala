@@ -187,6 +187,22 @@ class PlanSpec extends AnyFunSuite {
     assert(readCols == Set("doc_id", "lang"), readCols)
   }
 
+  test("q13 frontier order: rank window runs over the distributed top-k, never the corpus") {
+    val q = graft.SparkEntry.queries("q13_frontier_order")(spark, sf)
+    val p = executed(q)
+    val windows = collectNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, treeNames(p))
+    // every rank window's input subtree must contain the TakeOrderedAndProject
+    // (per-partition heaps + driver merge) — i.e. the window ranks only the k
+    // survivors; a window whose subtree lacks it is running over the raw scan
+    windows.foreach { w =>
+      val below = collectNodes(w.child).map(_.nodeName)
+      assert(below.exists(_.contains("TakeOrderedAndProject")), below)
+    }
+  }
+
   test("curation pipeline: no cartesian; document bodies cross at most one exchange") {
     val out = graft.ops.Curation.curate(docs, "doc_id", "text",
       graft.ops.Curation.Config(minTokens = 5, minUniqRatio = 0.1,
