@@ -20,6 +20,31 @@ import java.time.LocalDate
  */
 object Sources {
 
+  /** Frontier-row meta key carrying a revalidation validator (S14): the
+    * fetch path sends a conditional request for rows stamped with it —
+    * see [[graft.fetch.Fetcher.fetchConditional]] and
+    * [[graft.ops.Revalidate]]. */
+  val IfHashKey: String = "if_hash"
+
+  /** S14 — refresh-crawl seeds from a [[graft.ops.Revalidate.plan]]
+    * result (url, mode, if_hash): `conditional` rows carry their stored
+    * validator in [[IfHashKey]] meta (the fetch becomes an If-None-Match
+    * round trip — unchanged pages come back as body-less 304 rows);
+    * `full` rows (no usable history) seed ordinary fetches. The collect
+    * is the engine's existing Seq-seed boundary and is sized by the DUE
+    * subset of the schedule — the point of adaptive recrawl is that this
+    * is orders of magnitude smaller than the frontier (stable pages are
+    * not due at all; see [[graft.ops.Recrawl]]). */
+  def revalidatingSeeds(plan: org.apache.spark.sql.DataFrame,
+      parseFn: String = "follow_links", priority: Int = 0): Seq[SeedSpec] =
+    plan.select("url", "mode", "if_hash").collect().toSeq.map { r =>
+      val meta =
+        if (r.getString(1) == "conditional" && !r.isNullAt(2))
+          Map(IfHashKey -> r.getLong(2).toString)
+        else Map.empty[String, String]
+      SeedSpec(r.getString(0), parseFn, meta, priority)
+    }
+
   /** S1 — per-diet seed URL from a template with a `%d` slot
     * (e.g. /root/reference/crawler/spiders/shugiin_spider.py:22-24). */
   def perDietSeed(template: String, dietNumber: Int, parseFn: String): SeedSpec =

@@ -224,6 +224,21 @@ final case class CrawlConfig(
     // cache with 600 s TTL, /root/reference/crawler/settings.py:84-86)
     fetchCacheDir: Option[String] = None,
     cacheTtlSec: Long = 600,
+    // S14 — HTTP revalidation: point at a prior run's `fetched` dir and
+    // every frontier row whose (url_hash, canonical) that run fetched
+    // successfully carries the stored SpanHash validator into the fetch —
+    // the fetcher sends a conditional request and unchanged pages come
+    // back as body-less 304 rows (resolve them against the prior corpus
+    // with graft.ops.Revalidate.resolve). This is the DISTRIBUTIVE
+    // validator path for refresh crawls too big to seed with per-URL meta
+    // (Sources.revalidatingSeeds): the validator plane is one O(urls)
+    // fixed-width cached frame (hash of spans, never spans), attached by
+    // an equi-join per wave. Composes with the S11 cache: cache hits skip
+    // the network entirely; only cache MISSES revalidate. Differs from
+    // S11 in contract: the cache trusts a TTL and never contacts the
+    // host; revalidation always contacts the host (politeness slot and
+    // all) but ships no body when nothing changed.
+    revalidateFrom: Option[String] = None,
     // compact the seen changelog when more than this many flush dirs are
     // live: resume reads O(compactSeenAfter) dirs instead of one per
     // checkpoint ever taken (10^10-URL design point: thousands of tiny
@@ -531,7 +546,18 @@ private[engine] object WaveCore {
             (st, None: Option[Document],
               blob.map(_.content_type).orNull, blob.map(_.bytes).orNull)
           } else {
-            val (st, d) = f.fetch(r.url)
+            // S14 revalidation: a frontier row carrying a validator (stamped
+            // by Sources.revalidatingSeeds from the Revalidate plan) fetches
+            // conditionally — unchanged content comes back as a body-less
+            // 304 row (the HTTP If-None-Match contract). The meta.isEmpty
+            // fast path keeps the bench's hot loop allocation- and
+            // lookup-free: ordinary crawl rows carry no meta at all.
+            val (st, d) =
+              if (r.meta.isEmpty) f.fetch(r.url)
+              else r.meta.get(Sources.IfHashKey) match {
+                case Some(h) => f.fetchConditional(r.url, java.lang.Long.parseLong(h))
+                case None => f.fetch(r.url)
+              }
             (st, d, null, null)
           }
         // wall-clock store time in BOTH modes: the S11 TTL predicate must
@@ -983,6 +1009,8 @@ class WaveEngine(
     // replay's contract is Scrapy's sequence (robots off, one global rps)
     require(!(cfg.referenceOrder && (cfg.robotsResolve.isDefined || cfg.hostRps.nonEmpty)),
       "robotsResolve/hostRps are not supported in referenceOrder mode")
+    require(!(cfg.referenceOrder && cfg.revalidateFrom.isDefined),
+      "revalidateFrom is not supported in referenceOrder mode")
     require(!(cfg.referenceOrder && cfg.maxPagesPerHost != Long.MaxValue),
       "maxPagesPerHost is not supported in referenceOrder mode")
     if (cfg.referenceOrder) runReference(seeds) else runScalable(seeds)
@@ -1264,6 +1292,22 @@ class WaveEngine(
         .cache()
     }
 
+    // S14 validator plane: one (url_hash, canonical, v_hash) row per page
+    // the prior run fetched successfully — latest (wave, seq) copy wins.
+    // Fixed-width (8-byte hash of the spans, never the spans) and cached:
+    // at the 10^10-URL design point this is the only state the refresh
+    // crawl holds about prior content, and it is O(urls), not O(corpus).
+    val validatorDF: Option[DataFrame] = cfg.revalidateFrom.map { dir =>
+      spark.read.schema(fetchResultSchema)
+        .option("recursiveFileLookup", "true").parquet(dir)
+        .filter($"status" >= 200 && $"status" < 300 &&
+          $"parse_fn" =!= WaveCore.MediaFn)
+        .groupBy($"url_hash", $"canonical")
+        .agg(max_by(graft.model.SpanHash.column($"spans"),
+          struct($"wave", $"seq")).as("v_hash"))
+        .cache()
+    }
+
     var batchCount = pending.count() // exact: every batch row yields one FetchResult
     var done = batchCount == 0
     while (!done && wave < cfg.maxWaves && totalFetched < cfg.maxUrls) {
@@ -1403,9 +1447,31 @@ class WaveEngine(
           WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs,
             lineageAcc, hostRps = hostRpsW))
 
+      // S14: stamp each live-fetch row with its stored validator (left
+      // join on the O(urls) validator plane; rows the prior run never saw
+      // pass through unstamped → ordinary full fetch). The join breaks the
+      // host-bucket partitioning, so rows re-bucket after — one extra
+      // fixed-width shuffle of THIS WAVE's rows, only on the
+      // revalidateFrom path (None = identity, the bench loop untouched).
+      def attachValidators(rows: RDD[UrlRecord]): RDD[UrlRecord] =
+        validatorDF match {
+          case None => rows
+          case Some(vd) =>
+            val ds = spark.createDataset(rows)
+            ds.joinWith(vd,
+                ds("url_hash") === vd("url_hash") &&
+                  ds("canonical") === vd("canonical"), "left_outer")
+              .map { case (r, v) =>
+                if (v == null) r
+                else r.copy(meta =
+                  r.meta + (Sources.IfHashKey -> v.getAs[Long]("v_hash").toString))
+              }
+              .rdd.map(r => (r.host_bucket, r)).partitionBy(partitioner).values
+        }
+
       // fetch (serving fresh cache hits without politeness slots — S11)
       val fetchedRdd: RDD[FetchResult] = cacheDF match {
-        case None => liveFetch(batch)
+        case None => liveFetch(attachValidators(batch))
         case Some(cache) =>
           val batchDS = spark.createDataset(batch)
           val hits = batchDS.joinWith(cache,
@@ -1432,8 +1498,10 @@ class WaveEngine(
             .as[UrlRecord].rdd
             .map(r => (r.host_bucket, r)).partitionBy(partitioner).values
           // cache misses go through the same pace-seeded live fetch, so
-          // realtime politeness continuity holds on the S11 path too
-          liveFetch(misses).union(hits)
+          // realtime politeness continuity holds on the S11 path too;
+          // with S14 configured, only the misses revalidate (hits never
+          // touch the network at all)
+          liveFetch(attachValidators(misses)).union(hits)
       }
       val fetched =
         if (cfg.keepFetched) {

@@ -17,6 +17,25 @@ trait Fetcher extends Serializable {
     * payload plane. Same status posture as [[fetch]]. Default: media
     * unsupported (fetchers that only serve pages need not override). */
   def fetchMedia(url: String): (Int, Option[MediaBlob]) = (404, None)
+
+  /** Conditional fetch — the HTTP revalidation primitive (If-None-Match /
+    * If-Modified-Since analog). `ifHash` is the span-sequence validator
+    * ([[graft.model.SpanHash]]) of the copy the caller already holds;
+    * returns `(304, None)` when the page's CURRENT content still matches,
+    * else the normal [[fetch]] result. The default implementation fetches
+    * and compares — semantics-exact for any fetcher (this sandbox's
+    * corpus-backed fetchers pay nothing extra; the page is a pure
+    * function). A real HTTP implementation overrides this to send the
+    * stored validator and let the server elide the body: on a refresh
+    * crawl of a mostly-unchanged corpus that turns almost every fetch
+    * into a header-only round trip, which is the point — revisit
+    * bandwidth, not politeness slots, is the scarce recrawl resource. */
+  def fetchConditional(url: String, ifHash: Long): (Int, Option[Document]) = {
+    val (status, doc) = fetch(url)
+    if (status >= 200 && status < 300 &&
+        doc.exists(d => graft.model.SpanHash.of(d.spans) == ifHash)) (304, None)
+    else (status, doc)
+  }
 }
 
 /** Fetcher over an in-memory page map (small test fixtures). */
