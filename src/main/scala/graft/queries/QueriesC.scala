@@ -306,10 +306,16 @@ object QueriesC {
       (s, d) => {
         val emb = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // two-step select: in ONE select, Spark's lateral-column-alias
+        // resolution would bind the lambda's col("vec_id") to the
+        // (vec_id + 1000000) alias — the perturbation keys on the SOURCE
+        // id so the oracle's lambda (which sees only the source column)
+        // computes bit-identical twins
         val twins = emb.filter(col("vec_id") % 25 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
+          .select(col("vec_id"),
             transform(col("v"), (x, i) =>
               x * (lit(1.0) + (((col("vec_id") + i) % 7 - 3) / lit(1000.0)))).as("v"))
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
         graft.ops.Ann.nearDupPairs(emb.unionByName(twins), "vec_id", "v",
             threshold = 0.98, planes = 8, tables = 4)
           .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
@@ -319,10 +325,15 @@ object QueriesC {
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings),
              |twins AS (
-             |  SELECT vec_id + 1000000 AS vec_id,
+             |  -- alias deliberately NOT named vec_id, so the lambda's
+             |  -- vec_id is unambiguously the SOURCE column — mirroring
+             |  -- the Spark side's two-step select (Spark's lateral
+             |  -- column aliasing binds a same-select alias)
+             |  SELECT vec_id + 1000000 AS tvid,
              |    list_transform(v, (x, i) -> x * (1.0 + ((vec_id + i - 1) % 7 - 3) / 1000.0)) AS v
              |  FROM emb WHERE vec_id % 25 = 0),
-             |corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM twins),
+             |corpus AS (SELECT * FROM emb
+             |           UNION ALL SELECT tvid AS vec_id, v FROM twins),
              |normed AS (
              |  SELECT vec_id, v,
              |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

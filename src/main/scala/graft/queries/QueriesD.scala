@@ -508,5 +508,122 @@ object QueriesD {
              |SELECT doc_id, string_agg(term, ',' ORDER BY rk) AS top_terms,
              |  max(CASE WHEN rk = 1 THEN score END) AS top_score
              |FROM rk WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "per-doc tf-idf topic signature, deterministic rank (Search.tfIdfTopTerms)"))
+      "per-doc tf-idf topic signature, deterministic rank (Search.tfIdfTopTerms)"),
+
+    // ------------------------------------------------------------------
+    // q71: revalidation fetch plan (Revalidate.plan) — for each due URL,
+    // conditional-with-last-validator when history has one, full
+    // otherwise. History synthesized: urls observed at waves 0..(id % 3),
+    // ids ≡ 0 (mod 5) have no history at all; due = the even ids. The
+    // plan op is one max_by aggregate + one left join — O(urls)
+    // fixed-width rows; the validator values here are arithmetic so the
+    // oracle can reproduce them (the REAL validator, SpanHash, is pinned
+    // Scala≡Catalyst in RevalidateSpec and end-to-end in the 304 e2e).
+    // ------------------------------------------------------------------
+    "q71_revalidate_plan" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val hist = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), col("doc_id") % 3)).as("wave"))
+          .select(concat(lit("u"), col("doc_id").cast("string")).as("url"),
+            col("wave"),
+            (col("doc_id") * 1000 + col("wave") * 7).as("validator"))
+        val due = docs.filter(col("doc_id") % 2 === 0)
+          .select(concat(lit("u"), col("doc_id").cast("string")).as("url"))
+        graft.ops.Revalidate.plan(due, hist).orderBy(col("url"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, w.wave AS wave,
+             |    doc_id*1000 + w.wave*7 AS validator
+             |  FROM documents CROSS JOIN (VALUES (0),(1),(2)) w(wave)
+             |  WHERE doc_id % 5 <> 0 AND w.wave <= doc_id % 3),
+             |due AS (SELECT DISTINCT 'u' || CAST(doc_id AS VARCHAR) AS url
+             |        FROM documents WHERE doc_id % 2 = 0),
+             |last AS (SELECT url, arg_max(validator, wave) AS if_hash
+             |         FROM hist GROUP BY 1)
+             |SELECT due.url,
+             |  CASE WHEN l.if_hash IS NOT NULL THEN 'conditional' ELSE 'full' END AS mode,
+             |  CAST(l.if_hash AS BIGINT) AS if_hash
+             |FROM due LEFT JOIN last l ON l.url = due.url
+             |ORDER BY due.url""".stripMargin),
+      "revalidation fetch plan: conditional w/ last validator vs full (Revalidate.plan)"),
+
+    // ------------------------------------------------------------------
+    // q72: SemDeDup (SemDedup.semDedup, Abbas et al. 2023) — semantic
+    // dedup within k-means clusters. Corpus = embeddings + the q42 planted
+    // near-twins; coarse centroids = the 8 embeddings with vec_id < 8
+    // (deterministic and SQL-expressible, so the oracle recomputes the
+    // whole pipeline: assignment argmax, within-cluster pairs ≥ 0.98,
+    // recursive-CTE component closure, keep = lowest centroid-cosine).
+    // ------------------------------------------------------------------
+    "q72_semdedup" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // two-step select: in ONE select, Spark's lateral-column-alias
+        // resolution binds the lambda's col("vec_id") to the (vec_id +
+        // 1000000) alias — the perturbation must key on the SOURCE id
+        // (the oracle's lambda sees only the source column)
+        val twins = emb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id"),
+            transform(col("v"), (x, i) =>
+              x * (lit(1.0) + (((col("vec_id") + i) % 7 - 3) / lit(1000.0)))).as("v"))
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+        val corpus = emb.unionByName(twins)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+          .withColumn("cn", sqrt(graft.ops.Ann.dot(col("cv"), col("cv"))))
+        graft.ops.SemDedup.semDedup(corpus, "vec_id", "v", cents, threshold = 0.98)
+          .select(col("id"), col("cluster").cast("long").as("cluster"),
+            round(col("ccos"), 4).as("ccos"), col("component"), col("keep"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE
+             |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |        FROM embeddings),
+             |twins AS (SELECT vec_id + 1000000 AS tvid,
+             |    list_transform(v, (x, i) -> x * (1.0 + ((vec_id + i - 1) % 7 - 3) / 1000.0)) AS v
+             |  FROM emb WHERE vec_id % 25 = 0),
+             |corpus AS (SELECT * FROM emb
+             |           UNION ALL SELECT tvid AS vec_id, v FROM twins),
+             |normed AS (SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM corpus),
+             |cents AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn
+             |          FROM normed WHERE vec_id < 8),
+             |scored AS (SELECT n.vec_id, c.cluster,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (x, y) -> x + y)
+             |      / (n.nrm * c.cn) AS ccos
+             |  FROM normed n CROSS JOIN cents c),
+             |best AS (SELECT vec_id, cluster, ccos FROM (
+             |    SELECT vec_id, cluster, ccos,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rk
+             |    FROM scored) WHERE rk = 1),
+             |pairs AS (SELECT ba.vec_id AS id_a, bb.vec_id AS id_b
+             |  FROM best ba JOIN best bb ON ba.cluster = bb.cluster AND ba.vec_id < bb.vec_id
+             |  JOIN normed a ON a.vec_id = ba.vec_id
+             |  JOIN normed b ON b.vec_id = bb.vec_id
+             |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y)
+             |      / (a.nrm * b.nrm) >= 0.98),
+             |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |      UNION SELECT id_b, id_a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM e) s
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+             |compe AS (SELECT u AS vec_id, min(v) AS component FROM reach GROUP BY 1),
+             |comp AS (SELECT b.vec_id, coalesce(c.component, b.vec_id) AS component
+             |         FROM best b LEFT JOIN compe c ON c.vec_id = b.vec_id),
+             |rk AS (SELECT comp.vec_id, b.cluster, b.ccos, comp.component,
+             |    row_number() OVER (PARTITION BY comp.component
+             |                       ORDER BY b.ccos ASC, comp.vec_id) AS rk
+             |  FROM comp JOIN best b ON b.vec_id = comp.vec_id)
+             |SELECT vec_id AS id, CAST(cluster AS BIGINT) AS cluster,
+             |  round(ccos, 4) AS ccos, component, rk = 1 AS keep
+             |FROM rk ORDER BY id""".stripMargin),
+      "SemDeDup: within-cluster semantic dedup, keep-the-outlier rule (SemDedup.semDedup)"))
 }

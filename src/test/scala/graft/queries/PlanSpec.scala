@@ -187,6 +187,31 @@ class PlanSpec extends AnyFunSuite {
     assert(readCols == Set("doc_id", "lang"), readCols)
   }
 
+  test("SemDeDup: literal-centroid assignment, equi-joins only, never a cartesian") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = Seq.tabulate(64)(i => (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9))))
+      .toDF("id", "v")
+    val cents = Seq((0, Seq(1.0, 0.0), 1.0), (1, Seq(0.0, 1.0), 1.0))
+      .toDF("cluster", "cv", "cn")
+    val names = treeNames(executed(
+      graft.ops.SemDedup.semDedup(emb, "id", "v", cents, threshold = 0.99)))
+    // the centroid argmax is a per-row expression over a literal — any
+    // join here is the within-cluster pair join or an id re-attach, all
+    // equi-keyed; a cartesian would mean the assignment regressed to a
+    // crossJoin(centroids) or the pair join lost its cluster key
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
+  }
+
+  test("revalidation plan: one aggregate + one equi-join, never a cartesian") {
+    val q = graft.SparkEntry.queries("q71_revalidate_plan")(spark, sf)
+    val names = treeNames(executed(q))
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
+    assert(names.exists(_.contains("HashAggregate")), names.distinct) // map-side combinable max_by
+  }
+
   test("q13 frontier order: rank window runs over the distributed top-k, never the corpus") {
     val q = graft.SparkEntry.queries("q13_frontier_order")(spark, sf)
     val p = executed(q)
