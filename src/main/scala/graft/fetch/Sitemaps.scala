@@ -32,8 +32,39 @@ import graft.urls.UrlCanon
  */
 object Sitemaps {
 
-  /** Parsed sitemap document: leaf page URLs and/or child sitemap URLs. */
-  final case class SitemapDoc(urls: Seq[String], sitemaps: Seq[String])
+  /** One `<url>` block: the page URL and its `<lastmod>` (raw W3C
+    * datetime string — parse with [[lastmodMs]]). lastmod is the host's
+    * PUSH signal for recrawl: "this page changed at T" straight from the
+    * publisher, complementing [[graft.ops.Recrawl]]'s pull-side
+    * extrapolation (see `Recrawl.staleByLastmod`). */
+  final case class SitemapEntry(url: String, lastmod: Option[String])
+
+  /** Parsed sitemap document: leaf page entries and/or child sitemap
+    * URLs. */
+  final case class SitemapDoc(entries: Seq[SitemapEntry], sitemaps: Seq[String]) {
+    def urls: Seq[String] = entries.map(_.url)
+  }
+
+  /** W3C datetime (the sitemaps.org lastmod format) → epoch millis.
+    * Accepts the spec's whole ladder — YYYY, YYYY-MM, YYYY-MM-DD, full
+    * ISO-8601 with offset — and answers None on anything malformed
+    * (seeding stays best-effort; a bad lastmod just loses its freshness
+    * signal, never the URL). Date-only forms resolve at UTC midnight. */
+  def lastmodMs(s: String): Option[Long] = {
+    val t = s.trim
+    try {
+      val instant = t.length match {
+        case 4 => java.time.Year.parse(t).atDay(1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        case 7 => java.time.YearMonth.parse(t).atDay(1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        case 10 => java.time.LocalDate.parse(t)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        case _ => java.time.OffsetDateTime.parse(t).toInstant
+      }
+      Some(instant.toEpochMilli)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+  }
 
   private val SitemapLine = "(?i)^sitemap\\s*:\\s*(\\S+)".r
 
@@ -56,14 +87,20 @@ object Sitemaps {
     * Malformed XML degrades to "whatever well-formed blocks exist" —
     * seeding is best-effort, never an exception. */
   def parse(xml: String): SitemapDoc = {
-    def locsIn(body: String, block: String): Seq[String] = {
+    val locRe = "(?is)<loc\\b[^>]*>(.*?)</loc>".r
+    val lastmodRe = "(?is)<lastmod\\b[^>]*>(.*?)</lastmod>".r
+    def blocksIn(body: String, block: String): Seq[SitemapEntry] = {
       val blockRe = s"(?is)<$block\\b[^>]*>(.*?)</$block>".r
-      val locRe = "(?is)<loc\\b[^>]*>(.*?)</loc>".r
       blockRe.findAllMatchIn(body).flatMap { m =>
-        locRe.findFirstMatchIn(m.group(1)).map(l => unescape(l.group(1).trim))
-      }.filter(_.nonEmpty).toSeq
+        locRe.findFirstMatchIn(m.group(1)).map { l =>
+          SitemapEntry(unescape(l.group(1).trim),
+            lastmodRe.findFirstMatchIn(m.group(1))
+              .map(x => unescape(x.group(1).trim)).filter(_.nonEmpty))
+        }
+      }.filter(_.url.nonEmpty).toSeq
     }
-    SitemapDoc(urls = locsIn(xml, "url"), sitemaps = locsIn(xml, "sitemap"))
+    SitemapDoc(entries = blocksIn(xml, "url"),
+      sitemaps = blocksIn(xml, "sitemap").map(_.url))
   }
 
   private def unescape(s: String): String =
@@ -96,8 +133,21 @@ object Sitemaps {
       scheme: String = "https",
       maxUrls: Int = 100000,
       maxSitemaps: Int = 256,
-      maxDepth: Int = 2): Seq[SeedSpec] = {
-    val out = scala.collection.mutable.LinkedHashSet[String]()
+      maxDepth: Int = 2): Seq[SeedSpec] =
+    entries(fetcher, hosts, scheme, maxUrls, maxSitemaps, maxDepth)
+      .map(e => SeedSpec(e.url, parseFn))
+
+  /** Like [[seeds]] but keeps each URL's `lastmod` — the input to
+    * `Recrawl.staleByLastmod` (canonical-deduped, first-listed wins for
+    * BOTH the URL and its lastmod). */
+  def entries(
+      fetcher: Fetcher,
+      hosts: Seq[String],
+      scheme: String = "https",
+      maxUrls: Int = 100000,
+      maxSitemaps: Int = 256,
+      maxDepth: Int = 2): Seq[SitemapEntry] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
     // visited keys on the canonical URL: a self-listing index (cycle) or
     // several indexes referencing one shared sitemap would otherwise be
     // re-fetched once per referencing path, burning the maxSitemaps
@@ -110,13 +160,16 @@ object Sitemaps {
         fetched += 1
         fetchBody(fetcher, sitemapUrl).foreach { body =>
           val doc = parse(body)
-          doc.urls.iterator
+          doc.entries.iterator
             .takeWhile(_ => out.size < maxUrls)
-            .foreach(u => out += UrlCanon.canonicalize(u))
+            .foreach { e =>
+              val c = UrlCanon.canonicalize(e.url)
+              if (!out.contains(c)) out.put(c, e.lastmod): Unit
+            }
           if (depth < maxDepth) doc.sitemaps.foreach(walk(_, depth + 1))
         }
       }
     hosts.distinct.foreach(h => discover(fetcher, h, scheme).foreach(walk(_, 1)))
-    out.iterator.map(u => SeedSpec(u, parseFn)).toSeq
+    out.iterator.map { case (u, lm) => SitemapEntry(u, lm) }.toSeq
   }
 }

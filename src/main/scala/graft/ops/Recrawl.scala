@@ -69,6 +69,36 @@ object Recrawl {
   def due(scheduleDf: DataFrame, wave: Long): DataFrame =
     scheduleDf.filter(col("next_due_wave") <= wave).select(col("url"))
 
+  /** Sitemap-lastmod staleness — the PUSH half of freshness ([[schedule]]
+    * extrapolates from observed change history; this consumes the host's
+    * own "page X changed at T" declaration, sitemaps.org `<lastmod>`,
+    * via [[graft.fetch.Sitemaps.entries]]). A URL is stale when the host
+    * says it changed after we last stored it (`modified`), or when we
+    * have never stored it at all (`unseen` — lastmod or not). A known URL
+    * whose entry carries NO lastmod is NOT stale by this signal — the
+    * host said nothing, so freshness falls back to [[schedule]]/[[due]].
+    *
+    * Scale shape: one max aggregate over observations (map-side
+    * combinable, O(urls) fixed width) + one equi-join against the entry
+    * list. Output joins straight into the refresh seed path
+    * (`Sources.revalidatingSeeds` / plain seeds); composed with S14
+    * revalidation the stale set re-fetches conditionally — lastmod is a
+    * hint, not a validator, so a lying sitemap still costs only headers.
+    *
+    * Inputs: `entries` (url, lastmod_ms — null when unstated),
+    * `obs` (url, stored_at_ms — e.g. [[observationsFromFetched]] output).
+    * Returns (url, lastmod_ms, last_seen_ms, reason ∈ modified|unseen). */
+  def staleByLastmod(entries: DataFrame, obs: DataFrame): DataFrame =
+    entries
+      .join(obs.groupBy(col("url"))
+          .agg(max(col("stored_at_ms")).as("last_seen_ms")),
+        Seq("url"), "left")
+      .filter(col("last_seen_ms").isNull ||
+        (col("lastmod_ms").isNotNull && col("lastmod_ms") > col("last_seen_ms")))
+      .select(col("url"), col("lastmod_ms"), col("last_seen_ms"),
+        when(col("last_seen_ms").isNull, lit("unseen"))
+          .otherwise(lit("modified")).as("reason"))
+
   /** Observation rows from a crawl's fetched table
     * ([[graft.engine.WaveEngine.fetchedTable]]): one
     * (url, wave, stored_at_ms, h) per successful page fetch, with `h` a

@@ -625,5 +625,46 @@ object QueriesD {
              |SELECT vec_id AS id, CAST(cluster AS BIGINT) AS cluster,
              |  round(ccos, 4) AS ccos, component, rk = 1 AS keep
              |FROM rk ORDER BY id""".stripMargin),
-      "SemDeDup: within-cluster semantic dedup, keep-the-outlier rule (SemDedup.semDedup)"))
+      "SemDeDup: within-cluster semantic dedup, keep-the-outlier rule (SemDedup.semDedup)"),
+
+    // ------------------------------------------------------------------
+    // q73: sitemap-lastmod staleness (Recrawl.staleByLastmod) — the
+    // host-published freshness signal. Entries: every doc, lastmod_ms =
+    // doc_id·100 except ids ≡ 3 (mod 4) which state none. Observations:
+    // ids ≢ 0 (mod 3) were stored, even ids BEFORE their lastmod (stale),
+    // odd ids after (fresh); two obs rows per url exercise the max.
+    // Expected: unseen = ids ≡ 0 (mod 3); modified = seen ∧ lastmod ∧
+    // even; fresh/no-signal rows excluded.
+    // ------------------------------------------------------------------
+    "q73_sitemap_stale" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val entries = docs.select(
+          concat(lit("u"), col("doc_id").cast("string")).as("url"),
+          when(col("doc_id") % 4 =!= 3, col("doc_id") * 100).as("lastmod_ms"))
+        val obs = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            explode(array(lit(0), lit(1))).as("k"))
+          .select(concat(lit("u"), col("doc_id").cast("string")).as("url"),
+            (col("doc_id") * 100 - lit(40) + col("k") * 20 +
+              (col("doc_id") % 2) * 100).as("stored_at_ms"))
+        graft.ops.Recrawl.staleByLastmod(entries, obs).orderBy(col("url"))
+      },
+      Some("""WITH entries AS (
+             |  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             |    CASE WHEN doc_id % 4 <> 3 THEN doc_id*100 END AS lastmod_ms
+             |  FROM documents),
+             |obs AS (
+             |  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             |    doc_id*100 - 40 + k.k*20 + (doc_id % 2)*100 AS stored_at_ms
+             |  FROM documents CROSS JOIN (VALUES (0),(1)) k(k)
+             |  WHERE doc_id % 3 <> 0),
+             |seen AS (SELECT url, max(stored_at_ms) AS last_seen_ms FROM obs GROUP BY 1)
+             |SELECT e.url, e.lastmod_ms, s.last_seen_ms,
+             |  CASE WHEN s.last_seen_ms IS NULL THEN 'unseen' ELSE 'modified' END AS reason
+             |FROM entries e LEFT JOIN seen s ON s.url = e.url
+             |WHERE s.last_seen_ms IS NULL
+             |   OR (e.lastmod_ms IS NOT NULL AND e.lastmod_ms > s.last_seen_ms)
+             |ORDER BY e.url""".stripMargin),
+      "sitemap-lastmod staleness: modified vs unseen vs no-signal (Recrawl.staleByLastmod)"))
 }

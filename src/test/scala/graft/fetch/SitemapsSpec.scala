@@ -39,8 +39,9 @@ class SitemapsSpec extends AnyFunSuite {
         |  <url><loc> https://h/q </loc></url>
         |  <url><priority>0.5</priority></url>
         |</urlset>""".stripMargin
-    assert(Sitemaps.parse(urlset) ==
-      Sitemaps.SitemapDoc(Seq("https://h/p?a=1&b=2", "https://h/q"), Nil))
+    assert(Sitemaps.parse(urlset) == Sitemaps.SitemapDoc(
+      Seq(Sitemaps.SitemapEntry("https://h/p?a=1&b=2", Some("2024-01-01")),
+        Sitemaps.SitemapEntry("https://h/q", None)), Nil))
 
     val index =
       """<sitemapindex>
@@ -51,7 +52,20 @@ class SitemapsSpec extends AnyFunSuite {
       Sitemaps.SitemapDoc(Nil, Seq("https://h/a.xml", "https://h/b.xml")))
 
     assert(Sitemaps.parse("<urlset><url><loc>https://h/ok</loc></url><url><loc>")
-      == Sitemaps.SitemapDoc(Seq("https://h/ok"), Nil)) // truncated tail dropped
+      == Sitemaps.SitemapDoc(
+        Seq(Sitemaps.SitemapEntry("https://h/ok", None)), Nil)) // truncated tail dropped
+  }
+
+  test("lastmodMs: the W3C datetime ladder; malformed -> None") {
+    assert(Sitemaps.lastmodMs("2024-01-01") == Some(1704067200000L))
+    assert(Sitemaps.lastmodMs("2024") == Some(1704067200000L))
+    assert(Sitemaps.lastmodMs("2024-01") == Some(1704067200000L))
+    // offset forms agree with the date at the matching instant
+    assert(Sitemaps.lastmodMs("2024-01-01T00:00:00Z") == Some(1704067200000L))
+    assert(Sitemaps.lastmodMs("2024-01-01T09:00:00+09:00") == Some(1704067200000L))
+    assert(Sitemaps.lastmodMs("2024-01-01T00:00:00.500Z") == Some(1704067200500L))
+    assert(Sitemaps.lastmodMs("yesterday").isEmpty)
+    assert(Sitemaps.lastmodMs("2024-13-01").isEmpty)
   }
 
   test("seeds: robots discovery -> index -> leaves, bounded and cycle-safe") {
@@ -150,5 +164,58 @@ class SitemapsSpec extends AnyFunSuite {
         .map((u: String) => u.substring(u.lastIndexOf('/')))
       assert(fetched == Set("/p1", "/p2", "/p3")) // sitemap seeds + link expansion
     } finally server.stop(0)
+  }
+
+  test("e2e lastmod freshness: only host-declared-changed + new pages re-crawl") {
+    import graft.engine.{NoFollow, SeedSpec}
+    import graft.ops.Recrawl
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val h = "f.example.jp"
+    def site(mapXml: String) = new MapFetcher(Map(
+      textDoc(s"https://$h/robots.txt", s"User-agent: *\nSitemap: https://$h/map.xml"),
+      textDoc(s"https://$h/map.xml", mapXml),
+      textDoc(s"https://$h/p1", "alpha"),
+      textDoc(s"https://$h/p2", "beta"),
+      textDoc(s"https://$h/p3", "gamma"),
+      textDoc(s"https://$h/p4", "delta")))
+    val v1 = site(
+      s"""<urlset>
+         |<url><loc>https://$h/p1</loc><lastmod>2024-01-01</lastmod></url>
+         |<url><loc>https://$h/p2</loc><lastmod>2024-01-02</lastmod></url>
+         |<url><loc>https://$h/p3</loc></url>
+         |</urlset>""".stripMargin)
+    val parsers: Map[String, graft.engine.PageParser] = Map("follow_links" -> NoFollow)
+    val e1 = new graft.engine.WaveEngine(spark, v1, parsers,
+      CrawlConfig(checkpointDir = SparkTestSession.tmpDir("lm1"),
+        hostBuckets = 2, fetchPartitions = 2))
+    e1.run(Sitemaps.seeds(v1, Seq(h)))
+    val obs = Recrawl.observationsFromFetched(e1.fetchedTable())
+      .select(col("url"), col("stored_at_ms"))
+
+    // the host republishes: p1's lastmod bumped past our store time, p2
+    // unchanged, p3 still silent, p4 brand new
+    val v2 = site(
+      s"""<urlset>
+         |<url><loc>https://$h/p1</loc><lastmod>2030-01-01</lastmod></url>
+         |<url><loc>https://$h/p2</loc><lastmod>2024-01-02</lastmod></url>
+         |<url><loc>https://$h/p3</loc></url>
+         |<url><loc>https://$h/p4</loc><lastmod>2030-01-01</lastmod></url>
+         |</urlset>""".stripMargin)
+    val entries = Sitemaps.entries(v2, Seq(h))
+      .map(e => (e.url, e.lastmod.flatMap(Sitemaps.lastmodMs)))
+      .toDF("url", "lastmod_ms")
+    val stale = Recrawl.staleByLastmod(entries, obs).cache()
+    assert(stale.select($"url".as[String], $"reason".as[String]).collect().toMap ==
+      Map(s"https://$h/p1" -> "modified", s"https://$h/p4" -> "unseen"))
+
+    // the refresh crawl fetches exactly the stale set
+    val e2 = new graft.engine.WaveEngine(spark, v2, parsers,
+      CrawlConfig(checkpointDir = SparkTestSession.tmpDir("lm2"),
+        hostBuckets = 2, fetchPartitions = 2))
+    e2.run(stale.select($"url".as[String]).collect().sorted.toSeq.map(u => SeedSpec(u)))
+    assert(e2.fetchedTable().select($"canonical".as[String]).collect().toSet ==
+      Set(s"https://$h/p1", s"https://$h/p4"))
+    stale.unpersist()
   }
 }

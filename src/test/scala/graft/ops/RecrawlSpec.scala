@@ -74,6 +74,27 @@ class RecrawlSpec extends AnyFunSuite {
     assert(Recrawl.due(df, 3).as[String].collect().toSet == Set("x", "y"))
   }
 
+  test("staleByLastmod: modified vs unseen vs no-signal vs fresh, hand-computed") {
+    val entries = Seq(
+      ("mod", Some(1000L)),   // seen at 900 < lastmod → modified
+      ("fresh", Some(1000L)), // seen at 1100 > lastmod → not stale
+      ("nosig", None),        // seen, host said nothing → not stale here
+      ("new", Some(500L)),    // never seen → unseen
+      ("newq", None)          // never seen, no lastmod → still unseen
+    ).toDF("url", "lastmod_ms")
+    val obs = Seq(
+      ("mod", 800L), ("mod", 900L), // max wins
+      ("fresh", 1100L), ("nosig", 5L)
+    ).toDF("url", "stored_at_ms")
+    val got = Recrawl.staleByLastmod(entries, obs)
+      .as[(String, Option[Long], Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      "mod" -> ((Some(900L), "modified")),
+      "new" -> ((None, "unseen")),
+      "newq" -> ((None, "unseen"))))
+  }
+
   test("e2e recrawl feedback: crawl → schedule across a refresh → only the changed subset is due and re-fetched") {
     import graft.engine._
     import graft.fetch.{SyntheticSite, VersionedSite}
