@@ -63,7 +63,11 @@ object Sitemaps {
         case _ => java.time.OffsetDateTime.parse(t).toInstant
       }
       Some(instant.toEpochMilli)
-    } catch { case _: java.time.format.DateTimeParseException => None }
+      // NonFatal, not just DateTimeParseException: a parseable-but-extreme
+      // year (ISO allows ±999999999) overflows toEpochMilli with an
+      // ArithmeticException — "malformed loses its signal, never the URL"
+      // must hold for hostile input too
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private val SitemapLine = "(?i)^sitemap\\s*:\\s*(\\S+)".r

@@ -158,24 +158,49 @@ object Ann {
     * explodes to one row per probed cluster. */
   private[graft] def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       cents: Column, keep: Int): DataFrame = {
-    val v = asDouble(col(vecCol))
-    // struct order (ccos, negc, cluster): lexicographic max = highest
-    // cosine, ties to the LOWEST cluster id (negc), matching the old
-    // window's (ccos desc, cluster asc)
-    val base = df.select(col(idCol), v.as("dv"))
-      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
-      .withColumn("scored", transform(cents, c =>
-        struct((dot(col("dv"), c.getField("cv")) / (col("dn") * c.getField("cn"))).as("ccos"),
-          (-c.getField("cluster")).as("negc"),
-          c.getField("cluster").as("cluster"))))
-    if (keep == 1)
-      base.select(col(idCol), array_max(col("scored")).getField("cluster").as("cluster"),
-        col("dv"), col("dn"))
-    else
-      base.select(col(idCol),
+    if (keep == 1) assignBest(df, idCol, vecCol, cents).drop("ccos")
+    else {
+      val v = asDouble(col(vecCol))
+      // struct order (ccos, negc, cluster): lexicographic max = highest
+      // cosine, ties to the LOWEST cluster id (negc), matching the old
+      // window's (ccos desc, cluster asc)
+      df.select(col(idCol), v.as("dv"))
+        .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+        .withColumn("scored", transform(cents, c =>
+          struct((dot(col("dv"), c.getField("cv")) / (col("dn") * c.getField("cn"))).as("ccos"),
+            (-c.getField("cluster")).as("negc"),
+            c.getField("cluster").as("cluster"))))
+        .select(col(idCol),
           explode(slice(reverse(array_sort(col("scored"))), 1, keep)).as("s"),
           col("dv"), col("dn"))
         .select(col(idCol), col("s.cluster").as("cluster"), col("dv"), col("dn"))
+    }
+  }
+
+  /** The keep-one assignment with the winning centroid-cosine kept in the
+    * output — (idCol, cluster, ccos, dv, dn). [[ivfAssign]]'s keep==1
+    * branch and [[SemDedup]]'s keep rule both run on this single
+    * implementation so the argmax/tie-break semantics cannot drift.
+    *
+    * try_divide, not `/`: a zero-norm vector (empty doc, failed embed)
+    * makes the cosine 0/0, which under ANSI mode (Spark 4 default) is a
+    * job-killing DIVIDE_BY_ZERO — one bad row must not take down a
+    * corpus-scale build. Its ccos comes back NULL (cosine to anything is
+    * undefined), which sorts below every real cosine in the argmax, so
+    * the row deterministically lands in the lowest cluster id. */
+  private[graft] def assignBest(df: DataFrame, idCol: String, vecCol: String,
+      cents: Column): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol), v.as("dv"))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+      .withColumn("best", array_max(transform(cents, c =>
+        struct(
+          try_divide(dot(col("dv"), c.getField("cv")),
+            col("dn") * c.getField("cn")).as("ccos"),
+          (-c.getField("cluster")).as("negc"),
+          c.getField("cluster").as("cluster")))))
+      .select(col(idCol), col("best.cluster").as("cluster"),
+        col("best.ccos").as("ccos"), col("dv"), col("dn"))
   }
 
   /** Coarse-quantizer centroids for [[ivfTopK]]: a deterministic

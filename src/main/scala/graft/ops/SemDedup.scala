@@ -44,25 +44,24 @@ object SemDedup {
       centroids: DataFrame, threshold: Double,
       maxClusterSize: Int = 10000): DataFrame = {
     val cents = Ann.centroidLiteral(centroids)
-    val v = col(vecCol).cast("array<double>")
 
-    // assignment + centroid cosine: a pure map over the scan (struct order
-    // (ccos, negc, cluster) makes array_max = highest cosine, ties to the
-    // lowest cluster id — identical to Ann.ivfAssign's rule)
-    val base = emb.select(col(idCol).as("id"), v.as("dv"))
-      .withColumn("dn", sqrt(Ann.dot(col("dv"), col("dv"))))
-      .withColumn("best", array_max(transform(cents, c =>
-        struct(
-          (Ann.dot(col("dv"), c.getField("cv")) / (col("dn") * c.getField("cn"))).as("ccos"),
-          (-c.getField("cluster")).as("negc"),
-          c.getField("cluster").as("cluster")))))
-      .select(col("id"), col("best.cluster").as("cluster"),
-        col("best.ccos").as("ccos"), col("dv"), col("dn"))
+    // assignment + centroid cosine: Ann.assignBest — the same pure-map
+    // literal-centroid argmax the IVF index build uses (one
+    // implementation, one tie-break rule)
+    val base = Ann.assignBest(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v", cents)
 
     // within-cluster candidate pairs — (cluster, id) rows only through the
     // join; the skew cap drops pair GENERATION for rows beyond
-    // maxClusterSize in id order (they stay in the corpus as keepers)
+    // maxClusterSize in id order (they stay in the corpus as keepers).
+    // Zero-norm vectors (empty doc, failed embed) are excluded here:
+    // their pair cosine is 0/0 — a job-killing DIVIDE_BY_ZERO under ANSI
+    // mode (Spark 4 default), and a cluster-chaining wildcard under
+    // non-ANSI NaN semantics (NaN compares greater than every double, so
+    // it passes any >= threshold test). They stay in the corpus as
+    // keep=true singletons with ccos NULL.
     val keys = base
+      .filter(col("dn") > 0.0)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("id"))))
       .filter(col("rn") <= maxClusterSize)

@@ -574,7 +574,11 @@ object QueriesD {
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
           .withColumn("cn", sqrt(graft.ops.Ann.dot(col("cv"), col("cv"))))
-        graft.ops.SemDedup.semDedup(corpus, "vec_id", "v", cents, threshold = 0.98)
+        // uncapped: the oracle mines ALL within-cluster pairs, so the
+        // engine must too — the skew cap's conservative drop semantics
+        // are pinned separately in SemDedupSpec
+        graft.ops.SemDedup.semDedup(corpus, "vec_id", "v", cents,
+          threshold = 0.98, maxClusterSize = Int.MaxValue)
           .select(col("id"), col("cluster").cast("long").as("cluster"),
             round(col("ccos"), 4).as("ccos"), col("component"), col("keep"))
           .orderBy(col("id"))

@@ -191,16 +191,21 @@ class SitemapsSpec extends AnyFunSuite {
         hostBuckets = 2, fetchPartitions = 2))
     e1.run(Sitemaps.seeds(v1, Seq(h)))
     val obs = Recrawl.observationsFromFetched(e1.fetchedTable())
-      .select(col("url"), col("stored_at_ms"))
+      .select(col("url"), col("stored_at_ms")).cache()
 
-    // the host republishes: p1's lastmod bumped past our store time, p2
-    // unchanged, p3 still silent, p4 brand new
+    // the host republishes: p1's lastmod bumped past our store time
+    // (derived from the OBSERVED store times, not a fixed future date —
+    // a hard-coded year would make this test a time bomb), p2 unchanged,
+    // p3 still silent, p4 brand new
+    val bumped = java.time.Instant.ofEpochMilli(
+      obs.agg(org.apache.spark.sql.functions.max($"stored_at_ms"))
+        .head.getLong(0) + 1000L).toString
     val v2 = site(
       s"""<urlset>
-         |<url><loc>https://$h/p1</loc><lastmod>2030-01-01</lastmod></url>
+         |<url><loc>https://$h/p1</loc><lastmod>$bumped</lastmod></url>
          |<url><loc>https://$h/p2</loc><lastmod>2024-01-02</lastmod></url>
          |<url><loc>https://$h/p3</loc></url>
-         |<url><loc>https://$h/p4</loc><lastmod>2030-01-01</lastmod></url>
+         |<url><loc>https://$h/p4</loc><lastmod>$bumped</lastmod></url>
          |</urlset>""".stripMargin)
     val entries = Sitemaps.entries(v2, Seq(h))
       .map(e => (e.url, e.lastmod.flatMap(Sitemaps.lastmodMs)))
@@ -216,6 +221,6 @@ class SitemapsSpec extends AnyFunSuite {
     e2.run(stale.select($"url".as[String]).collect().sorted.toSeq.map(u => SeedSpec(u)))
     assert(e2.fetchedTable().select($"canonical".as[String]).collect().toSet ==
       Set(s"https://$h/p1", s"https://$h/p4"))
-    stale.unpersist()
+    stale.unpersist(); obs.unpersist()
   }
 }

@@ -57,6 +57,25 @@ class SemDedupSpec extends AnyFunSuite {
     assert(verdicts.map(_._4).toSet == Set(0L)) // one component = min id 0
   }
 
+  test("zero-norm vectors never pair (NaN cosine) — kept as singletons, cluster intact") {
+    // without the dn > 0 guard, the zero vector's NaN cosine passes the
+    // >= threshold test against EVERY row in its cluster (NaN compares
+    // greater than any double in Spark SQL) and chains the whole cluster
+    // into one component
+    val withZero = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.92, 0.39)),  // distinct from 1 (cos ≈ 0.92 < 0.99)
+      (3L, Seq(0.0, 0.0))     // failed embed
+    ).toDF("id", "v")
+    val rows = SemDedup.semDedup(withZero, "id", "v", cents, threshold = 0.99)
+      .as[(Long, Int, Option[Double], Long, Boolean)].collect()
+    val got = rows.map(r => r._1 -> ((r._4, r._5))).toMap
+    // nobody paired: three singleton components, everyone kept
+    assert(got(1L) == ((1L, true)) && got(2L) == ((2L, true)) && got(3L) == ((3L, true)))
+    // the zero vector's centroid cosine is undefined → NULL, never a crash
+    assert(rows.find(_._1 == 3L).get._3.isEmpty)
+  }
+
   test("cross-cluster near-dups are NOT paired (the SemDeDup trade, by design)") {
     // two near-identical vectors straddling the decision boundary land in
     // different clusters → never compared; both survive
