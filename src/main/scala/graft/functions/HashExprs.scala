@@ -136,6 +136,22 @@ object HashImpl {
     distinctInOrder(hs, cnt)
   }
 
+  /** ALL polynomial shingle hashes, position order, duplicates kept — the
+    * occurrence-counting twin of [[polyShingleHashes]] (DSIR-style hashed
+    * n-gram features need counts, not presence). */
+  def polyShingleHashesAll(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val hs = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) { hs(i) = polyHashShingle(toks, i, n); i += 1 }
+    new GenericArrayData(hs)
+  }
+
   /** Distinct xxhash64 (seed 42, Spark-compatible) of space-joined word
     * n-gram shingles, first-occurrence order. */
   def xxShingleHashes(arr: ArrayData, n: Int): ArrayData = {
@@ -276,6 +292,21 @@ case class PolyShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** [[PolyShingleHashes]] without the distinct: every shingle occurrence,
+  * position order (the counting form — DSIR hashed n-gram features). */
+case class PolyShingleHashesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_shingle_hashes_all"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.polyShingleHashesAll(input.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.polyShingleHashesAll($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): PolyShingleHashesAll =
+    copy(child = newChild)
+}
+
 /** Distinct xxhash64 of word n-gram shingles of a token array (production
   * 64-bit variant; seed-42 compatible with Spark's xxhash64). */
 case class PolyWindowHashes(child: Expression, n: Int)
@@ -378,6 +409,8 @@ object HashFns {
   def polyHash(c: Column): Column = ColumnBridge.column(PolyHash(ex(c)))
   def polyShingleHashes(tokens: Column, n: Int = 3): Column =
     ColumnBridge.column(PolyShingleHashes(ex(tokens), n))
+  def polyShingleHashesAll(tokens: Column, n: Int = 3): Column =
+    ColumnBridge.column(PolyShingleHashesAll(ex(tokens), n))
   def xxShingleHashes(tokens: Column, n: Int = 3): Column =
     ColumnBridge.column(XxShingleHashes(ex(tokens), n))
   def polyWindowHashes(tokens: Column, n: Int): Column =

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * DSIR-style data selection — importance resampling of a raw corpus
+ * toward a target distribution (Xie et al. 2023, "Data Selection for
+ * Language Models via Importance Resampling", arXiv:2302.03169). The
+ * standard way a 100 TB crawl is narrowed to a training mix: featurize
+ * documents as hashed n-gram counts, fit two bag-of-buckets unigram
+ * models (target corpus vs raw corpus), weight each raw document by its
+ * log-likelihood ratio, and resample with Gumbel-top-k.
+ *
+ * Everything is deterministic and engine-portable (the oracle recomputes
+ * the pipeline): shingles hash with the portable polynomial hash
+ * ([[graft.functions.HashImpl.polyHash]]'s documented DuckDB twin),
+ * Gumbel noise derives from a hash of the document id rather than an
+ * RNG, and per-document log-ratio sums fold in bucket order so
+ * floating-point addition order is identical everywhere.
+ *
+ * Scale shape (the whole point of DSIR — it is linear):
+ *  - [[features]]: one map-side-combinable groupBy over (id, bucket)
+ *    rows; the n-gram hashing is one native loop per document inside
+ *    the scan; nothing else ever touches text.
+ *  - [[bucketLogRatios]]: two O(nBuckets) aggregate planes (map-side
+ *    partials) + one O(nBuckets) frame — broadcast-sized by
+ *    construction (buckets are a config constant, never data-scale).
+ *  - [[importanceWeights]]: features ⋈ broadcast ratio plane, then one
+ *    groupBy(id) with a bucket-ORDERED fold — O(corpus n-grams) rows of
+ *    fixed width, one exchange keyed by id.
+ *  - [[select]]: Gumbel-perturbed top-k = TakeOrderedAndProject
+ *    (per-partition heaps + driver merge), never a global sort.
+ */
+object Dsir {
+
+  /** Hashed n-gram occurrence counts: (id, bucket, cnt). `bucket` =
+    * polyHash(space-joined n-gram) mod nBuckets — every OCCURRENCE
+    * counts (PolyShingleHashesAll, not the distinct dedup form). */
+  def features(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, nBuckets: Int = 4096): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.HashFns.polyShingleHashesAll(
+          split(trim(col(textCol)), "\\s+"), n)).as("h"))
+      .select(col("id"), pmod(col("h"), lit(nBuckets.toLong)).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-bucket importance log-ratio w[b] = ln(p_target[b] / p_raw[b]),
+    * both models Laplace-smoothed with `alpha` over `nBuckets` buckets
+    * (a bucket unseen in either corpus still gets a finite ratio).
+    * Output: one row per bucket 0..nBuckets-1 — broadcast-sized. */
+  def bucketLogRatios(targetFeatures: DataFrame, rawFeatures: DataFrame,
+      nBuckets: Int, alpha: Double = 1.0): DataFrame = {
+    val spark = targetFeatures.sparkSession
+    def plane(f: DataFrame, cntName: String) =
+      f.groupBy(col("bucket")).agg(sum(col("cnt")).as(cntName))
+    val all = spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(plane(targetFeatures, "ct"), Seq("bucket"), "left")
+      .join(plane(rawFeatures, "cr"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    // the totals are two scalars — one tiny aggregate each, then literal
+    val Array(tt, tr) = {
+      val t = all.agg(sum(col("ct")), sum(col("cr"))).head()
+      Array(t.getLong(0), t.getLong(1))
+    }
+    val denomT = tt + alpha * nBuckets
+    val denomR = tr + alpha * nBuckets
+    all.select(col("bucket"),
+      (log((col("ct") + alpha) / denomT) - log((col("cr") + alpha) / denomR))
+        .as("w"))
+  }
+
+  /** Per-document importance weight: sum over the document's buckets of
+    * cnt·w[bucket], folded in ASCENDING BUCKET ORDER (collect → sort →
+    * fold) so the double-precision sum is order-deterministic — the same
+    * value on any partitioning, and bit-identical to the oracle's
+    * ordered list_reduce. Documents with no n-grams (shorter than n
+    * tokens) are absent; treat missing as weight 0 downstream. */
+  def importanceWeights(rawFeatures: DataFrame, ratios: DataFrame): DataFrame =
+    rawFeatures
+      .join(broadcast(ratios), Seq("bucket"))
+      .select(col("id"), col("bucket"), (col("cnt") * col("w")).as("contrib"))
+      .groupBy(col("id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
+          e => e.getField("contrib")),
+        lit(0.0), (acc, x) => acc + x).as("weight"))
+
+  /** Deterministic Gumbel(0,1) noise from the id itself: u =
+    * (polyHash(id) + 0.5) / P, g = -ln(-ln(u)). A hash stands in for the
+    * RNG so selection is reproducible and oracle-checkable; the id mixes
+    * through the same portable polynomial hash as the features. */
+  def gumbel(id: Column): Column = {
+    val u = (graft.functions.HashFns.polyHash(id.cast("string")) + lit(0.5)) /
+      lit(1000000007.0)
+    -log(-log(u))
+  }
+
+  /** Gumbel-top-k importance resampling: keep the k raw documents with
+    * the highest (weight + gumbel(id)) — equivalent to sampling k items
+    * without replacement with probability ∝ exp(weight), i.e. the
+    * importance-resampling step of DSIR, derandomized. Returns
+    * (id, weight, score) for the selected rows, score descending. */
+  def select(weights: DataFrame, k: Int): DataFrame =
+    weights
+      .select(col("id"), col("weight"),
+        (col("weight") + gumbel(col("id"))).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+
+  /** The composed pipeline: featurize both corpora, fit ratios, weight
+    * the raw side, select k. */
+  def dsirSelect(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, k: Int, n: Int = 2, nBuckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    val tf = features(target, idCol, textCol, n, nBuckets)
+    val rf = features(raw, idCol, textCol, n, nBuckets)
+    val ratios = bucketLogRatios(tf, rf, nBuckets, alpha)
+    select(importanceWeights(rf, ratios), k)
+  }
+}

@@ -670,5 +670,59 @@ object QueriesD {
              |WHERE s.last_seen_ms IS NULL
              |   OR (e.lastmod_ms IS NOT NULL AND e.lastmod_ms > s.last_seen_ms)
              |ORDER BY e.url""".stripMargin),
-      "sitemap-lastmod staleness: modified vs unseen vs no-signal (Recrawl.staleByLastmod)"))
+      "sitemap-lastmod staleness: modified vs unseen vs no-signal (Recrawl.staleByLastmod)"),
+
+    // ------------------------------------------------------------------
+    // q74: DSIR importance resampling (Dsir.dsirSelect, Xie et al. 2023)
+    // — target = docs with doc_id ≡ 0 (mod 9), raw = the rest; hashed
+    // word-bigram counts into 512 buckets (portable poly hash), Laplace
+    // α = 1, Gumbel-top-50 with hash-derived noise. The oracle recomputes
+    // the WHOLE pipeline; per-doc sums fold in bucket order on both
+    // sides, so the doubles are bit-identical, not approximately equal.
+    // ------------------------------------------------------------------
+    "q74_dsir_select" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.ops.Dsir.dsirSelect(
+            docs.filter(col("doc_id") % 9 === 0),
+            docs.filter(col("doc_id") % 9 =!= 0),
+            "doc_id", "text", k = 50, n = 2, nBuckets = 512)
+          .select(col("id"), round(col("weight"), 6).as("weight"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+      },
+      Some {
+        def sh(src: String) =
+          s"""SELECT doc_id, unnest(list_filter(
+             |    list_transform(ts, (x, i) -> CASE WHEN i + 1 <= len(ts)
+             |      THEN x || ' ' || ts[i+1] END), s -> s IS NOT NULL)) AS sh
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+             |        FROM documents WHERE $src)""".stripMargin
+        s"""WITH shT AS (${sh("doc_id % 9 = 0")}),
+           |shR AS (${sh("doc_id % 9 <> 0")}),
+           |fT AS (SELECT ${QueriesB.polyHashSql("sh")} % 512 AS bucket, count(*) AS ct
+           |       FROM shT GROUP BY 1),
+           |fR AS (SELECT doc_id, ${QueriesB.polyHashSql("sh")} % 512 AS bucket,
+           |         count(*) AS cnt
+           |       FROM shR GROUP BY 1, 2),
+           |pR AS (SELECT bucket, sum(cnt) AS cr FROM fR GROUP BY 1),
+           |tots AS (SELECT (SELECT coalesce(sum(ct), 0) FROM fT) AS tt,
+           |                (SELECT coalesce(sum(cr), 0) FROM pR) AS tr),
+           |contrib AS (
+           |  SELECT f.doc_id, f.bucket,
+           |    f.cnt * (ln((coalesce(ft.ct, 0) + 1.0) / (tots.tt + 512.0))
+           |           - ln((coalesce(pr.cr, 0) + 1.0) / (tots.tr + 512.0))) AS c
+           |  FROM fR f LEFT JOIN fT ft USING (bucket)
+           |            LEFT JOIN pR pr USING (bucket) CROSS JOIN tots),
+           |wts AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list(c ORDER BY bucket)), (a, b) -> a + b) AS weight
+           |        FROM contrib GROUP BY doc_id),
+           |scored AS (SELECT doc_id AS id, weight,
+           |    weight + (-ln(-ln((${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} + 0.5)
+           |      / 1000000007.0))) AS score
+           |  FROM wts)
+           |SELECT id, round(weight, 6) AS weight, round(score, 6) AS score
+           |FROM scored ORDER BY score DESC, id LIMIT 50""".stripMargin
+      },
+      "DSIR importance resampling: hashed-bigram LLR weights + Gumbel-top-k (Dsir.dsirSelect)"))
 }

@@ -204,6 +204,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
   }
 
+  test("DSIR selection: ratio plane broadcasts, top-k is TakeOrdered, never a cartesian") {
+    val q = graft.SparkEntry.queries("q74_dsir_select")(spark, sf)
+    val p = executed(q)
+    val names = treeNames(p)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    // the O(nBuckets) ratio plane must reach the weight join as a
+    // broadcast — a shuffled join there would exchange the whole corpus
+    // n-gram plane twice
+    assert(names.exists(_.contains("BroadcastHashJoin")), names.distinct)
+    // Gumbel-top-k = per-partition heaps + driver merge, never a global sort
+    assert(names.exists(_.contains("TakeOrderedAndProject")), names.distinct)
+  }
+
   test("revalidation plan: one aggregate + one equi-join, never a cartesian") {
     val q = graft.SparkEntry.queries("q71_revalidate_plan")(spark, sf)
     val names = treeNames(executed(q))
