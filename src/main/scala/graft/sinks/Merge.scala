@@ -352,13 +352,50 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     f.delete(): Unit
   }
 
-  /** K3 — delete rows matching `pred`, then insert `replacements`. */
+  /** K3 — delete rows matching `pred`, then insert `replacements`. An
+    * arbitrary predicate can match anything, so this is a full-table
+    * rewrite by construction; when the delete set is keyed by the bucket
+    * column — the reference's actual shape — use [[replaceForKeys]],
+    * which touches O(batch's buckets). */
   def deleteThenInsert(pred: Column, replacements: DataFrame): Int = {
     val bucketCol = inferBucketCol(replacements.columns)
     val kept = if (exists) read().filter(!pred) else replacements.limit(0)
     commit(kept.unionByName(replacements, allowMissingColumns = true),
       bucketCol, replaceAll)
   }
+
+  /** K3, keyed — replace the full row set of the given bucket-column
+    * keys: every current row whose key appears in `keys` is deleted and
+    * `replacements` inserted, reading and rewriting ONLY the buckets the
+    * keys (and replacements) hash into — the reference's delete_old_urls
+    * (delete by entity-key set, re-insert fresh rows,
+    * crawler/spiders/__init__.py:110-115) is exactly this shape, and at
+    * the 10^8-row design point it must not cost a table rewrite the way
+    * [[deleteThenInsert]]'s arbitrary predicate does. A touched bucket
+    * the delete empties is cleared in the manifest even though the
+    * commit wrote no file for it; untouched buckets keep their files
+    * byte-identical. */
+  def replaceForKeys(keys: DataFrame, replacements: DataFrame): Int =
+    if (!exists)
+      commit(replacements, inferBucketCol(replacements.columns), replaceTouched)
+    else {
+      val m = readManifest(currentVersion)
+      val keyCol = m.bucketCol
+      require(keys.columns.contains(keyCol),
+        s"keys must carry the table's bucket column '$keyCol'")
+      val touched = keys.select(bucketOf(col(keyCol), m.nBuckets).as("b"))
+        .unionByName(replacements.select(bucketOf(col(keyCol), m.nBuckets).as("b")))
+        .distinct().collect().map(_.getLong(0).toInt)
+      val paths = bucketPaths(m, touched)
+      val kept =
+        if (paths.isEmpty) read().limit(0)
+        else readPaths(paths)
+          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      val touchedSet = touched.toSet
+      commit(kept.unionByName(replacements, allowMissingColumns = true), keyCol,
+        (prev, written, v) =>
+          prev ++ touchedSet.map(_ -> (Nil: Seq[Int])) ++ written.map(_ -> Seq(v)))
+    }
 
   /** Plain append (text-doc index K5) — fast-append: writes only the new
     * rows; prior data files are untouched. */

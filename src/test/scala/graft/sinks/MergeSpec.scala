@@ -156,6 +156,37 @@ class MergeSpec extends AnyFunSuite {
     assert(ids == Set("Url:9", "Url:2", "Url:3"))
   }
 
+  test("K3 keyed replace rewrites only the keys' buckets; a bucket emptied by the delete clears") {
+    val dir = SparkTestSession.tmpDir("dti-keyed")
+    val t = new SnapshotTable(spark, dir, nBuckets = 8)
+    t.merge((1 to 64).map(i => (s"Url:$i", s"name$i")).toDF("id", "name"))
+    val v1Files = Option(new java.io.File(s"$dir/data/v1").listFiles()).get
+      .filter(_.isDirectory)
+      .map(d => d.getName -> Option(d.listFiles()).get.map(_.getName).toSet).toMap
+    assert(v1Files.size > 1)
+
+    // replace Url:7's row set with a fresh row + a brand-new key
+    t.replaceForKeys(Seq("Url:7").toDF("id"),
+      Seq(("Url:7", "renamed7"), ("Url:999", "name999")).toDF("id", "name"))
+    val rows = t.read().as[(String, String)].collect().toMap
+    assert(rows.size == 65 && rows("Url:7") == "renamed7" && rows("Url:999") == "name999")
+    assert(rows("Url:8") == "name8")
+    // untouched buckets: v1 files byte-listing-identical
+    val touched = Seq("Url:7", "Url:999")
+      .map(k => graft.urls.UrlCanon.urlHash(k) % 8).map(b => s"_bucket=${(b + 8) % 8}").toSet
+    v1Files.keys.filterNot(touched).foreach { b =>
+      val now = Option(new java.io.File(s"$dir/data/v1/$b").listFiles()).get.map(_.getName).toSet
+      assert(now == v1Files(b), s"v1 files of untouched $b changed")
+    }
+
+    // delete-only replace that empties a whole bucket: single-id table
+    val t2 = new SnapshotTable(spark, SparkTestSession.tmpDir("dti-empty"), nBuckets = 4)
+    t2.merge(Seq(("Url:1", "x"), ("Url:2", "y")).toDF("id", "name"))
+    t2.replaceForKeys(Seq("Url:1").toDF("id"),
+      spark.emptyDataset[(String, String)].toDF("id", "name"))
+    assert(t2.read().as[(String, String)].collect().toMap == Map("Url:2" -> "y"))
+  }
+
   test("K4 existence gate keeps only rows with a live parent") {
     val parents = Seq("Minutes:1", "Minutes:2").toDF("id")
     val updates = Seq(("Url:1", "Minutes:1"), ("Url:2", "Minutes:9")).toDF("id", "minutes_id")
