@@ -53,24 +53,29 @@ object Dsir {
   def bucketLogRatios(targetFeatures: DataFrame, rawFeatures: DataFrame,
       nBuckets: Int, alpha: Double = 1.0): DataFrame = {
     val spark = targetFeatures.sparkSession
+    import spark.implicits._
     def plane(f: DataFrame, cntName: String) =
       f.groupBy(col("bucket")).agg(sum(col("cnt")).as(cntName))
-    val all = spark.range(nBuckets).select(col("id").as("bucket"))
-      .join(plane(targetFeatures, "ct"), Seq("bucket"), "left")
-      .join(plane(rawFeatures, "cr"), Seq("bucket"), "left")
+    // ONE action evaluates both feature planes; everything after is
+    // driver arithmetic over nBuckets rows. (A lazy-DF formulation costs
+    // the expensive featurization once for the totals aggregate and
+    // again for every consumer of the returned frame.)
+    val counts = new Array[(Long, Long)](nBuckets)
+    java.util.Arrays.fill(counts.asInstanceOf[Array[AnyRef]], (0L, 0L))
+    plane(targetFeatures, "ct")
+      .join(plane(rawFeatures, "cr"), Seq("bucket"), "full_outer")
       .select(col("bucket"),
-        coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
-    // the totals are two scalars — one tiny aggregate each, then literal
-    val Array(tt, tr) = {
-      val t = all.agg(sum(col("ct")), sum(col("cr"))).head()
-      Array(t.getLong(0), t.getLong(1))
-    }
+        coalesce(col("ct"), lit(0L)), coalesce(col("cr"), lit(0L)))
+      .collect()
+      .foreach(r => counts(r.getLong(0).toInt) = (r.getLong(1), r.getLong(2)))
+    val tt = counts.iterator.map(_._1).sum
+    val tr = counts.iterator.map(_._2).sum
     val denomT = tt + alpha * nBuckets
     val denomR = tr + alpha * nBuckets
-    all.select(col("bucket"),
-      (log((col("ct") + alpha) / denomT) - log((col("cr") + alpha) / denomR))
-        .as("w"))
+    counts.iterator.zipWithIndex.map { case ((ct, cr), b) =>
+      (b.toLong,
+        math.log((ct + alpha) / denomT) - math.log((cr + alpha) / denomR))
+    }.toSeq.toDF("bucket", "w")
   }
 
   /** Per-document importance weight: sum over the document's buckets of
@@ -117,8 +122,14 @@ object Dsir {
       textCol: String, k: Int, n: Int = 2, nBuckets: Int = 4096,
       alpha: Double = 1.0): DataFrame = {
     val tf = features(target, idCol, textCol, n, nBuckets)
-    val rf = features(raw, idCol, textCol, n, nBuckets)
-    val ratios = bucketLogRatios(tf, rf, nBuckets, alpha)
-    select(importanceWeights(rf, ratios), k)
+    // the raw feature plane is read twice (ratio fit + weights) — cache
+    // it across the two, release after the eager top-k materializes
+    // (localCheckpoint: the returned k rows stand alone, so the caller
+    // never silently re-runs the whole featurization)
+    val rf = features(raw, idCol, textCol, n, nBuckets).cache()
+    try {
+      val ratios = bucketLogRatios(tf, rf, nBuckets, alpha)
+      select(importanceWeights(rf, ratios), k).localCheckpoint(true)
+    } finally rf.unpersist(blocking = false)
   }
 }

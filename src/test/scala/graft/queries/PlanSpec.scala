@@ -205,7 +205,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("DSIR selection: ratio plane broadcasts, top-k is TakeOrdered, never a cartesian") {
-    val q = graft.SparkEntry.queries("q74_dsir_select")(spark, sf)
+    // the composed dsirSelect localCheckpoints its k rows (so callers
+    // can't re-trigger the featurization) — pin the shape of the
+    // underlying pipeline the checkpoint materializes
+    val tf = graft.ops.Dsir.features(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 9 === 0),
+      "doc_id", "text", n = 2, nBuckets = 512)
+    val rf = graft.ops.Dsir.features(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 9 =!= 0),
+      "doc_id", "text", n = 2, nBuckets = 512)
+    val ratios = graft.ops.Dsir.bucketLogRatios(tf, rf, nBuckets = 512)
+    val q = graft.ops.Dsir.select(
+      graft.ops.Dsir.importanceWeights(rf, ratios), 50)
     val p = executed(q)
     val names = treeNames(p)
     assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
