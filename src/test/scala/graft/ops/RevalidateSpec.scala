@@ -167,6 +167,37 @@ class RevalidateSpec extends AnyFunSuite {
       .select($"canonical".as[String]).collect().toSet == changed)
   }
 
+  test("S11 x S14 composition: fresh cache hits skip the network; stale-cache misses revalidate") {
+    import graft.engine._
+    import graft.fetch.{SyntheticSite, VersionedSite}
+    val inner = SyntheticSite(nHosts = 2, basePagesPerHost = 4, branching = 2, hotFactor = 2)
+    val ck1 = graft.SparkTestSession.tmpDir("rvc1")
+    val e1 = new WaveEngine(spark, VersionedSite(inner, 1),
+      Map[String, PageParser]("follow_links" -> FollowAllLinks),
+      CrawlConfig(checkpointDir = ck1, hostBuckets = 4, fetchPartitions = 2))
+    e1.run((0 until 2).map(k => SeedSpec(inner.pageUrl(k, 0))))
+    val allUrls = e1.fetchedTable().select($"canonical".as[String])
+      .distinct().collect().toSeq.sorted
+    def refresh(tag: String, ttlSec: Long) = {
+      val e = new WaveEngine(spark, VersionedSite(inner, 1), // content UNCHANGED
+        Map[String, PageParser]("follow_links" -> NoFollow),
+        CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir(tag),
+          hostBuckets = 4, fetchPartitions = 2,
+          fetchCacheDir = Some(s"$ck1/fetched"), cacheTtlSec = ttlSec,
+          revalidateFrom = Some(s"$ck1/fetched")))
+      e.run(allUrls.map(u => SeedSpec(u)))
+      e.fetchedTable()
+    }
+    // fresh cache: every row served from cache, zero conditional fetches
+    val hot = refresh("rvc2", ttlSec = 3600)
+    assert(hot.filter($"from_cache" === false).count() == 0)
+    assert(hot.filter($"status" === 304).count() == 0)
+    // expired cache: every row misses, revalidates, and 304s (unchanged)
+    val cold = refresh("rvc3", ttlSec = 0)
+    assert(cold.filter($"from_cache" === true).count() == 0)
+    assert(cold.filter($"status" =!= 304).count() == 0)
+  }
+
   test("resolve: duplicate prior copies collapse to the latest (wave, seq)") {
     // minimal fetched-table-shaped frames: canonical/status/wave/seq/doc_id/spans
     val prior = Seq(
