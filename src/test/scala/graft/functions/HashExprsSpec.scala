@@ -67,6 +67,29 @@ class HashExprsSpec extends AnyFunSuite {
     assert(f == s)
   }
 
+  test("PolyShingleHashesAll == polyHash over ALL shingle occurrences, position order") {
+    // the counting twin (DSIR features): duplicates kept, position order
+    def allShingles(ts: Column, n: Int): Column = filter(
+      transform(ts, (x, i) =>
+        when(i <= size(ts) - n,
+          concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*))
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+    for (n <- Seq(2, 3)) {
+      val fast = sampleDf.select(col("doc_id"),
+        HashFns.polyShingleHashesAll(toks(col("text")), n).as("hs"))
+      val slow = sampleDf.select(col("doc_id"),
+        transform(allShingles(toks(col("text")), n), sh => oldPolyHash(sh)).as("hs"))
+      assert(fast.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap ==
+        slow.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap, s"n=$n")
+    }
+    // and distinct-in-order of ALL == the distinct shingler
+    val both = sampleDf.select(
+      array_distinct(HashFns.polyShingleHashesAll(toks(col("text")), 3)).as("a"),
+      HashFns.polyShingleHashes(toks(col("text")), 3).as("d")).collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("XxShingleHashes == xxhash64 over concat_ws of token windows") {
     def oldXx(ts: Column, n: Int): Column = array_distinct(filter(
       transform(ts, (x, i) =>
