@@ -427,20 +427,28 @@ object Dedup {
     out
   }
 
+  /** Production MinHash LSH band rows (idCol, band, bv) — the shared
+    * banding of [[lshIncremental]] and [[Splits.crossSplitLeakPairs]]:
+    * `numHashes` signature columns folded into `bands` xxhash64 band
+    * values. */
+  def bandValues(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = minhashSignature(df, idCol, textCol, numHashes)
+    sig.select(col(idCol), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",", (0 until rows).map(r => $(s"m${b * rows + r}")): _*)).as("bv"))): _*)).as("x"))
+      .select(col(idCol), col("x.band"), col("x.bv"))
+  }
+
   /** [[lshIncrementalFor]] with the production MinHash banding
     * ([[minhashSignature]], xxhash64 shingles). */
   def lshIncremental(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String, indexRoot: String,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
-    val sig = minhashSignature(batch, idCol, textCol, numHashes)
-    val banded = sig.select(col(idCol), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",", (0 until rows).map(r => $(s"m${b * rows + r}")): _*)).as("bv"))): _*)).as("x"))
-      .select(col(idCol), col("x.band"), col("x.bv"))
-    lshIncrementalFor(spark, batch.select(col(idCol)), banded, idCol, indexRoot)
-  }
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshIncrementalFor(spark, batch.select(col(idCol)),
+      bandValues(batch, idCol, textCol, numHashes, bands), idCol, indexRoot)
 
   /** SimHash near-dup pairs from text: 64-bit xxhash SimHash + pigeonhole
     * blocking (block count derived from `maxHamming`), verified distance. */

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Queries.Q
+
+/**
+ * Query batch E: round-4 continuation ops. Inputs are synthesized
+ * deterministically from `documents` / `embeddings` with arithmetic
+ * both engines express identically (BASELINE.json: no external data).
+ */
+object QueriesE {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Map[String, Q] = Map(
+
+    // ------------------------------------------------------------------
+    // q75: CCNet-style perplexity scoring (Perplexity.scoreNll, Wenzek
+    // et al. 2020) — reference corpus = docs with doc_id ≡ 0 (mod 7),
+    // scored corpus = the rest; hashed bucket-bigram LM over 256 buckets
+    // (portable poly hash), Laplace α = 1. The oracle recomputes the
+    // WHOLE pipeline — tokenize, hash, count, smooth, ordered fold — so
+    // the per-doc mean NLL doubles are bit-identical, not approximate.
+    // ------------------------------------------------------------------
+    "q75_ccnet_perplexity" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nB = 256
+        val model = graft.ops.Perplexity.bigramModel(
+          graft.ops.Perplexity.bigramFeatures(
+            docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", nB))
+        graft.ops.Perplexity.scoreNll(
+            graft.ops.Perplexity.bigramFeatures(
+              docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", nB),
+            model, nB)
+          .select(col("id"), col("n_scored"),
+            round(col("nll"), 6).as("nll"), round(col("ppl"), 6).as("ppl"))
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, list_transform(
+             |    string_split_regex(trim(text), '\\s+'),
+             |    t -> ${QueriesB.polyHashSql("t")} % 256) AS bk
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT doc_id,
+             |    unnest(bk[1:len(bk)-1]) AS pb,
+             |    unnest(bk[2:len(bk)]) AS cb
+             |  FROM tok WHERE len(bk) >= 2),
+             |fC AS (SELECT doc_id, pb, cb, count(*) AS cnt
+             |       FROM pairs WHERE doc_id % 7 <> 0 GROUP BY 1, 2, 3),
+             |big AS (SELECT pb, cb, count(*) AS c2
+             |        FROM pairs WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+             |ctx AS (SELECT pb, sum(c2) AS c1 FROM big GROUP BY 1),
+             |contrib AS (
+             |  SELECT f.doc_id, f.pb, f.cb, f.cnt,
+             |    f.cnt * (ln(coalesce(c.c1, 0) + 256.0)
+             |           - ln(coalesce(b.c2, 0) + 1.0)) AS c
+             |  FROM fC f LEFT JOIN big b USING (pb, cb)
+             |            LEFT JOIN ctx c USING (pb)),
+             |agg AS (
+             |  SELECT doc_id AS id, CAST(sum(cnt) AS BIGINT) AS n_scored,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(c ORDER BY pb, cb)), (a, b) -> a + b) AS s
+             |  FROM contrib GROUP BY doc_id)
+             |SELECT id, n_scored, round(s / n_scored, 6) AS nll,
+             |  round(exp(s / n_scored), 6) AS ppl
+             |FROM agg ORDER BY id""".stripMargin),
+      "CCNet-style hashed-bigram LM perplexity scoring (Perplexity.scoreNll)"),
+
+    // ------------------------------------------------------------------
+    // q76: deterministic split + cross-split near-dup leakage guard
+    // (Splits, GPT-3/Pile decontamination direction) — 70/30 hash split
+    // of `documents`, portable MinHash banding (q26's 8-perm/4-band
+    // construction), and a `leaked` verdict on every train doc that
+    // shares a band bucket with an eval doc. The oracle recomputes the
+    // split hash, the banding, and the cross-split join.
+    // ------------------------------------------------------------------
+    "q76_split_leakage" -> Q(
+      (s, d) => {
+        val P = 1000000007L
+        val assigned = graft.ops.Splits.assignSplit(
+          t(s, d, "documents").select(col("doc_id")),
+          "doc_id", Seq("train" -> 0.7, "eval" -> 0.3))
+        val sh = QueriesB.shingleHashed(s, d)
+        val perms = QueriesB.MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          min((col("h") * a + b) % P).as(s"m$i")
+        }
+        val sig = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("bv"))): _*)).as("x"))
+          .select(col("doc_id"), col("x.band"), col("x.bv"))
+        def side(name: String) = bands.join(
+          assigned.filter(col("split") === name).select(col("doc_id")), "doc_id")
+        val leaks = graft.ops.Splits.leakPairsBanded(
+            side("train"), side("eval"), "doc_id", Int.MaxValue)
+          .select(col("a_id").as("train_id")).distinct()
+        assigned.join(leaks, assigned("doc_id") === leaks("train_id"), "left")
+          .select(col("doc_id"), col("split"),
+            (col("split") === "train" && col("train_id").isNotNull).as("leaked"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sels = QueriesB.MinhashPerms.zipWithIndex
+          .map { case ((a, b), i) => s"min((h * $a + $b) % 1000000007) AS m$i" }
+          .mkString(", ")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band, m${2 * b} * 1000000007 + m${2 * b + 1} AS bv FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH assigned AS (
+           |  SELECT doc_id, CASE WHEN
+           |    ((${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} * 2654435761)
+           |      % 1000000007 + 0.5) / 1000000007.0 < 0.7
+           |    THEN 'train' ELSE 'eval' END AS split
+           |  FROM documents),
+           |sh AS (${QueriesB.shinglesSql}),
+           |hashed AS (SELECT doc_id, ${QueriesB.polyHashSql("sh")} AS h FROM sh),
+           |sig AS (SELECT doc_id, $sels FROM hashed GROUP BY doc_id),
+           |bands AS ($bandRows),
+           |bt AS (SELECT b.* FROM bands b JOIN assigned a USING (doc_id)
+           |       WHERE a.split = 'train'),
+           |be AS (SELECT b.* FROM bands b JOIN assigned a USING (doc_id)
+           |       WHERE a.split = 'eval'),
+           |leaks AS (SELECT DISTINCT bt.doc_id AS train_id
+           |          FROM bt JOIN be ON bt.band = be.band AND bt.bv = be.bv)
+           |SELECT a.doc_id, a.split,
+           |  (a.split = 'train' AND l.train_id IS NOT NULL) AS leaked
+           |FROM assigned a LEFT JOIN leaks l ON l.train_id = a.doc_id
+           |ORDER BY a.doc_id""".stripMargin
+      },
+      "hash split + cross-split LSH leakage guard (Splits.assignSplit/leakPairsBanded)"))
+}
