@@ -14,6 +14,35 @@ object QueriesE {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared DuckDB CTE chain for the BPE oracles: word counts over the
+    * training split (doc_id % 5 ≠ 0), then `k` unrolled merge stages —
+    * stage i = pair counts over w{i-1}, the (count desc, l, r) argmax as
+    * a one-row CTE b{i}, and w{i} = the same literal `replace` the Spark
+    * side runs. `S` below is [[graft.ops.Bpe.Sep]] (U+001F), embedded as
+    * the raw char (Verify's JSON escape round-trips control chars). */
+  private def bpeCtes(k: Int): String = {
+    val S = graft.ops.Bpe.Sep
+    val stages = (1 to k).map { i =>
+      s"""p$i AS (SELECT l, r, sum(cnt) AS c FROM (
+         |  SELECT cnt, unnest(ss[1:len(ss)-1]) AS l, unnest(ss[2:len(ss)]) AS r
+         |  FROM (SELECT cnt, string_split(substr(s, 2, len(s)-2), '$S$S') AS ss
+         |        FROM w${i - 1})) GROUP BY 1, 2),
+         |b$i AS (SELECT ${i - 1} AS rank, l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS (SELECT word, cnt,
+         |  replace(s, '$S' || b.l || '$S$S' || b.r || '$S', '$S' || b.l || b.r || '$S') AS s
+         |  FROM w${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS (
+       |  SELECT w AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents WHERE doc_id % 5 <> 0)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |w0 AS (SELECT word, cnt,
+       |  '$S' || substr(regexp_replace(word, '(.)', '\\1$S$S', 'g'), 1, 3 * len(word) - 1) AS s
+       |  FROM wc),
+       |$stages""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
 
     // ------------------------------------------------------------------
@@ -132,5 +161,64 @@ object QueriesE {
            |FROM assigned a LEFT JOIN leaks l ON l.train_id = a.doc_id
            |ORDER BY a.doc_id""".stripMargin
       },
-      "hash split + cross-split LSH leakage guard (Splits.assignSplit/leakPairsBanded)"))
+      "hash split + cross-split LSH leakage guard (Splits.assignSplit/leakPairsBanded)"),
+
+    // ------------------------------------------------------------------
+    // q77: BPE tokenizer training (Bpe.train, Sennrich et al. 2016) —
+    // 6 merges learned from the doc_id % 5 ≠ 0 split of `documents`.
+    // The oracle unrolls every merge as a CTE stage (pair counts →
+    // deterministic argmax → the same literal replace), so the learned
+    // merge TABLE itself is the compared result: any divergence in any
+    // iteration's counts, tie-break, or greedy replace semantics shows.
+    // ------------------------------------------------------------------
+    "q77_bpe_train" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val (merges, _) = graft.ops.Bpe.train(
+          graft.ops.Bpe.wordCounts(
+            t(s, d, "documents").filter(col("doc_id") % 5 =!= 0), "text"), 6)
+        merges.map(m => (m.rank, m.left, m.right)).toDF("rank", "l", "r")
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH ${bpeCtes(6)}
+             |SELECT rank, l, r FROM (
+             |  ${(1 to 6).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+             |ORDER BY rank""".stripMargin),
+      "distributed BPE merge training, argmax unrolled per iteration (Bpe.train)"),
+
+    // ------------------------------------------------------------------
+    // q78: BPE encoding via the trained segmentation plane (Bpe.encode)
+    // — the held-out split (doc_id % 5 = 0), each doc salted with a
+    // guaranteed-OOV word 'zz<doc_id>' (training text has no digits), is
+    // encoded against q77's 6-merge training; output = per-doc subword
+    // token counts. Known words take the broadcast segmentation join,
+    // OOV words the character fallback — the oracle recomputes both.
+    // ------------------------------------------------------------------
+    "q78_bpe_encode" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            concat(trim(col("text")), lit(" zz"), col("doc_id")).as("text"))
+        graft.ops.Bpe.tokenCounts(
+            docs.filter(col("doc_id") % 5 =!= 0), corpus, "doc_id", "text", 6)
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH ${bpeCtes(6)},
+             |seg AS (SELECT word,
+             |  len(string_split(substr(s, 2, len(s)-2),
+             |      '${graft.ops.Bpe.Sep}${graft.ops.Bpe.Sep}')) AS n_sub
+             |  FROM w6),
+             |corpus AS (
+             |  SELECT doc_id, trim(text) || ' zz' || doc_id AS text
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |words AS (
+             |  SELECT doc_id, w AS word FROM (
+             |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+             |    FROM corpus) WHERE len(w) > 0)
+             |SELECT doc_id AS id,
+             |  CAST(sum(coalesce(n_sub, len(word))) AS BIGINT) AS n_tokens
+             |FROM words LEFT JOIN seg USING (word)
+             |GROUP BY 1 ORDER BY id""".stripMargin),
+      "BPE encode through the broadcast segmentation plane + OOV char fallback (Bpe.encode)"))
 }
