@@ -220,5 +220,44 @@ object QueriesE {
              |  CAST(sum(coalesce(n_sub, len(word))) AS BIGINT) AS n_tokens
              |FROM words LEFT JOIN seg USING (word)
              |GROUP BY 1 ORDER BY id""".stripMargin),
-      "BPE encode through the broadcast segmentation plane + OOV char fallback (Bpe.encode)"))
+      "BPE encode through the broadcast segmentation plane + OOV char fallback (Bpe.encode)"),
+
+    // ------------------------------------------------------------------
+    // q79: temperature-flattened mixture resampling (Temperature, XLM-R
+    // α-sampling / GPT-3 mixture weights) — α = 0.5 over `lang`,
+    // totalDocs = 458 (chosen so every rounded target sits ≥ 0.2 from a
+    // .5 tie at sf0.01 AND sf0.1 — pow() last-ulp divergence can't flip
+    // a quota — and so four strata hit the without-replacement cap at
+    // sf0.01 while en does not). The oracle recomputes the α-plane with
+    // the same ordered denominator fold and windows the full table; the
+    // Spark side runs the prefiltered kMax plan — equality pins both the
+    // quota math and the prefilter's losslessness under variable cutoffs.
+    // ------------------------------------------------------------------
+    "q79_temperature_mix" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.ops.Temperature.resample(docs, "lang",
+            graft.functions.HashFns.polyHash(col("doc_id").cast("string")),
+            col("doc_id"), alpha = 0.5, totalDocs = 458)
+          .select(col("lang"), col("doc_id"),
+            col("sample_rank").cast("long").as("sample_rank"))
+          .orderBy(col("lang"), col("sample_rank"))
+      },
+      Some(s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+             |denom AS (
+             |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list(pow(n_docs, 0.5) ORDER BY lang)), (a, b) -> a + b) AS W
+             |  FROM counts),
+             |q AS (SELECT lang,
+             |        least(n_docs,
+             |          CAST(round(458.0 * pow(n_docs, 0.5) / W) AS BIGINT)) AS quota
+             |      FROM counts CROSS JOIN denom),
+             |ranked AS (
+             |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY ${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS sample_rank
+             |  FROM documents)
+             |SELECT r.lang, r.doc_id, CAST(r.sample_rank AS BIGINT) AS sample_rank
+             |FROM ranked r JOIN q USING (lang) WHERE r.sample_rank <= q.quota
+             |ORDER BY lang, sample_rank""".stripMargin),
+      "temperature-flattened per-stratum resampling quotas (Temperature.resample)"))
 }
