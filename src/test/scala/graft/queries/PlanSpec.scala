@@ -352,4 +352,59 @@ class PlanSpec extends AnyFunSuite {
     assert(ws.forall(w => collectNodes(w.child).exists(_.nodeName.contains("HashAggregate"))),
       treeNames(p).distinct)
   }
+
+  test("perplexity scoring: contexts broadcast, text never shuffled, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    val rest = docs.filter(col("doc_id") % 7 =!= 0)
+    val model = graft.ops.Perplexity.bigramModel(
+      graft.ops.Perplexity.bigramFeatures(ref, "doc_id", "text", 256))
+    val p = executed(graft.ops.Perplexity.scoreNll(
+      graft.ops.Perplexity.bigramFeatures(rest, "doc_id", "text", 256), model, 256))
+    val names = treeNames(p)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    // the O(nBuckets) context plane joins broadcast; document text dies
+    // at the scan (features are fixed-width (id, pb, cb, cnt) rows)
+    assert(names.exists(_.contains("BroadcastHashJoin")), names.distinct)
+    assert(shuffleCols(p).forall(!_.contains("text")), shuffleCols(p))
+  }
+
+  test("cross-split leak join: equi-join on (band, bv), no text in any exchange") {
+    val a = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+    val b = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0)
+    val p = executed(graft.ops.Splits.crossSplitLeakPairs(a, b, "doc_id", "text"))
+    val names = treeNames(p)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
+    assert(shuffleCols(p).forall(!_.contains("text")), shuffleCols(p))
+  }
+
+  test("BPE encode: segmentation plane broadcasts; corpus text dies at the posexplode") {
+    val (_, trained) = graft.ops.Bpe.train(graft.ops.Bpe.wordCounts(docs, "text"), 4)
+    val p = executed(graft.ops.Bpe.encode(docs, "doc_id", "text",
+      graft.ops.Bpe.segmentation(trained)))
+    val names = treeNames(p)
+    assert(names.exists(_.contains("BroadcastHashJoin")), names.distinct)
+    assert(!names.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")),
+      names.distinct)
+    assert(shuffleCols(p).forall(!_.contains("text")), shuffleCols(p))
+  }
+
+  test("temperature resample: per-stratum cutoff joins broadcast, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val p = executed(graft.ops.Temperature.resample(docs, "lang",
+      graft.functions.HashFns.polyHash(col("doc_id").cast("string")),
+      col("doc_id"), alpha = 0.5, totalDocs = 50))
+    val names = treeNames(p)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    // every join in the path (count plane, quota cutoff, rescue semis)
+    // is against an O(strata) side and must broadcast — the corpus only
+    // ever crosses the bounded per-stratum window exchange
+    assert(!names.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")),
+      names.distinct)
+    val ws = collectNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), names.distinct)
+  }
 }
