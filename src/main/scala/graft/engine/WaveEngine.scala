@@ -163,6 +163,25 @@ final case class TrapSkippingParser(inner: PageParser,
     }
 }
 
+/** URL-quality frontier gate: wraps any parser and drops follow-ups
+  * whose URL violates a [[graft.ops.UrlFilter.Config]] (host blocklist,
+  * weighted spam-keyword score, structural heuristics — RefinedWeb §3.1
+  * runs exactly this BEFORE fetching). Page-level quality gates
+  * ([[graft.ops.Curation]]) only fire after the wasted fetch; this stops
+  * the URL at link emission, before the canonicalize → seen path. The
+  * verdict is the row-local twin [[graft.ops.UrlFilter.verdictOf]] —
+  * UrlFilterSpec pins it ≡ the column plane — and the config rides the
+  * task closure like a broadcast dim (O(keywords + hosts)). Apply the
+  * same gate to the seed list. */
+final case class UrlFilterSkippingParser(inner: PageParser,
+    cfg: graft.ops.UrlFilter.Config) extends PageParser {
+  def followUps(doc: Document, meta: Map[String, String]): Seq[FollowUp] =
+    inner.followUps(doc, meta).filter { f =>
+      graft.ops.UrlFilter.verdictOf(
+        graft.urls.UrlCanon.resolve(doc.doc_id, f.url), cfg) == "ok"
+    }
+}
+
 final case class CrawlConfig(
     checkpointDir: String,
     hostBuckets: Int = 64,

@@ -259,5 +259,76 @@ object QueriesE {
              |SELECT r.lang, r.doc_id, CAST(r.sample_rank AS BIGINT) AS sample_rank
              |FROM ranked r JOIN q USING (lang) WHERE r.sample_rank <= q.quota
              |ORDER BY lang, sample_rank""".stripMargin),
-      "temperature-flattened per-stratum resampling quotas (Temperature.resample)"))
+      "temperature-flattened per-stratum resampling quotas (Temperature.resample)"),
+
+    // ------------------------------------------------------------------
+    // q80: RefinedWeb-style URL filtering (UrlFilter, Penedo et al. 2023
+    // §3.1) — both engines synthesize the same URL per doc_id (host with
+    // an occasionally-banned suffix, arithmetic path depth, spam words,
+    // digit runs, param bursts), then the oracle recomputes host/path/
+    // query extraction (same Java∩RE2 regexes), the sorted-order word
+    // score, and the full verdict CASE chain with identical thresholds.
+    // ------------------------------------------------------------------
+    "q80_url_filter" -> Q(
+      (s, d) => {
+        val cfg = graft.ops.UrlFilter.Config(
+          blockedHosts = Set("h7.example"),
+          blockedSuffixes = Seq(".bad.example"),
+          wordWeights = Map("casino" -> 0.6, "poker" -> 0.5, "free" -> 0.2),
+          softThreshold = 1.0,
+          maxUrlLength = 64,
+          maxDigitRatio = 0.5,
+          maxQueryParams = 4,
+          maxPathDepth = 5)
+        val urls = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            lit("https://h"), col("doc_id") % 37,
+            when(col("doc_id") % 11 === 0, lit(".bad.example"))
+              .otherwise(lit(".example")),
+            lit("/s"), expr("repeat('/d', CAST(doc_id % 7 AS INT))"),
+            when(col("doc_id") % 13 === 0, lit("/free-casino-poker"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 17 === 0, lit("/n999999999999"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 19 === 0, lit("?k=1&k=1&k=1&k=1&k=1&k=1"))
+              .otherwise(lit(""))).as("url"))
+        graft.ops.UrlFilter.audit(urls, "url", cfg)
+          .select(col("doc_id"), col("url"), col("url_host"),
+            round(col("word_score"), 6).as("word_score"), col("url_verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH urls AS (
+             |  SELECT doc_id,
+             |    'https://h' || (doc_id % 37) ||
+             |    (CASE WHEN doc_id % 11 = 0 THEN '.bad.example' ELSE '.example' END) ||
+             |    '/s' || repeat('/d', CAST(doc_id % 7 AS INT)) ||
+             |    (CASE WHEN doc_id % 13 = 0 THEN '/free-casino-poker' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 17 = 0 THEN '/n999999999999' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 19 = 0 THEN '?k=1&k=1&k=1&k=1&k=1&k=1' ELSE '' END) AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id, url,
+             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS url_host,
+             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS query,
+             |    (CASE WHEN contains(lower(url), 'casino') THEN 0.6 ELSE 0.0 END)
+             |      + (CASE WHEN contains(lower(url), 'free') THEN 0.2 ELSE 0.0 END)
+             |      + (CASE WHEN contains(lower(url), 'poker') THEN 0.5 ELSE 0.0 END) AS word_score
+             |  FROM urls)
+             |SELECT doc_id, url, url_host, round(word_score, 6) AS word_score,
+             |  CASE
+             |    WHEN url_host = 'h7.example' OR url_host LIKE '%.bad.example'
+             |      THEN 'blocked_host'
+             |    WHEN word_score >= 1.0 THEN 'word_score'
+             |    WHEN len(url) > 64 THEN 'too_long'
+             |    WHEN (CASE WHEN len(path) = 0 THEN 0.0
+             |          ELSE CAST(len(regexp_replace(path, '[^0-9]', '', 'g')) AS DOUBLE)
+             |               / len(path) END) > 0.5 THEN 'digit_ratio'
+             |    WHEN (CASE WHEN len(query) = 0 THEN 0
+             |          ELSE len(string_split(query, '&')) END) > 4 THEN 'query_params'
+             |    WHEN len(list_filter(string_split(path, '/'), x -> len(x) > 0)) > 5
+             |      THEN 'path_depth'
+             |    ELSE 'ok' END AS url_verdict
+             |FROM parts ORDER BY doc_id""".stripMargin),
+      "RefinedWeb URL-quality audit: blocklist + word score + structural heuristics (UrlFilter.audit)"))
 }

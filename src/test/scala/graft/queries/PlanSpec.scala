@@ -407,4 +407,16 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), names.distinct)
   }
+
+  test("URL-filter audit is a pure map: zero exchanges, zero joins") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val cfg = graft.ops.UrlFilter.Config(
+      blockedHosts = Set("x.example"), blockedSuffixes = Seq(".bad.example"),
+      wordWeights = Map("casino" -> 0.6, "free" -> 0.5))
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://h"), col("doc_id") % 7, lit(".example/p")).as("url"))
+    val names = treeNames(executed(graft.ops.UrlFilter.audit(urls, "url", cfg)))
+    assert(!names.exists(_.contains("Exchange")), names.distinct)
+    assert(!names.exists(_.contains("Join")), names.distinct)
+  }
 }
