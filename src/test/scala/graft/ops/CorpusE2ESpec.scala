@@ -11,8 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
  * synthetic site, its fetched span documents flattened into the
  * (doc_id, text) corpus shape, then the curation library run over it in
  * its canonical order — NFKC normalization → five-stage curation
- * (dedup/gates/scrub/sample) → sequence-packing layout — with each
- * stage's invariant asserted against independently computed truth.
+ * (dedup/gates/scrub/sample) → sequence-packing layout → CCNet
+ * perplexity gate → split + cross-split leakage purge →
+ * temperature-flattened mix → BPE tokenization — with each stage's
+ * invariant asserted against independently computed truth.
  * A mirror host re-serving every page byte-identically simulates the
  * mirrored-content shape exact dedup exists for.
  */
@@ -20,7 +22,7 @@ class CorpusE2ESpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("crawl → documents → normalize → curate → pack") {
+  test("crawl → documents → normalize → curate → pack → perplexity gate → split guard → temperature mix → BPE") {
     val site = SyntheticSite(nHosts = 3, basePagesPerHost = 12, branching = 2, hotFactor = 2)
     val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
     val engine = new WaveEngine(spark, site, parsers,
@@ -72,6 +74,63 @@ class CorpusE2ESpec extends AnyFunSuite {
     val day2 = Dedup.dedupIncremental(spark, docs, "doc_id", "text", idx)
     assert(day2.count() == 0)
 
-    docs.unpersist(); curated.unpersist()
+    // ---- day-3 training prep over the curated survivors:
+    // perplexity gate → split + leakage purge → temperature mix → BPE ----
+
+    // CCNet-style gate, LM self-trained on the curated corpus: every
+    // multi-token doc scores (all its transitions were seen), short docs
+    // are unscorable and dropped by the gate's default
+    val nB = 512
+    val scorable = curated
+      .filter(size(split(trim(col("scrubbed")), "\\s+")) >= 2).count()
+    val scored = Perplexity.scoreNll(
+      Perplexity.bigramFeatures(curated, "doc_id", "scrubbed", nB),
+      Perplexity.bigramModel(
+        Perplexity.bigramFeatures(curated, "doc_id", "scrubbed", nB)), nB)
+    assert(scored.count() == scorable)
+    val thr = scored.stat.approxQuantile("nll", Array(2.0 / 3), 0.0)(0)
+    val gated = Perplexity.perplexityGate(curated, curated, "doc_id",
+      "scrubbed", maxNll = thr, nBuckets = nB).cache()
+    val nGated = gated.count()
+    assert(nGated >= scorable * 2 / 3 && nGated < curated.count())
+
+    // split with the cross-split LSH leakage guard: eval is untouched and
+    // re-mining the survivors finds nothing (the fixpoint the guard sells)
+    val fr = Seq("train" -> 0.8, "eval" -> 0.2)
+    val guarded = Splits.splitWithLeakageGuard(gated, "doc_id", "scrubbed",
+      fr, "train").cache()
+    val train2 = guarded.filter(col("split") === "train")
+    val eval2 = guarded.filter(col("split") =!= "train")
+    assert(eval2.count() ==
+      Splits.assignSplit(gated, "doc_id", fr)
+        .filter(col("split") =!= "train").count())
+    assert(Splits.crossSplitLeakPairs(train2, eval2, "doc_id", "scrubbed")
+      .count() == 0L)
+
+    // temperature-flatten the training mix by host: per-host survivor
+    // counts must equal the quota plane exactly
+    val byHost = train2.withColumn("host",
+      regexp_extract(col("doc_id"), "://([^/]+)", 1))
+    val quotas = Temperature.quotas(byHost, "host", 0.5, 20)
+      .select($"host".as[String], $"quota".as[Long]).collect().toMap
+    val mixed = Temperature.resample(byHost, "host", xxhash64(col("doc_id")),
+      col("doc_id"), alpha = 0.5, totalDocs = 20)
+    val mixCounts = mixed.groupBy("host").count()
+      .select($"host".as[String], $"count".as[Long]).collect().toMap
+    assert(mixCounts == quotas.filter(_._2 > 0))
+
+    // BPE-tokenize the mix with a tokenizer trained on the train split:
+    // every word yields ≥1 subword, and subwords never outnumber the
+    // word's non-whitespace characters
+    val counts = Bpe.tokenCounts(train2, mixed, "doc_id", "scrubbed", 8)
+    val bounds = mixed.select(col("doc_id"),
+        size(split(trim(col("scrubbed")), "\\s+")).cast("long").as("n_words"),
+        length(regexp_replace(col("scrubbed"), "\\s", "")).cast("long").as("n_chars"))
+      .join(counts, mixed("doc_id") === counts("id"))
+    assert(bounds.count() == mixed.count())
+    assert(bounds.filter(col("n_tokens") < col("n_words") ||
+      col("n_tokens") > col("n_chars")).count() == 0L)
+
+    docs.unpersist(); curated.unpersist(); gated.unpersist(); guarded.unpersist()
   }
 }
