@@ -43,6 +43,49 @@ object QueriesE {
        |$stages""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain for the perceptron oracles (q81/q82):
+    * hashed unigram features over `documents` (the q75 tokenization),
+    * labels +1 for doc_id ≡ 0 (mod 7) / -1 otherwise, then `k` unrolled
+    * batch-perceptron iterations — stage i = margins under w{i-1}/b{i-1}
+    * (LEFT JOIN so unseen buckets weigh 0), misclassified set (y·margin
+    * ≤ 0), bucket deltas + bias delta, and the merged w{i}/b{i}. All
+    * BIGINT — bit-exact vs [[graft.ops.QualityClassifier.train]]. Sums
+    * are CAST back from DuckDB's HUGEINT at every update so the carried
+    * types stay BIGINT. */
+  private def clfCtes(k: Int, nBuckets: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"""s$i AS (SELECT f.id, CAST(sum(coalesce(w.w, 0) * f.cnt) AS BIGINT)
+         |    + (SELECT bias FROM b${i - 1}) AS score
+         |  FROM feat f LEFT JOIN w${i - 1} w ON w.bucket = f.bucket
+         |  GROUP BY f.id),
+         |m$i AS (SELECT l.id, l.y FROM lab l JOIN s$i s ON s.id = l.id
+         |        WHERE l.y * s.score <= 0),
+         |u$i AS (SELECT bucket, CAST(sum(d) AS BIGINT) AS d FROM (
+         |    SELECT f.bucket, CAST(m.y AS BIGINT) * f.cnt AS d
+         |    FROM feat f JOIN m$i m ON m.id = f.id
+         |    UNION ALL SELECT CAST(-1 AS BIGINT), CAST(y AS BIGINT) FROM m$i)
+         |  GROUP BY 1),
+         |w$i AS (SELECT coalesce(w.bucket, u.bucket) AS bucket,
+         |    coalesce(w.w, 0) + coalesce(u.d, 0) AS w
+         |  FROM w${i - 1} w FULL OUTER JOIN
+         |    (SELECT * FROM u$i WHERE bucket >= 0) u ON w.bucket = u.bucket),
+         |b$i AS (SELECT (SELECT bias FROM b${i - 1})
+         |    + coalesce((SELECT d FROM u$i WHERE bucket = -1), 0) AS bias)""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |       FROM documents),
+       |feat AS (SELECT doc_id AS id, ${QueriesB.polyHashSql("t")} % $nBuckets AS bucket,
+       |           count(*) AS cnt
+       |         FROM tok GROUP BY 1, 2),
+       |lab AS (SELECT doc_id AS id,
+       |          CASE WHEN doc_id % 7 = 0 THEN 1 ELSE -1 END AS y
+       |        FROM documents),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS w
+       |       WHERE 1 = 0),
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS bias),
+       |$stages""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
 
     // ------------------------------------------------------------------
@@ -330,5 +373,64 @@ object QueriesE {
              |      THEN 'path_depth'
              |    ELSE 'ok' END AS url_verdict
              |FROM parts ORDER BY doc_id""".stripMargin),
-      "RefinedWeb URL-quality audit: blocklist + word score + structural heuristics (UrlFilter.audit)"))
+      "RefinedWeb URL-quality audit: blocklist + word score + structural heuristics (UrlFilter.audit)"),
+
+    // ------------------------------------------------------------------
+    // q81: classifier-based quality filtering, TRAINING (GPT-3 Appendix
+    // A / LLaMA fastText direction; QualityClassifier) — a batch
+    // perceptron over 64-bucket hashed unigram counts, labels +1 for the
+    // doc_id % 7 = 0 "reference" slice (q75's posture) vs -1 for the
+    // rest, 4 iterations. All-integer training means the learned model
+    // is bit-exact across engines — the oracle unrolls every iteration
+    // (margins → misclassified set → updates) as CTE stages, so the
+    // compared result is the weight TABLE itself plus the bias (the
+    // bucket = -1 row): any divergence in margin, tie (y·margin ≤ 0), or
+    // update arithmetic in any iteration shows.
+    // ------------------------------------------------------------------
+    "q81_quality_clf_train" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = graft.ops.QualityClassifier.trainOnDocs(
+          docs, "doc_id", "text",
+          docs.select(col("doc_id").as("id"),
+            when(col("doc_id") % 7 === 0, lit(1)).otherwise(lit(-1)).as("y")),
+          nBuckets = 64, maxIters = 4)
+        graft.ops.QualityClassifier.weightTable(s, model)
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH ${clfCtes(4, 64)}
+             |SELECT bucket, w FROM w4 WHERE w <> 0
+             |UNION ALL SELECT CAST(-1 AS BIGINT), (SELECT bias FROM b4)
+             |ORDER BY bucket""".stripMargin),
+      "batch-perceptron quality classifier training, iterations unrolled (QualityClassifier.train)"),
+
+    // ------------------------------------------------------------------
+    // q82: classifier-based quality filtering, SCORING + GATE — q81's
+    // trained model applied to the whole corpus: per-doc BIGINT margin
+    // w·x + bias as a PURE MAP (Σ_tokens w[bucket(token)] folded inside
+    // the scan — zero joins, zero exchanges, PlanSpec-pinned), keep =
+    // margin > 0. The oracle extends the q81 chain with the histogram
+    // formulation of the same scoring pass (identical by linearity).
+    // ------------------------------------------------------------------
+    "q82_quality_clf_gate" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = graft.ops.QualityClassifier.trainOnDocs(
+          docs, "doc_id", "text",
+          docs.select(col("doc_id").as("id"),
+            when(col("doc_id") % 7 === 0, lit(1)).otherwise(lit(-1)).as("y")),
+          nBuckets = 64, maxIters = 4)
+        graft.ops.QualityClassifier.scoreMarginOnDocs(docs, "doc_id", "text", model)
+          .select(col("id").as("doc_id"), col("margin"),
+            (col("margin") > 0).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${clfCtes(4, 64)},
+             |sc AS (SELECT f.id, CAST(sum(coalesce(w.w, 0) * f.cnt) AS BIGINT)
+             |    + (SELECT bias FROM b4) AS margin
+             |  FROM feat f LEFT JOIN w4 w ON w.bucket = f.bucket
+             |  GROUP BY f.id)
+             |SELECT id AS doc_id, margin, margin > 0 AS keep
+             |FROM sc ORDER BY doc_id""".stripMargin),
+      "perceptron margin scoring + keep gate over the corpus (QualityClassifier.scoreMargin)"))
 }

@@ -408,6 +408,29 @@ class PlanSpec extends AnyFunSuite {
     assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), names.distinct)
   }
 
+  test("classifier margin scoring: zero joins — the model rides as a literal") {
+    // the trained weight vector is an array literal inside the dot-product
+    // expression; the corpus-scale pass must be scan → partial agg →
+    // one (id)-keyed exchange of fixed-width rows → final agg. A Join or
+    // a text-carrying exchange here means the model stopped being a
+    // literal and scoring regressed to a per-bucket join.
+    val model = graft.ops.QualityClassifier.Model(
+      nBuckets = 64, weights = Seq.tabulate(64)(i => (i % 7 - 3).toLong),
+      bias = 1L, itersRun = 1, converged = false)
+    val p = executed(graft.ops.QualityClassifier.scoreMargin(
+      graft.ops.QualityClassifier.features(docs, "doc_id", "text", 64), model))
+    val names = treeNames(p)
+    assert(!names.exists(_.contains("Join")), names.distinct)
+    assert(shuffleCols(p).forall(c => !c.contains("text") && c.size <= 3),
+      shuffleCols(p))
+    // the doc-direct scoring path is a PURE MAP: the hash loop + margin
+    // fold ride one expression tree — zero exchanges, zero joins
+    val pd = treeNames(executed(graft.ops.QualityClassifier
+      .scoreMarginOnDocs(docs, "doc_id", "text", model)))
+    assert(!pd.exists(_.contains("Exchange")), pd.distinct)
+    assert(!pd.exists(_.contains("Join")), pd.distinct)
+  }
+
   test("URL-filter audit is a pure map: zero exchanges, zero joins") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val cfg = graft.ops.UrlFilter.Config(
