@@ -95,11 +95,17 @@ object Dsir {
         lit(0.0), (acc, x) => acc + x).as("weight"))
 
   /** Deterministic Gumbel(0,1) noise from the id itself: u =
-    * (polyHash(id) + 0.5) / P, g = -ln(-ln(u)). A hash stands in for the
-    * RNG so selection is reproducible and oracle-checkable; the id mixes
-    * through the same portable polynomial hash as the features. */
+    * ((polyHash(id)·2654435761) mod P + 0.5) / P, g = -ln(-ln(u)). A hash
+    * stands in for the RNG so selection is reproducible and
+    * oracle-checkable. The affine spread mod P matters (same pathology
+    * [[Splits.polyUnit]] documents): the raw polynomial of a short id is
+    * far below P, so without it u collapses near 0 for every short id —
+    * length-correlated noise instead of Gumbel(0,1) — and "top-k by
+    * weight + g" stops being sampling-without-replacement ∝ exp(weight).
+    * The product stays ≤ (P−1)·2654435761 < 2⁶³ (no ANSI overflow). */
   def gumbel(id: Column): Column = {
-    val u = (graft.functions.HashFns.polyHash(id.cast("string")) + lit(0.5)) /
+    val u = (pmod(graft.functions.HashFns.polyHash(id.cast("string")) *
+        lit(2654435761L), lit(1000000007L)) + lit(0.5)) /
       lit(1000000007.0)
     -log(-log(u))
   }

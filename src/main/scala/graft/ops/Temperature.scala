@@ -67,8 +67,10 @@ object Temperature {
       tieBreak: Column, alpha: Double, totalDocs: Long): DataFrame = {
     val q = quotas(docs, strataCol, alpha, totalDocs)
     // O(strata) plane -> one driver scalar; rows whose rank exceeds kMax
-    // can never survive any stratum's cutoff
-    val kMax = q.agg(max(col("quota"))).head().getLong(0)
+    // can never survive any stratum's cutoff. max() over zero strata is
+    // NULL (empty input corpus) -> same empty-result path as quota 0.
+    val kMaxRow = q.agg(max(col("quota"))).head()
+    val kMax = if (kMaxRow.isNullAt(0)) 0L else kMaxRow.getLong(0)
     if (kMax <= 0L) return docs.limit(0).withColumn("sample_rank", lit(1))
     val ranked = Sampling.quotaPerStratum(docs, strataCol, hash, tieBreak,
       kMax.toInt)

@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
  * The reference crawler needs none of this (closed seed universe); a
  * web-scale frontier needs it both as a corpus op (score what was
  * crawled) and at link emission (don't fetch it in the first place —
- * [[graft.engine.BlocklistSkippingParser]] consumes the same [[Config]]
+ * [[graft.engine.UrlFilterSkippingParser]] consumes the same [[Config]]
  * through the row-local twin [[verdictOf]], which UrlFilterSpec pins
  * against the column plane).
+ *
+ * All extraction and matching runs over the LOWERCASED url: spam sites
+ * control their own link casing, so a case-sensitive host blocklist (or
+ * a scheme regex anchored at `^[a-z]`) is trivially evaded by
+ * `HTTPS://SPAM.example/…`. Config hosts/suffixes/keywords are
+ * lowercased once at construction.
  *
  * Scale shape: everything is a row-local codegen'd expression — ZERO
  * exchanges in the whole plan (PlanSpec-pinned); the config rides the
@@ -39,17 +45,27 @@ object UrlFilter {
       maxUrlLength: Int = 2048,
       maxDigitRatio: Double = 0.5,
       maxQueryParams: Int = 8,
-      maxPathDepth: Int = 12)
+      maxPathDepth: Int = 12) {
+    /** Lowercased match planes, computed once — the twin runs per
+      * emitted link inside the fetch task, so no per-URL sort or
+      * per-keyword re-lowercasing belongs on that path. Keywords stay
+      * sorted by the ORIGINAL key (the column plane's fold order) so the
+      * double sum is identical in both planes. */
+    private[ops] lazy val hostsLower: Set[String] = blockedHosts.map(_.toLowerCase)
+    private[ops] lazy val suffixesLower: Seq[String] = blockedSuffixes.map(_.toLowerCase)
+    private[ops] lazy val weightsSorted: Array[(String, Double)] =
+      wordWeights.toSeq.sortBy(_._1).map { case (k, w) => (k.toLowerCase, w) }.toArray
+  }
 
   // shared Java∩RE2 extraction patterns (one string drives Spark, the
-  // DuckDB oracle, and the Scala twin)
+  // DuckDB oracle, and the Scala twin); always applied to lower(url)
   private[ops] val HostRe = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
   private[ops] val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
   private[ops] val QueryRe = "\\?([^#]*)"
 
-  def hostOf(url: Column): Column = regexp_extract(url, HostRe, 1)
-  def pathOf(url: Column): Column = regexp_extract(url, PathRe, 1)
-  def queryOf(url: Column): Column = regexp_extract(url, QueryRe, 1)
+  def hostOf(url: Column): Column = regexp_extract(lower(url), HostRe, 1)
+  def pathOf(url: Column): Column = regexp_extract(lower(url), PathRe, 1)
+  def queryOf(url: Column): Column = regexp_extract(lower(url), QueryRe, 1)
 
   /** Σ weight over keywords contained in lower(url), folded in sorted
     * keyword order (order-invariant double). */
@@ -78,9 +94,9 @@ object UrlFilter {
 
   private def hostBlocked(host: Column, cfg: Config): Column = {
     val exact =
-      if (cfg.blockedHosts.isEmpty) lit(false)
-      else host.isInCollection(cfg.blockedHosts.toSeq.sorted)
-    cfg.blockedSuffixes.foldLeft(exact)((acc, s) => acc || host.endsWith(s))
+      if (cfg.hostsLower.isEmpty) lit(false)
+      else host.isInCollection(cfg.hostsLower.toSeq.sorted)
+    cfg.suffixesLower.foldLeft(exact)((acc, s) => acc || host.endsWith(s))
   }
 
   /** The verdict column: "ok" or the first violated rule's name. */
@@ -111,8 +127,10 @@ object UrlFilter {
 
   // ------------------------------------------------------------------
   // Row-local Scala twin — the engine-side consumer
-  // (BlocklistSkippingParser) runs per follow-up URL inside the fetch
+  // (UrlFilterSkippingParser) runs per follow-up URL inside the fetch
   // task; UrlFilterSpec pins twin ≡ column plane on adversarial URLs.
+  // Lengths count CODE POINTS (Spark's length() / DuckDB's len()), not
+  // Java UTF-16 units — supplementary chars would otherwise diverge.
   // ------------------------------------------------------------------
 
   private val hostP = java.util.regex.Pattern.compile(HostRe)
@@ -122,26 +140,32 @@ object UrlFilter {
     val m = p.matcher(s)
     if (m.find()) Option(m.group(1)).getOrElse("") else ""
   }
+  private def cp(s: String): Int = s.codePointCount(0, s.length)
 
   /** Scala twin of [[verdict]]. */
   def verdictOf(url: String, cfg: Config): String = {
-    val host = re1(hostP, url)
-    val path = re1(pathP, url)
-    val query = re1(queryP, url)
     val lo = url.toLowerCase
-    val score = cfg.wordWeights.toSeq.sortBy(_._1).foldLeft(0.0) {
-      case (acc, (kw, w)) => if (lo.contains(kw.toLowerCase)) acc + w else acc
+    val host = re1(hostP, lo)
+    val path = re1(pathP, lo)
+    val query = re1(queryP, lo)
+    var score = 0.0
+    var i = 0
+    val ws = cfg.weightsSorted
+    while (i < ws.length) {
+      if (lo.contains(ws(i)._1)) score += ws(i)._2
+      i += 1
     }
     val dr =
       if (path.isEmpty) 0.0
-      // ASCII digits only — the column plane's [^0-9] class
-      else path.count(c => c >= '0' && c <= '9').toDouble / path.length
+      // ASCII digits only — the column plane's [^0-9] class (each is one
+      // code point, so the numerator needs no code-point correction)
+      else path.count(c => c >= '0' && c <= '9').toDouble / cp(path)
     val qp = if (query.isEmpty) 0 else query.split("&", -1).length
     val pd = path.split("/").count(_.nonEmpty)
-    if (cfg.blockedHosts.contains(host) ||
-        cfg.blockedSuffixes.exists(host.endsWith)) "blocked_host"
+    if (cfg.hostsLower.contains(host) ||
+        cfg.suffixesLower.exists(host.endsWith)) "blocked_host"
     else if (score >= cfg.softThreshold) "word_score"
-    else if (url.length > cfg.maxUrlLength) "too_long"
+    else if (cp(url) > cfg.maxUrlLength) "too_long"
     else if (dr > cfg.maxDigitRatio) "digit_ratio"
     else if (qp > cfg.maxQueryParams) "query_params"
     else if (pd > cfg.maxPathDepth) "path_depth"

@@ -687,9 +687,13 @@ object QueriesD {
             docs.filter(col("doc_id") % 9 === 0),
             docs.filter(col("doc_id") % 9 =!= 0),
             "doc_id", "text", k = 50, n = 2, nBuckets = 512)
+          // final presentation order is by id: the raw score already chose
+          // the k rows on both engines bit-identically, and ordering by the
+          // ROUNDED score would flake when two raws round to the same 6-dp
+          // value but straddle each other unrounded
           .select(col("id"), round(col("weight"), 6).as("weight"),
             round(col("score"), 6).as("score"))
-          .orderBy(col("score").desc, col("id"))
+          .orderBy(col("id"))
       },
       Some {
         def sh(src: String) =
@@ -718,11 +722,13 @@ object QueriesD {
            |          list(c ORDER BY bucket)), (a, b) -> a + b) AS weight
            |        FROM contrib GROUP BY doc_id),
            |scored AS (SELECT doc_id AS id, weight,
-           |    weight + (-ln(-ln((${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} + 0.5)
-           |      / 1000000007.0))) AS score
-           |  FROM wts)
+           |    weight + (-ln(-ln(((${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} * 2654435761)
+           |      % 1000000007 + 0.5) / 1000000007.0))) AS score
+           |  FROM wts),
+           |sel AS (SELECT id, weight, score FROM scored
+           |        ORDER BY score DESC, id LIMIT 50)
            |SELECT id, round(weight, 6) AS weight, round(score, 6) AS score
-           |FROM scored ORDER BY score DESC, id LIMIT 50""".stripMargin
+           |FROM sel ORDER BY id""".stripMargin
       },
       "DSIR importance resampling: hashed-bigram LLR weights + Gumbel-top-k (Dsir.dsirSelect)"))
 }

@@ -29,8 +29,9 @@ object QueriesE {
          |        FROM w${i - 1})) GROUP BY 1, 2),
          |b$i AS (SELECT ${i - 1} AS rank, l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
          |w$i AS (SELECT word, cnt,
-         |  replace(s, '$S' || b.l || '$S$S' || b.r || '$S', '$S' || b.l || b.r || '$S') AS s
-         |  FROM w${i - 1} CROSS JOIN b$i b)""".stripMargin
+         |  coalesce(replace(s, '$S' || b.l || '$S$S' || b.r || '$S', '$S' || b.l || b.r || '$S'),
+         |           s) AS s
+         |  FROM w${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""wc AS (
        |  SELECT w AS word, count(*) AS cnt FROM (
@@ -351,9 +352,9 @@ object QueriesE {
              |  FROM documents),
              |parts AS (
              |  SELECT doc_id, url,
-             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS url_host,
-             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-             |    regexp_extract(url, '\?([^#]*)', 1) AS query,
+             |    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS url_host,
+             |    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             |    regexp_extract(lower(url), '\?([^#]*)', 1) AS query,
              |    (CASE WHEN contains(lower(url), 'casino') THEN 0.6 ELSE 0.0 END)
              |      + (CASE WHEN contains(lower(url), 'free') THEN 0.2 ELSE 0.0 END)
              |      + (CASE WHEN contains(lower(url), 'poker') THEN 0.5 ELSE 0.0 END) AS word_score

@@ -49,6 +49,21 @@ class DsirSpec extends AnyFunSuite {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("gumbel: short ids get spread noise, not a length-correlated band") {
+    // Without the affine spread mod P, polyHash of a short id is tiny,
+    // u collapses near 0, and g for ids "0".."199" lands in a narrow
+    // monotone band around [-3.1, -1.9] — argmax-by-weight, not
+    // Gumbel-perturbed sampling. With the spread, the sample must cover
+    // the real Gumbel range on both sides.
+    val ids = Seq.tabulate(200)(i => i.toString).toDF("id")
+    val g = ids.select(Dsir.gumbel(col("id")).as("g")).as[Double].collect()
+    assert(g.max > 0.5, s"max=${g.max}")  // P(g > 0.5) ≈ 0.45 per draw
+    assert(g.min < -1.0, s"min=${g.min}") // P(g < -1) ≈ 0.066 per draw
+    // and not monotone in the id's numeric value (the pre-fix pathology)
+    val inversions = g.sliding(2).count(p => p(1) < p(0))
+    assert(inversions > 50, s"inversions=$inversions")
+  }
+
   test("dsirSelect: target-like raw docs outrank off-distribution ones") {
     // target speaks one dialect; half the raw corpus speaks it too, the
     // other half a disjoint one — selection must prefer the target-like

@@ -71,4 +71,14 @@ class TemperatureSpec extends AnyFunSuite {
       .select($"stratum".as[String]).as[String].collect()
     assert(got.count(_ == "big") == 10 && !got.contains("tiny"))
   }
+
+  test("resample: an empty input corpus yields an empty result, not an NPE") {
+    // an incremental run whose upstream gates dropped everything must
+    // flow through (max(quota) over zero strata is NULL)
+    val d = corpus("big" -> 3).limit(0)
+    val got = Temperature.resample(d, "stratum", HashFns.polyHash(col("id")),
+      col("id"), alpha = 0.5, totalDocs = 10)
+    assert(got.count() == 0L)
+    assert(got.columns.contains("sample_rank"))
+  }
 }

@@ -47,6 +47,23 @@ class UrlFilterSpec extends AnyFunSuite {
     assert(v("https://banned.example/free-casino-poker") == "blocked_host")
   }
 
+  test("mixed-case URLs cannot evade the gate (host match is case-folded)") {
+    val v = verdicts(
+      "HTTPS://BANNED.example/wholesome",
+      "https://X.BAD.EXAMPLE/a",
+      "HTTPS://ok.example/x777777777", // uppercase scheme: structural rules still fire
+      "https://ok.example/FREE-CASINO-POKER")
+    assert(v("HTTPS://BANNED.example/wholesome") == "blocked_host")
+    assert(v("https://X.BAD.EXAMPLE/a") == "blocked_host")
+    assert(v("HTTPS://ok.example/x777777777") == "digit_ratio")
+    assert(v("https://ok.example/FREE-CASINO-POKER") == "word_score")
+    // the twin (the engine-side gate) agrees
+    assert(UrlFilter.verdictOf("HTTPS://SPAM.bad.example/Poker", cfg) == "blocked_host")
+    // and mixed-case CONFIG values match lowercase hosts
+    val upCfg = UrlFilter.Config(blockedHosts = Set("Banned.Example"))
+    assert(UrlFilter.verdictOf("https://banned.example/x", upCfg) == "blocked_host")
+  }
+
   test("scala twin == column plane on adversarial URLs") {
     val urls = Seq(
       "https://ok.example/a/b",
@@ -63,7 +80,9 @@ class UrlFilterSpec extends AnyFunSuite {
       "not a url at all",
       "",
       "ftp9+x.y-z://ok.example/a",
-      "https://ok.example/" + "7" * 60)
+      "https://ok.example/" + "7" * 60,
+      "HTTPS://SPAM.bad.example/Poker",             // uppercase scheme+host
+      "https://ok.example/999\uD83D\uDE00")         // supplementary char in path
     val colPlane = urls.toDF("url")
       .select($"url", UrlFilter.verdict(col("url"), cfg).as("v"))
       .as[(String, String)].collect().toMap
