@@ -278,7 +278,19 @@ object QueriesB {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "per-speaker ordered speech aggregation (SURVEY R12/R13, minutes_spider.py:127-173)"),
 
-    // --- R19 bill-action state machine (not SQL-expressible: rows-only) --
+    // --- R19 bill-action state machine — full property oracle ------------
+    // The fixture exercises every state transition: doc_id % 3 = 0 speeches
+    // NAME a topic (even k → state := [Bill:k]; odd k → the named topic is
+    // not a tracked bill, so extractTopicIds comes back empty and the state
+    // CLEARS); the other two-thirds carry no topic mention, so the action
+    // phrase fires against the CARRIED state. Phrase slot doc_id % 4: three
+    // action keywords + one non-action (これより会議を始めます). The oracle
+    // replays the scan with last_value(... IGNORE NULLS) over speech_order
+    // ('' = cleared sentinel, distinct from "no update") and first-
+    // occurrence dedup per (meeting, bill, type) = min(speech_order). The
+    // hash ids (billActionId/speechId) are not DuckDB-portable, so the
+    // compared projection recovers the firing speech by joining speech_id
+    // back to the fixture — the golden test pins the id functions 1:1.
     "q33_bill_actions" -> Q(
       (s, d) => {
         import s.implicits._
@@ -286,25 +298,56 @@ object QueriesB {
         val phrases = Seq("質疑に入ります", "採決に入ります", "趣旨説明お願いします", "これより会議を始めます")
         val speeches = t(s, d, "documents")
           .select(
-            concat(lit("M"), (col("doc_id") % 20).cast("string")).as("minutes_id"),
+            concat(lit("M"), (col("doc_id") % 7).cast("string")).as("minutes_id"),
             (col("doc_id") % 97).cast("int").as("speech_order"),
             lit("議長").as("speaker"),
-            concat(lit("○議長　法律案"), (col("doc_id") % 5).cast("string"),
-              lit("を議題とします。"),
+            concat(lit("○議長　"),
+              when(col("doc_id") % 3 === 0,
+                concat(lit("法律案"), (col("doc_id") % 5).cast("string"),
+                  lit("を議題とします。"))).otherwise(lit("")),
               element_at(array(phrases.map(lit): _*), (col("doc_id") % 4 + 1).cast("int")))
               .as("speech"))
           .as[SpeechRec]
-        val contexts = (0 until 20).map { m =>
+        val contexts = (0 until 7).map { m =>
           MinutesCtx(s"M$m",
             topics = (0 until 5).map(i => s"法律案$i"),
             topic_ids = (0 until 5).filter(_ % 2 == 0).map(i => s"Bill:$i"))
         }
         val bills = (0 until 5).map(i => s"Bill:$i" -> s"法律案$i")
+        val idToOrder = speeches.map(r =>
+          (graft.extract.ScrapeFns.speechId(r.minutes_id, r.speech_order),
+            r.speech_order)).toDF("speech_id", "speech_order")
         BillActions.run(s, speeches, contexts, bills)
           .toDF()
+          .join(idToOrder, "speech_id")
+          .select(col("minutes_id"), col("bill_id"), col("bill_action_type"),
+            col("speech_order"))
           .orderBy(col("minutes_id"), col("bill_id"), col("bill_action_type"))
       },
-      None, // stateful ordered scan — pinned by the golden test instead
+      Some("""WITH sp AS (
+             |  SELECT 'M' || (doc_id % 7) AS minutes_id,
+             |    CAST(doc_id % 97 AS INT) AS speech_order,
+             |    doc_id % 3 = 0 AS has_topic,
+             |    doc_id % 5 AS k,
+             |    doc_id % 4 AS ph
+             |  FROM documents),
+             |st AS (
+             |  SELECT minutes_id, speech_order, ph,
+             |    last_value(CASE WHEN has_topic THEN
+             |        (CASE WHEN k % 2 = 0 THEN 'Bill:' || k ELSE '' END)
+             |      END IGNORE NULLS)
+             |      OVER (PARTITION BY minutes_id ORDER BY speech_order
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+             |  FROM sp),
+             |emits AS (
+             |  SELECT minutes_id, cur AS bill_id, speech_order,
+             |    CASE ph WHEN 0 THEN 'QUESTION' WHEN 1 THEN 'VOTE'
+             |            WHEN 2 THEN 'BILL_EXPLANATION' END AS bill_action_type
+             |  FROM st WHERE cur IS NOT NULL AND cur <> '' AND ph < 3)
+             |SELECT minutes_id, bill_id, bill_action_type,
+             |  min(speech_order) AS speech_order
+             |FROM emits GROUP BY 1, 2, 3
+             |ORDER BY minutes_id, bill_id, bill_action_type""".stripMargin),
       "R19 bill-action state machine over synthesized speeches (flatMapGroups)")
   )
 }
