@@ -76,5 +76,74 @@ object QueriesF {
              |  CAST(sum(CASE WHEN v = 'promoted' THEN 1 ELSE 0 END) AS BIGINT) AS n_promoted,
              |  CAST(sum(CASE WHEN v = 'bad' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "jusText/Boilerpipe block-classifier main-content extraction (MainContent.extract)"))
+      "jusText/Boilerpipe block-classifier main-content extraction (MainContent.extract)"),
+
+    // ------------------------------------------------------------------
+    // q84: BFF Bloom-filter paragraph dedup (BloomDedup, Dolma Soldaini
+    // et al. 2024 §4.1) — both engines synthesize 4 paragraphs per doc
+    // (3 drawn from 41 shared bodies + 1 unique solo), batch A (even
+    // doc_ids) seeds the position-set filter (m=4096, k=3, KM double
+    // hashing over the portable poly hash), batch B (odd) gates against
+    // it. The oracle replays positions → membership → verdicts exactly,
+    // INCLUDING the Bloom false positive (at sf0.01 one solo paragraph
+    // FPs into dup_bloom: 709 dup_batch / 42 dup_bloom / 249 kept
+    // witnesses). Output = batch B's per-doc rebuild.
+    // ------------------------------------------------------------------
+    "q84_bloom_dedup" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        val cfg = graft.ops.BloomDedup.Config(m = 4096, k = 3)
+        val h1: Column => Column = c => graft.functions.HashFns.polyHash(c)
+        val h2: Column => Column =
+          c => graft.functions.HashFns.polyHash(concat(lit("x"), c))
+        def textOf(df: DataFrame) = df.select(col("doc_id"),
+          array_join(array(
+            (0 to 2).map(j => concat(lit("para "),
+              pmod(col("doc_id") * 3 + lit(j * 5), lit(41)).cast("string"),
+              lit(" body"))) :+
+            concat(lit("solo "), col("doc_id").cast("string")): _*),
+            "\n").as("text"))
+        val docs = t(s, d, "documents")
+        val root = java.nio.file.Files.createTempDirectory("q84_bloom").toString
+        graft.ops.BloomDedup.bloomParagraphDedup(s,
+          textOf(docs.filter(col("doc_id") % 2 === 0)),
+          "doc_id", "text", root, cfg, h1, h2)
+        graft.ops.BloomDedup.bloomParagraphDedup(s,
+          textOf(docs.filter(col("doc_id") % 2 === 1)),
+          "doc_id", "text", root, cfg, h1, h2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+             |  SELECT doc_id, CAST(j AS BIGINT) AS par_idx,
+             |    CASE WHEN j = 3 THEN 'solo ' || doc_id
+             |         ELSE 'para ' || ((doc_id * 3 + j * 5) % 41) || ' body' END AS par
+             |  FROM documents, (SELECT unnest(range(0, 4)) AS j)),
+             |ph AS (SELECT doc_id, par_idx, par,
+             |    ${QueriesB.polyHashSql("par")} AS h1,
+             |    ${QueriesB.polyHashSql("'x' || par")} AS h2 FROM p),
+             |pd AS (SELECT DISTINCT h1, h2 FROM ph WHERE doc_id % 2 = 0),
+             |apos AS (SELECT DISTINCT ((h1 % 4096) + i * (2 * (h2 % 4096) + 1)) % 4096 AS pos
+             |         FROM pd, (SELECT unnest(range(0, 3)) AS i)),
+             |b AS (SELECT *, row_number() OVER (PARTITION BY h1, h2 ORDER BY doc_id, par_idx) AS rn
+             |      FROM ph WHERE doc_id % 2 = 1),
+             |bd AS (SELECT DISTINCT h1, h2 FROM b),
+             |bpos AS (SELECT DISTINCT h1, h2, ((h1 % 4096) + i * (2 * (h2 % 4096) + 1)) % 4096 AS pos
+             |         FROM bd, (SELECT unnest(range(0, 3)) AS i)),
+             |bh AS (SELECT h1, h2, count(*) AS npos,
+             |         sum(CASE WHEN a.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+             |       FROM bpos LEFT JOIN apos a USING (pos) GROUP BY h1, h2),
+             |verd AS (SELECT b.doc_id, b.par_idx, b.par,
+             |    CASE WHEN b.rn > 1 THEN 'dup_batch'
+             |         WHEN h.nhit = h.npos THEN 'dup_bloom'
+             |         ELSE 'kept' END AS verdict
+             |  FROM b JOIN bh h USING (h1, h2))
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN verdict = 'kept' THEN par END,
+             |    chr(10) ORDER BY par_idx), '') AS kept_text,
+             |  CAST(count(*) AS BIGINT) AS n_pars,
+             |  CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN verdict = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+             |  CAST(sum(CASE WHEN verdict = 'dup_bloom' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_bloom
+             |FROM verd GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "Bloom-filter incremental paragraph dedup, FPs replayed exactly (BloomDedup)"))
 }
