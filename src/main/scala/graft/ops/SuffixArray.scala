@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed W-bounded suffix array by prefix doubling (Manber–Myers,
+ * SIAM J. Comput. 1993), the index behind ExactSubstr deduplication
+ * (Lee et al. 2022 arXiv:2107.06499 §4.1: sort all corpus suffixes,
+ * adjacent entries sharing ≥L chars are the duplicated passages).
+ *
+ * The corpus string S is the documents' text in id order, each doc
+ * followed by a sentinel code point 1 — below every corpus character
+ * (the corpus contract is ASCII text, code points 32..127, SURVEY
+ * §1.3), exactly Lee et al.'s concatenated byte array with separators.
+ * Suffixes are ordered by their first `window` code points of S —
+ * reads past a doc boundary see the sentinel first, so two suffixes
+ * from different docs stop matching at the shorter doc's end — with
+ * ties beyond `window` broken by position. The W-bound is semantic,
+ * not a shortcut: substring dedup only ever compares up to its match
+ * length L ≤ W, and it makes the op's cost INDEPENDENT of the longest
+ * repeat — an exact suffix sort of a web corpus with two identical
+ * 1 MB documents must compare 1 MB of characters to order their
+ * suffixes; the bounded sort never looks past W. It also keeps the
+ * round count deterministic: the 8-char packed base then exactly
+ * log2(W/8) doubling rounds (fewer when ranks go unique early).
+ *
+ * Scale shape (the 100 TB story):
+ *   - one row per corpus code point: (gpos, cp) — 16 bytes, fixed width;
+ *     text explodes at the scan and never travels as strings again.
+ *   - global positions come from [[Packing.layout]]'s two-level prefix
+ *     sum (range exchange of (id, len) pairs + broadcast offsets), never
+ *     a global window.
+ *   - the base rank is a base-256 pack of 8 code points — ONE map-side-
+ *     combinable groupBy (each char row contributes its byte to the 8
+ *     packs that cover it) replaces the first three doubling rounds;
+ *     order equals memcmp because ASCII keeps every byte, and hence the
+ *     packed long, in [0, 128) with the top bit clear.
+ *   - each doubling round is ONE hash self-join on gpos (rank of the
+ *     suffix k positions ahead) + ONE range exchange for the dense rank:
+ *     range-partition by (r1, r2) — equal keys never straddle partitions
+ *     (RangePartitioner assigns by key) — then partition-local
+ *     dense_rank + broadcast per-partition distinct counts as offsets
+ *     (the Packing idiom). No stage ever holds more than (gpos, r1, r2)
+ *     24-byte rows; nothing corpus-sized touches the driver.
+ *   - rounds localCheckpoint, so lineage stays O(1) per round instead of
+ *     compounding log(W) joins into one exponential plan.
+ */
+object SuffixArray {
+
+  /** Doc separator: below every corpus char (ASCII ≥ 32 contract). */
+  val Sentinel = "\u0001"
+
+  /** One row per code point of S = concat over id order of
+    * (text + sentinel): (gpos: long, cp: long). `docs` must have unique
+    * ids; text is ASCII (one split cell = one code point, every pack
+    * byte < 128) and must not contain the sentinel. */
+  def charTable(docs: DataFrame, idCol: String, textCol: String,
+      nParts: Int = 32): DataFrame = {
+    val offsets = Packing
+      .layout(docs.select(col(idCol), col(textCol)), idCol, textCol,
+        seqLen = 1L, nParts = nParts, tokenCount = c => length(c) + 1)
+      .select(col(idCol), col("start_tok"))
+    docs.select(col(idCol), col(textCol))
+      .join(offsets, Seq(idCol))
+      .select(col("start_tok"),
+        posexplode(split(concat(col(textCol), lit(Sentinel)), ""))
+          .as(Seq("pos", "ch")))
+      .select((col("start_tok") + col("pos")).as("gpos"),
+        ascii(col("ch")).cast("long").as("cp"))
+  }
+
+  /** Base-256 pack of the `b` ≤ 8 code points at [gpos, gpos+b) of S:
+    * (gpos, r) where r compares as memcmp on the b-char window,
+    * 0-padded past the corpus end (the pad sorts below the sentinel:
+    * a shorter suffix sorts first). One map-side-combinable groupBy —
+    * each char row emits its byte into the b packs covering it. */
+  private def packedBase(chars: DataFrame, b: Int): DataFrame = {
+    require(b >= 1 && b <= 8, s"pack width must be in [1, 8], got $b")
+    val terms = array((0 until b).map { j =>
+      struct(lit(j.toLong).as("j"),
+        lit(1L << (8 * (b - 1 - j))).as("m")) }: _*)
+    chars.select(col("gpos"), col("cp"), explode(terms).as("t"))
+      .select((col("gpos") - col("t.j")).as("gpos"),
+        (col("cp") * col("t.m")).as("term"))
+      .filter(col("gpos") >= 0)
+      .groupBy(col("gpos")).agg(sum(col("term")).as("r"))
+  }
+
+  /** Distributed dense rank of (r1, r2) pairs over rows (gpos, r1, r2):
+    * returns ((gpos, r) with r 0-based, number of distinct pairs). */
+  private def denseRankPairs(df: DataFrame, nParts: Int): (DataFrame, Long) = {
+    val part = df.repartitionByRange(nParts, col("r1"), col("r2"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin: offsets below must see THIS partitioning
+    val partials = part.groupBy(col("__pid"))
+      .agg(count_distinct(struct(col("r1"), col("r2"))).as("nd"))
+      .collect().sortBy(_.getAs[Int]("__pid"))
+    val cum = partials.map(_.getAs[Long]("nd")).scanLeft(0L)(_ + _)
+    val offsetMap =
+      if (partials.isEmpty) map(lit(0), lit(0L))
+      else map(partials.map(_.getAs[Int]("__pid")).zip(cum.init)
+        .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("r1"), col("r2"))
+    val ranked = part
+      .withColumn("r", (dense_rank().over(w) - 1).cast("long") +
+        element_at(offsetMap, col("__pid")))
+      .select(col("gpos"), col("r"))
+    (ranked, cum.last)
+  }
+
+  /** Prefix-double `chars` up to window `upTo` (a power of two) from the
+    * packed base: returns ((gpos, r) where r orders the first `upTo`
+    * code points of each suffix — equal r ⟺ equal upTo-windows —
+    * whether ranks went unique, corpus length). A missing row at a
+    * lookup position (the corpus tail) ranks as -1: "end of string"
+    * sorts below every rank, i.e. a shorter prefix sorts first —
+    * exactly memcmp on the truncated window. */
+  private def doubledRanks(chars: DataFrame, upTo: Int,
+      nParts: Int): (DataFrame, Boolean, Long) = {
+    // pin the base: round 1 reads it twice (self + shifted), and count()
+    // on the pinned table is the corpus length (one pack row per gpos)
+    val base = packedBase(chars, math.min(8, upTo)).localCheckpoint(true)
+    val n = base.count()
+    var r = base
+    var k = math.min(8, upTo).toLong
+    var unique = n <= 1
+    while (!unique && k < upTo) {
+      val shifted = r.select((col("gpos") - k).as("gpos"), col("r").as("r2"))
+      val paired = r.select(col("gpos"), col("r").as("r1"))
+        .join(shifted, Seq("gpos"), "left")
+        .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+      val (ranked, nd) = denseRankPairs(paired, nParts)
+      r = ranked
+      k *= 2
+      unique = nd == n
+    }
+    (r, unique, n)
+  }
+
+  /** Global row_number over (r1, r2, gpos) order — the final SA rank in
+    * one range exchange (same two-level idiom as [[denseRankPairs]],
+    * with plain counts for offsets since row numbers need no dedup). */
+  private def rowNumberByPairPos(df: DataFrame, nParts: Int): DataFrame = {
+    val part = df
+      .repartitionByRange(nParts, col("r1"), col("r2"), col("gpos"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partials = part.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("nd"))
+      .collect().sortBy(_.getAs[Int]("__pid"))
+    val cum = partials.map(_.getAs[Long]("nd")).scanLeft(0L)(_ + _)
+    val offsetMap =
+      if (partials.isEmpty) map(lit(0), lit(0L))
+      else map(partials.map(_.getAs[Int]("__pid")).zip(cum.init)
+        .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("r1"), col("r2"), col("gpos"))
+    part
+      .withColumn("sa_rank", (row_number().over(w) - 1).cast("long") +
+        element_at(offsetMap, col("__pid")))
+      .select(col("sa_rank"), col("gpos"))
+  }
+
+  /** The W-bounded suffix array of `chars` (from [[charTable]]):
+    * (sa_rank: long 0-based, gpos). Order = (first `window` code points
+    * of the suffix, gpos). The doubling ladder stops at W/2; the last
+    * pairing round and the position tie-break fuse into one
+    * row_number pass over (rank_{W/2}(p), rank_{W/2}(p+W/2), gpos). */
+  def boundedSuffixArray(chars: DataFrame, window: Int = 64,
+      nParts: Int = 32): DataFrame = {
+    require(window >= 2 && (window & (window - 1)) == 0,
+      s"window must be a power of two >= 2, got $window")
+    val b = math.min(8, window)
+    val upTo = math.max(window / 2, b)
+    val (r, unique, _) = doubledRanks(chars, upTo, nParts)
+    if (unique) r.select(col("r").as("sa_rank"), col("gpos"))
+    else {
+      val paired =
+        if (upTo >= window) // the base already covers W: ties → gpos only
+          r.select(col("gpos"), col("r").as("r1"), lit(0L).as("r2"))
+        else r.select(col("gpos"), col("r").as("r1"))
+          .join(r.select((col("gpos") - upTo).as("gpos"), col("r").as("r2")),
+            Seq("gpos"), "left")
+          .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+      rowNumberByPairPos(paired, nParts)
+    }
+  }
+
+  /** Convenience: documents straight to the bounded suffix array. */
+  def ofDocs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, nParts: Int = 32): DataFrame =
+    boundedSuffixArray(charTable(docs, idCol, textCol, nParts), window, nParts)
+
+  /**
+   * ExactSubstr deduplication (Lee et al. 2022 §4.1): every maximal
+   * per-document span covered by length-`minLen` substrings that occur
+   * ≥ 2 times in the corpus (any doc, including self-repeats). Output:
+   * (idCol, span_start, span_end, span_text), offsets 0-based
+   * half-open in code points.
+   *
+   * The suffix SORT is deliberately not used here: with the match
+   * length fixed at L, "this position starts a duplicated L-gram" is
+   * pure key equality, and the L-gram itself — cut from the document
+   * map-side — is the exact key. That turns Lee et al.'s sort-adjacent-
+   * LCP step (built for one machine and unbounded match lengths) into
+   * ONE exchange keyed by gram: no corpus char table, no rank rounds,
+   * no position arithmetic. Grams never cross doc boundaries by
+   * construction (they are substrings of one document), which is the
+   * same semantics the sentinel enforces in the SA path. Use
+   * [[boundedSuffixArray]] when the ORDER of suffixes matters (range
+   * scans, adjacency, unbounded-L analysis); use this when it doesn't.
+   *
+   * Scale: explode and substring are map-side; the gram exchange
+   * carries (id, loc, L chars) rows; the per-gram window state is one
+   * running count. A pathologically hot gram (one string repeated 10^8
+   * times) lands in one task — AQE skew split applies to the exchange,
+   * and every position must be marked, so unlike the LSH pair miners
+   * there is no sound cap to sacrifice. The only per-doc state is the
+   * interval-merge window, bounded by a single document's dup
+   * positions.
+   */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, nParts: Int = 32): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    // every in-doc L-gram start: (id, loc, gram), all map-side
+    val grams = docs.select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), length(col(textCol)).cast("long") - minLen))
+          .as("loc"))
+      .select(col(idCol), col("loc"),
+        expr(s"substring($textCol, loc + 1, $minLen)").as("gram"))
+    // corpus-wide multiplicity: one exchange keyed by the gram itself
+    val d = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("cnt") > 1)
+      .select(col(idCol), col("loc"))
+    // merge overlapping/adjacent [loc, loc+L) intervals per doc
+    val w = Window.partitionBy(col(idCol)).orderBy(col("loc"))
+    val spans = d
+      .withColumn("prev_end",
+        max(col("loc") + minLen).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns",
+        when(col("prev_end").isNull || col("loc") > col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(w))
+      .groupBy(col(idCol), col("sid"))
+      .agg(min(col("loc")).as("span_start"),
+        (max(col("loc")) + minLen).as("span_end"))
+    spans.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        expr(s"substring($textCol, span_start + 1, span_end - span_start)")
+          .as("span_text"))
+  }
+}

@@ -145,5 +145,67 @@ object QueriesF {
              |  CAST(sum(CASE WHEN verdict = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
              |  CAST(sum(CASE WHEN verdict = 'dup_bloom' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_bloom
              |FROM verd GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "Bloom-filter incremental paragraph dedup, FPs replayed exactly (BloomDedup)"))
+      "Bloom-filter incremental paragraph dedup, FPs replayed exactly (BloomDedup)"),
+
+    // ------------------------------------------------------------------
+    // q85: W-bounded suffix array by distributed prefix doubling
+    // (SuffixArray.ofDocs; Manber–Myers 1993, the ExactSubstr index of
+    // Lee et al. 2022 §4.1) on a 1-in-5 doc subset. The oracle replays
+    // the definition literally: concatenate text||chr(1) in id order,
+    // sort all positions by (first 32 chars, position) — memcmp order
+    // equals the engine's codepoint order on the ASCII corpus, and
+    // DuckDB's shorter-prefix-first matches the engine's
+    // end-of-corpus-sorts-below-every-rank.
+    // ------------------------------------------------------------------
+    "q85_suffix_array" -> Q(
+      (s, d) => graft.ops.SuffixArray
+        .ofDocs(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", window = 32)
+        .select(col("sa_rank").cast("long").as("sa_rank"),
+          col("gpos").cast("long").as("gpos"))
+        .orderBy(col("sa_rank")),
+      Some("""WITH c AS (
+             |  SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS s
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |p AS (SELECT s, unnest(range(1, len(s) + 1)) AS p FROM c)
+             |SELECT CAST(row_number() OVER (ORDER BY substr(s, p, 32), p) - 1
+             |         AS BIGINT) AS sa_rank,
+             |       CAST(p - 1 AS BIGINT) AS gpos
+             |FROM p ORDER BY sa_rank""".stripMargin),
+      "W-bounded distributed suffix array vs literal sort-all-suffixes replay (SuffixArray)"),
+
+    // ------------------------------------------------------------------
+    // q86: ExactSubstr dedup spans (SuffixArray.duplicatedSpans; Lee et
+    // al. 2022 §4.1) at L=16 over the whole corpus — every maximal
+    // per-doc span covered by 16-grams occurring ≥2 times anywhere
+    // (cross-doc AND self-repeats). The oracle enumerates every in-doc
+    // 16-gram, keeps positions whose gram is globally non-unique, and
+    // merges overlapping/adjacent [p, p+16) intervals per doc.
+    // ------------------------------------------------------------------
+    "q86_exact_substr" -> Q(
+      (s, d) => graft.ops.SuffixArray
+        .duplicatedSpans(t(s, d, "documents"), "doc_id", "text", minLen = 16)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, text, unnest(range(1, len(text) - 14)) AS p
+             |  FROM documents WHERE len(text) >= 16),
+             |g AS (SELECT doc_id, text, p, substr(text, p, 16) AS gram FROM pos),
+             |c AS (SELECT doc_id, text, p FROM
+             |        (SELECT *, count(*) OVER (PARTITION BY gram) AS n FROM g)
+             |      WHERE n > 1),
+             |m AS (SELECT doc_id, text, p,
+             |    CASE WHEN p > coalesce(max(p + 16) OVER
+             |        (PARTITION BY doc_id ORDER BY p
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS ns
+             |  FROM c),
+             |sp AS (SELECT doc_id, text, p,
+             |         sum(ns) OVER (PARTITION BY doc_id ORDER BY p) AS sid
+             |       FROM m)
+             |SELECT doc_id,
+             |  CAST(min(p) - 1 AS BIGINT) AS span_start,
+             |  CAST(max(p) - 1 + 16 AS BIGINT) AS span_end,
+             |  substr(any_value(text), min(p), max(p) + 16 - min(p)) AS span_text
+             |FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin),
+      "ExactSubstr dup-span dedup at L=16 via the bounded suffix ranks (SuffixArray.duplicatedSpans)"))
 }
