@@ -442,4 +442,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!names.exists(_.contains("Exchange")), names.distinct)
     assert(!names.exists(_.contains("Join")), names.distinct)
   }
+
+  test("exact-substr spans: linear gram mining — no cartesian, no pair expansion") {
+    val names = treeNames(executed(
+      graft.ops.SuffixArray.duplicatedSpans(docs, "doc_id", "text", minLen = 16)))
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
+    // dup mining is a window count keyed by the gram, never a self-join:
+    // the only join is the final per-doc text re-attach
+    assert(names.count(_.contains("Join")) <= 1, names.distinct)
+  }
+
+  test("suffix-array char table: text crosses at most one exchange, scan prunes") {
+    val plan = executed(graft.ops.SuffixArray.charTable(docs, "doc_id", "text"))
+    // the doc body meets its layout offset once; every downstream row is
+    // fixed-width (gpos, cp)
+    assert(shuffleCols(plan).count(_.contains("text")) <= 1,
+      shuffleCols(plan).toString)
+    val scans = collectNodes(plan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "text"))),
+      scans.map(_.requiredSchema.fieldNames.mkString(",")))
+  }
 }
