@@ -125,7 +125,10 @@ object SuffixArray {
     val n = base.count()
     var r = base
     var k = math.min(8, upTo).toLong
-    var unique = n <= 1
+    // NOT `n <= 1`: unique=true promises r is a DENSE rank, and the raw
+    // packed base isn't one — a 1-row corpus must still pass through a
+    // rank round (or the caller's row_number pass) to get sa_rank 0
+    var unique = false
     while (!unique && k < upTo) {
       val shifted = r.select((col("gpos") - k).as("gpos"), col("r").as("r2"))
       val paired = r.select(col("gpos"), col("r").as("r1"))

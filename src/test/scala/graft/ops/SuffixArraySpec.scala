@@ -96,6 +96,18 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got == bruteSpans(corpus, 12))
   }
 
+  test("degenerate corpora: single char and empty text still rank densely") {
+    // 1 doc, empty text -> corpus = one sentinel -> sa_rank 0 (not the
+    // raw packed value: the pre-fix bug returned 1L << 56)
+    val one = SuffixArray.ofDocs(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 32).as[(Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 0L)))
+    val two = SuffixArray.ofDocs(Seq((1L, "z")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 32)
+      .orderBy("sa_rank").as[(Long, Long)].collect().toSeq
+    assert(two == bruteSA(Seq((1L, "z")), 32))
+  }
+
   test("sentinel stops cross-boundary matches") {
     // doc 3 = doc1's tail + doc2's head; without a separator the
     // concatenation of 1 and 2 would fake a 16-gram match
