@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,24 +110,21 @@ object SuffixArray {
     (ranked, cum.last)
   }
 
-  /** Prefix-double `chars` up to window `upTo` (a power of two) from the
-    * packed base: returns ((gpos, r) where r orders the first `upTo`
-    * code points of each suffix — equal r ⟺ equal upTo-windows —
-    * whether ranks went unique, corpus length). A missing row at a
-    * lookup position (the corpus tail) ranks as -1: "end of string"
+  /** The doubling ladder + fused final pass over an (eagerly pinned)
+    * packed base of width `baseWidth`: (sa_rank, gpos). A missing row at
+    * a lookup position (the corpus tail) ranks as -1: "end of string"
     * sorts below every rank, i.e. a shorter prefix sorts first —
     * exactly memcmp on the truncated window. */
-  private def doubledRanks(chars: DataFrame, upTo: Int,
-      nParts: Int): (DataFrame, Boolean, Long) = {
-    // pin the base: round 1 reads it twice (self + shifted), and count()
-    // on the pinned table is the corpus length (one pack row per gpos)
-    val base = packedBase(chars, math.min(8, upTo)).localCheckpoint(true)
+  private def saFromBase(base: DataFrame, baseWidth: Int, window: Int,
+      nParts: Int): DataFrame = {
+    // count() on the pinned base is the corpus length (one row per gpos)
     val n = base.count()
+    val upTo = math.max(window / 2, baseWidth)
     var r = base
-    var k = math.min(8, upTo).toLong
+    var k = baseWidth.toLong
     // NOT `n <= 1`: unique=true promises r is a DENSE rank, and the raw
     // packed base isn't one — a 1-row corpus must still pass through a
-    // rank round (or the caller's row_number pass) to get sa_rank 0
+    // rank round (or the final row_number pass) to get sa_rank 0
     var unique = false
     while (!unique && k < upTo) {
       val shifted = r.select((col("gpos") - k).as("gpos"), col("r").as("r2"))
@@ -139,7 +136,19 @@ object SuffixArray {
       k *= 2
       unique = nd == n
     }
-    (r, unique, n)
+    if (unique) r.select(col("r").as("sa_rank"), col("gpos"))
+    else {
+      // last pairing round fuses with the position tie-break: one
+      // row_number pass over (rank_k(p), rank_k(p+k), gpos)
+      val paired =
+        if (k >= window) // the ranks already cover W: ties → gpos only
+          r.select(col("gpos"), col("r").as("r1"), lit(0L).as("r2"))
+        else r.select(col("gpos"), col("r").as("r1"))
+          .join(r.select((col("gpos") - k).as("gpos"), col("r").as("r2")),
+            Seq("gpos"), "left")
+          .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+      rowNumberByPairPos(paired, nParts)
+    }
   }
 
   /** Global row_number over (r1, r2, gpos) order — the final SA rank in
@@ -176,25 +185,78 @@ object SuffixArray {
     require(window >= 2 && (window & (window - 1)) == 0,
       s"window must be a power of two >= 2, got $window")
     val b = math.min(8, window)
-    val upTo = math.max(window / 2, b)
-    val (r, unique, _) = doubledRanks(chars, upTo, nParts)
-    if (unique) r.select(col("r").as("sa_rank"), col("gpos"))
-    else {
-      val paired =
-        if (upTo >= window) // the base already covers W: ties → gpos only
-          r.select(col("gpos"), col("r").as("r1"), lit(0L).as("r2"))
-        else r.select(col("gpos"), col("r").as("r1"))
-          .join(r.select((col("gpos") - upTo).as("gpos"), col("r").as("r2")),
-            Seq("gpos"), "left")
-          .withColumn("r2", coalesce(col("r2"), lit(-1L)))
-      rowNumberByPairPos(paired, nParts)
-    }
+    // pin the base: the first ladder round reads it twice (self + shifted)
+    val base = packedBase(chars, b).localCheckpoint(true)
+    saFromBase(base, b, window, nParts)
   }
 
   /** Convenience: documents straight to the bounded suffix array. */
   def ofDocs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 64, nParts: Int = 32): DataFrame =
     boundedSuffixArray(charTable(docs, idCol, textCol, nParts), window, nParts)
+
+  /**
+   * The LCP array of the W-bounded suffix array — Lee et al. 2022's
+   * actual repeat-mining primitive (§4.1: adjacent suffixes in SA order
+   * sharing ≥ L characters ARE the duplicated passages; the LCP array
+   * also answers longest-repeated-substring and repeat-length histogram
+   * queries that fixed-L gram mining cannot). Rows: (sa_rank, gpos,
+   * next_gpos, lcp) for every adjacent pair (sa_rank, sa_rank+1), with
+   * lcp = common-prefix length of the two suffixes in code points of
+   * the sentinel-joined corpus, capped at `window`.
+   *
+   * The LCP never rescans characters: each position carries its W/8
+   * covering 8-char packs (one map-side emit + groupBy over the pinned
+   * base — the same table the SA ladder starts from), and the LCP of two
+   * positions is a FIXED when-chain over at most W/8 pack XORs (first
+   * differing byte of the first differing pack; a missing tail pack is
+   * an exhausted suffix — 0 further common bytes). Everything after the
+   * char explode shuffles fixed-width rows only.
+   */
+  def adjacentLcp(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, nParts: Int = 32): DataFrame = {
+    require(window >= 8 && (window & (window - 1)) == 0,
+      s"window must be a power of two >= 8, got $window")
+    val chars = charTable(docs, idCol, textCol, nParts)
+    val base = packedBase(chars, 8).localCheckpoint(true)
+    // pin: read twice by the adjacent-pair self-join
+    val sa = saFromBase(base, 8, window, nParts).localCheckpoint(true)
+    val nw = window / 8
+    // per-position covering packs [pk(g), pk(g+8), ..]; trailing entries
+    // missing once g+8j passes the corpus end
+    val emits = array((0 until nw).map(j => lit(j.toLong)): _*)
+    val pkArr = base
+      .select(col("gpos"), col("r"), explode(emits).as("j"))
+      .select((col("gpos") - col("j") * 8).as("gpos"), col("j"), col("r"))
+      .filter(col("gpos") >= 0)
+      .groupBy(col("gpos"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("r")))),
+        s => s.getField("r")).as("pks"))
+    val pairs = sa
+      .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
+        col("gpos").as("next_gpos")), Seq("sa_rank"))
+      .join(pkArr.select(col("gpos"), col("pks").as("a_pks")), Seq("gpos"))
+      .join(pkArr.select(col("gpos").as("next_gpos"), col("pks").as("b_pks")),
+        Seq("next_gpos"))
+    // common bytes of two packs: position of the top non-zero XOR byte
+    def commonBytes(a: Column, b: Column): Column =
+      when(a.isNull || b.isNull, lit(0L)).otherwise {
+        val x = a.bitwiseXOR(b)
+        (0 until 8).foldRight(lit(8L): Column) { (i, rest) =>
+          when(shiftrightunsigned(x, 8 * (7 - i)) =!= 0, lit(i.toLong))
+            .otherwise(rest)
+        }
+      }
+    val lcp = (0 until nw).foldRight(lit(window.toLong): Column) { (j, rest) =>
+      // try_element_at: tail positions carry fewer than W/8 packs, and a
+      // missing pack must read as null (exhausted suffix), not ANSI-error
+      val c = commonBytes(try_element_at(col("a_pks"), lit(j + 1)),
+        try_element_at(col("b_pks"), lit(j + 1)))
+      when(c < 8, lit(8L * j) + c).otherwise(rest)
+    }
+    pairs.select(col("sa_rank"), col("gpos"), col("next_gpos"),
+      lcp.as("lcp"))
+  }
 
   /**
    * ExactSubstr deduplication (Lee et al. 2022 §4.1): every maximal

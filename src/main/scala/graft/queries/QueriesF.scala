@@ -207,5 +207,47 @@ object QueriesF {
              |  CAST(max(p) - 1 + 16 AS BIGINT) AS span_end,
              |  substr(any_value(text), min(p), max(p) + 16 - min(p)) AS span_text
              |FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin),
-      "ExactSubstr dup-span dedup at L=16 via the bounded suffix ranks (SuffixArray.duplicatedSpans)"))
+      "ExactSubstr dup-span dedup at L=16 via the bounded suffix ranks (SuffixArray.duplicatedSpans)"),
+
+    // ------------------------------------------------------------------
+    // q87: the LCP array of the W-bounded suffix array (SuffixArray
+    // .adjacentLcp; Lee et al. 2022 §4.1's repeat-mining primitive) on
+    // the q85 subset at W=32. The oracle rebuilds q85's literal SA, then
+    // for each adjacent pair walks the two 32-char windows one character
+    // at a time: lcp = first differing offset, or — when neither window
+    // differs inside W — the shorter suffix's length capped at W (the
+    // engine's 0-padded packs encode exactly that exhaustion rule).
+    // ------------------------------------------------------------------
+    "q87_lcp_array" -> Q(
+      (s, d) => graft.ops.SuffixArray
+        .adjacentLcp(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", window = 32)
+        .select(col("sa_rank").cast("long").as("sa_rank"),
+          col("gpos").cast("long").as("gpos"),
+          col("next_gpos").cast("long").as("next_gpos"),
+          col("lcp").cast("long").as("lcp"))
+        .orderBy(col("sa_rank")),
+      Some("""WITH c AS (
+             |  SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS s
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |p AS (SELECT s, unnest(range(1, len(s) + 1)) AS p FROM c),
+             |sa AS (
+             |  SELECT s, CAST(row_number() OVER (ORDER BY substr(s, p, 32), p) - 1
+             |           AS BIGINT) AS sa_rank, p
+             |  FROM p),
+             |pr AS (
+             |  SELECT a.s AS s, a.sa_rank, a.p AS pa, b.p AS pb,
+             |    least(len(a.s) - a.p + 1, len(a.s) - b.p + 1, 32) AS cap
+             |  FROM sa a JOIN sa b ON b.sa_rank = a.sa_rank + 1),
+             |x AS (
+             |  SELECT sa_rank, pa, pb,
+             |    coalesce(min(CASE WHEN substr(s, pa + i - 1, 1) <> substr(s, pb + i - 1, 1)
+             |                      THEN i - 1 END),
+             |             cap) AS lcp
+             |  FROM pr, (SELECT unnest(range(1, 33)) AS i)
+             |  GROUP BY sa_rank, pa, pb, cap)
+             |SELECT sa_rank, CAST(pa - 1 AS BIGINT) AS gpos,
+             |       CAST(pb - 1 AS BIGINT) AS next_gpos, CAST(lcp AS BIGINT) AS lcp
+             |FROM x ORDER BY sa_rank""".stripMargin),
+      "LCP array over the bounded SA vs per-char window replay (SuffixArray.adjacentLcp)"))
 }

@@ -108,6 +108,40 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(two == bruteSA(Seq((1L, "z")), 32))
   }
 
+  /** Adjacent-pair LCP by definition: common prefix of the two W-windows
+    * (the W-truncation IS the cap; suffix exhaustion shortens a window). */
+  private def bruteLcp(texts: Seq[(Long, String)], window: Int): Seq[(Long, Long, Long, Long)] = {
+    val s = texts.sortBy(_._1).map(_._2 + "\u0001").mkString
+    def win(p: Long) = s.substring(p.toInt, math.min(s.length, p.toInt + window))
+    bruteSA(texts, window).sliding(2).collect {
+      case Seq((r1, p1), (_, p2)) =>
+        val l = win(p1).zip(win(p2)).takeWhile { case (x, y) => x == y }.size
+        (r1, p1, p2, l.toLong)
+    }.toSeq
+  }
+
+  test("adjacentLcp equals brute-force window LCP (W=32)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val got = SuffixArray.adjacentLcp(docs, "doc_id", "text", window = 32)
+      .orderBy("sa_rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val want = bruteLcp(corpus, 32)
+    assert(got == want)
+    // the shared passage really shows up as a long adjacent match
+    assert(want.exists(_._4 >= 20))
+    // the exact-dup docs 1/3 hit the W cap
+    assert(want.exists(_._4 == 32L))
+  }
+
+  test("adjacentLcp at W=8 (single pack) and on repetitive tails") {
+    val texts = Seq((1L, "aaaaaaaaaa"), (2L, "aaaaa"), (3L, "ab"))
+    val docs = texts.toDF("doc_id", "text")
+    for (w <- Seq(8, 16)) {
+      val got = SuffixArray.adjacentLcp(docs, "doc_id", "text", window = w)
+        .orderBy("sa_rank").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == bruteLcp(texts, w), s"window $w")
+    }
+  }
+
   test("sentinel stops cross-boundary matches") {
     // doc 3 = doc1's tail + doc2's head; without a separator the
     // concatenation of 1 and 2 would fake a 16-gram match

@@ -453,6 +453,18 @@ class PlanSpec extends AnyFunSuite {
     assert(names.count(_.contains("Join")) <= 1, names.distinct)
   }
 
+  test("LCP array: equi-joins only, no text column past the char explode") {
+    val plan = executed(
+      graft.ops.SuffixArray.adjacentLcp(docs, "doc_id", "text", window = 32))
+    val names = treeNames(plan)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
+    // fixed-width rows only: the doc body crosses one exchange (layout
+    // join), then every shuffle carries (gpos, ranks, packs) — no strings
+    assert(shuffleCols(plan).count(_.contains("text")) <= 1,
+      shuffleCols(plan).toString)
+  }
+
   test("suffix-array char table: text crosses at most one exchange, scan prunes") {
     val plan = executed(graft.ops.SuffixArray.charTable(docs, "doc_id", "text"))
     // the doc body meets its layout offset once; every downstream row is
