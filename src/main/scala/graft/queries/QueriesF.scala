@@ -249,5 +249,113 @@ object QueriesF {
              |SELECT sa_rank, CAST(pa - 1 AS BIGINT) AS gpos,
              |       CAST(pb - 1 AS BIGINT) AS next_gpos, CAST(lcp AS BIGINT) AS lcp
              |FROM x ORDER BY sa_rank""".stripMargin),
-      "LCP array over the bounded SA vs per-char window replay (SuffixArray.adjacentLcp)"))
+      "LCP array over the bounded SA vs per-char window replay (SuffixArray.adjacentLcp)"),
+
+    // ------------------------------------------------------------------
+    // q88: exact heavy hitters via a mergeable Misra–Gries sketch +
+    // exact verify pass (HeavyHitters; Misra & Gries 1982, mergeability
+    // Agarwal et al. PODS 2012). Both engines synthesize a skewed token
+    // stream from `documents`: every 3rd position keeps the real word
+    // (31 distinct, each ~900×), the rest become a 4001-token synthetic
+    // long tail — far beyond the sketch's k = 2·200 = 400 counters, so
+    // decrements and merge prunes genuinely fire. The oracle is the
+    // brute-force GROUP BY ... HAVING count ≥ ceil(n/200); the MG
+    // superset guarantee makes the engine's two-pass result EXACTLY
+    // equal — any sketch bug that drops a true heavy hitter diverges.
+    // ------------------------------------------------------------------
+    "q88_heavy_hitters" -> Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+          .select(
+            when((col("doc_id") + col("pos")) % 3 === 0, col("w"))
+              .otherwise(concat(lit("rare_"),
+                pmod(col("doc_id") * 13 + col("pos") * 7, lit(4001)).cast("string")))
+              .as("tok"))
+        graft.ops.HeavyHitters.heavyHitters(toks, "tok", q = 200)
+          .select(col("token"), col("cnt").cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, (pos - 1) AS p, w FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(trim(text), '\s+')) AS w,
+             |      generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+             |    FROM documents)),
+             |toks AS (
+             |  SELECT CASE WHEN (doc_id + p) % 3 = 0 THEN w
+             |              ELSE 'rare_' || ((doc_id * 13 + p * 7) % 4001) END AS tok
+             |  FROM sp),
+             |n AS (SELECT count(*) AS n FROM toks)
+             |SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+             |FROM toks, n GROUP BY tok, n.n
+             |HAVING count(*) >= (n.n + 199) // 200
+             |ORDER BY cnt DESC, token""".stripMargin),
+      "two-pass exact heavy hitters over a mergeable Misra-Gries sketch (HeavyHitters)"),
+
+    // ------------------------------------------------------------------
+    // q89: product quantization + asymmetric-distance top-k (Pq; Jégou
+    // et al. TPAMI 2011 — FAISS PQ8x4 on the 64-dim embeddings: m=8
+    // subspaces, ksub=16 codes). FULL replay, no property shortcut: the
+    // oracle re-derives the hash-seeded codebook (portable poly hash,
+    // iters=0 — the pluggable-hash posture of q84), re-encodes every
+    // vector by per-subspace argmin, recomputes every ADC distance with
+    // the same index-ordered left folds, and re-ranks — codes, raw
+    // distances, and ranks must all match bit-for-bit.
+    // ------------------------------------------------------------------
+    "q89_pq_adc" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val book = graft.ops.Pq.train(emb, "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 0,
+          hash = c => graft.functions.HashFns.polyHash(c))
+        val codes = graft.ops.Pq.encode(emb, "vec_id", "embedding", book)
+        graft.ops.Pq.adcTopK(emb.filter(col("vec_id") % 50 === 0), codes,
+          "vec_id", "embedding", book, k = 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("dist2"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT v, CAST(row_number() OVER (
+             |      ORDER BY ${QueriesB.polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id)
+             |    - 1 AS INT) AS code
+             |  FROM emb QUALIFY code < 16),
+             |cb AS (
+             |  SELECT CAST(s AS INT) AS s, code, list_slice(v, s * 8 + 1, s * 8 + 8) AS cv
+             |  FROM seeds, (SELECT unnest(range(0, 8)) AS s)),
+             |enc AS (
+             |  SELECT vec_id, s, code FROM (
+             |    SELECT e.vec_id, c.s, c.code,
+             |      row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+             |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(list_zip(list_slice(e.v, c.s * 8 + 1, c.s * 8 + 8), c.cv),
+             |            p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) ASC,
+             |        c.code ASC) AS rn
+             |    FROM emb e, cb c) WHERE rn = 1),
+             |nc AS (
+             |  SELECT en.vec_id AS neighbor_id, en.s, c.cv
+             |  FROM enc en JOIN cb c ON c.s = en.s AND c.code = en.code),
+             |parts AS (
+             |  SELECT q.vec_id AS query_id, nc.neighbor_id, nc.s,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip(list_slice(q.v, nc.s * 8 + 1, nc.s * 8 + 8), nc.cv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS pd
+             |  FROM emb q, nc
+             |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> nc.neighbor_id),
+             |d AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pd ORDER BY s)),
+             |      (a, b) -> a + b) AS dist2
+             |  FROM parts GROUP BY query_id, neighbor_id)
+             |SELECT query_id, rank, neighbor_id, dist2 FROM (
+             |  SELECT query_id, neighbor_id, dist2,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist2, neighbor_id) AS BIGINT) AS rank
+             |  FROM d) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "product-quantization ADC top-k, codebook/codes/distances replayed exactly (Pq)"))
 }

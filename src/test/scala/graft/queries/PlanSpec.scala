@@ -477,4 +477,51 @@ class PlanSpec extends AnyFunSuite {
       _.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "text"))),
       scans.map(_.requiredSchema.fieldNames.mkString(",")))
   }
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("PQ encode is a pure map: the codebook rides as a literal — zero exchanges, zero joins") {
+    val book = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val names = treeNames(executed(
+      graft.ops.Pq.encode(emb, "vec_id", "embedding", book)))
+    assert(!names.exists(_.contains("Exchange")), names.distinct)
+    assert(!names.exists(_.contains("Join")), names.distinct)
+  }
+
+  test("PQ ADC top-k: neighbor vectors never enter the plan — code rows only") {
+    // the corpus side of the scan carries (neighbor_id, codes); the raw
+    // embedding column may appear ONLY under the 10-row query side. A
+    // vector-carrying exchange here means the codec stopped paying for
+    // itself (the whole point is scanning m-byte codes, not 4·D floats).
+    import org.apache.spark.sql.functions.col
+    val book = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val codes = graft.ops.Pq.encode(emb, "vec_id", "embedding", book)
+    val plan = executed(graft.ops.Pq.adcTopK(
+      emb.filter(col("vec_id") % 50 === 0), codes, "vec_id", "embedding", book, k = 5))
+    // every shuffle row is fixed-width: ids, codes, dist2, rank — never
+    // the neighbor embedding ("qv" belongs to the tiny query side)
+    assert(shuffleCols(plan).forall(cols => !cols.exists(_.contains("nv"))
+      && !cols.exists(_.contains("embedding"))), shuffleCols(plan).toString)
+    assert(!treeNames(plan).exists(_.contains("CartesianProduct")),
+      treeNames(plan).distinct)
+  }
+
+  test("heavy hitters: both passes join-free; the sketch collapses map-side") {
+    import org.apache.spark.sql.functions.col
+    val toks = docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
+    // pass 1 — the MG sketch: partial ObjectHashAggregate per partition,
+    // ONE single-column exchange of k-entry sketch buffers, final merge
+    val skDf = {
+      import spark.implicits._
+      toks.select(col("tok").cast("string")).as[String]
+        .select(graft.ops.HeavyHitters.mgAggregator(16).toColumn)
+    }
+    val p1 = executed(skDf.toDF())
+    assert(!treeNames(p1).exists(_.contains("Join")), treeNames(p1).distinct)
+    assert(shuffleCols(p1).forall(_.size <= 1), shuffleCols(p1).toString)
+    // pass 2 — exact verify: candidate-set isin filter + groupBy on ≤ k
+    // keys; no join anywhere (candidates are a literal, not a table)
+    val p2 = executed(graft.ops.HeavyHitters.heavyHitters(toks, "tok", q = 10))
+    assert(!treeNames(p2).exists(_.contains("Join")), treeNames(p2).distinct)
+  }
 }
