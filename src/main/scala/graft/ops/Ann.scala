@@ -163,11 +163,14 @@ object Ann {
       val v = asDouble(col(vecCol))
       // struct order (ccos, negc, cluster): lexicographic max = highest
       // cosine, ties to the LOWEST cluster id (negc), matching the old
-      // window's (ccos desc, cluster asc)
+      // window's (ccos desc, cluster asc). try_divide for the same
+      // zero-norm tolerance assignBest documents: a 0-vector probes the
+      // lowest-id clusters instead of killing the job under ANSI mode.
       df.select(col(idCol), v.as("dv"))
         .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
         .withColumn("scored", transform(cents, c =>
-          struct((dot(col("dv"), c.getField("cv")) / (col("dn") * c.getField("cn"))).as("ccos"),
+          struct(try_divide(dot(col("dv"), c.getField("cv")),
+            col("dn") * c.getField("cn")).as("ccos"),
             (-c.getField("cluster")).as("negc"),
             c.getField("cluster").as("cluster"))))
         .select(col(idCol),

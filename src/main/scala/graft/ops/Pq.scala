@@ -156,18 +156,58 @@ object Pq {
     * (IVF-PQ): probe clusters first, ADC-scan only their code lists. */
   def adcTopK(queries: DataFrame, codes: DataFrame, idCol: String, vecCol: String,
       book: Codebook, k: Int): DataFrame = {
-    val cbl = book.literal
-    val dsub = book.dsub
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val c = codes.select(col(idCol).as("neighbor_id"), col("codes"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("neighbor_id"))
     q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dist2",
-        aggregate(sequence(lit(0), lit(book.m - 1)), lit(0.0), (acc, s) =>
-          acc + sqDist(
-            slice(col("qv"), s * dsub + 1, lit(dsub)),
-            element_at(element_at(cbl, s + 1), element_at(col("codes"), s + 1) + 1))))
+      .withColumn("dist2", adcDist(col("qv"), col("codes"), book))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist2"))
+  }
+
+  /** The ADC distance expression: Σ_s ‖q_sub(s) − cb[s][code_s]‖², folded
+    * in subspace order. Shared by [[adcTopK]] and [[ivfPqTopK]] so the
+    * two search paths cannot drift. */
+  private def adcDist(qv: Column, codes: Column, book: Codebook): Column = {
+    val cbl = book.literal
+    val dsub = book.dsub
+    aggregate(sequence(lit(0), lit(book.m - 1)), lit(0.0), (acc, s) =>
+      acc + sqDist(
+        slice(qv, s * dsub + 1, lit(dsub)),
+        element_at(element_at(cbl, s + 1), element_at(codes, s + 1) + 1)))
+  }
+
+  /** IVF-PQ: the composition that actually runs at corpus scale (FAISS
+    * `IVF{nlist},PQ{m}` with by_residual=false — codes quantize the raw
+    * vectors, so the same codebook serves every list and the flat-ADC
+    * oracle): [[Ann]]'s coarse quantizer routes each query to its
+    * `nprobe` nearest inverted lists, and ADC scans ONLY those lists'
+    * code rows.
+    *
+    * Plan shape: the corpus-scale side is (neighbor_id, cluster, m codes)
+    * — assignment and encoding are both zero-shuffle literal argmins, so
+    * raw neighbor vectors never leave their scan; the probe join is an
+    * equi-join on `cluster` whose query side is nprobe rows per query.
+    * Per-query cost O(N·nprobe/nlist) code scans instead of O(N), on top
+    * of PQ's 32× memory reduction — at nprobe = nlist this degrades to
+    * exactly [[adcTopK]] (the q90 property oracle). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      book: Codebook, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
+    val cents = Ann.centroidLiteral(
+      Ann.ivfCentroids(corpus, idCol, vecCol, nlist, kmeansIters))
+    val lists = Ann.ivfAssign(corpus, idCol, vecCol, cents, keep = 1)
+      .select(col(idCol), col("cluster"))
+      .join(encode(corpus, idCol, vecCol, book), Seq(idCol))
+      .withColumnRenamed(idCol, "neighbor_id")
+    val probes = Ann.ivfAssign(queries, idCol, vecCol, cents, keep = nprobe)
+      .select(col(idCol).as("query_id"), col("cluster"), col("dv").as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("neighbor_id"))
+    probes.join(lists, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist2", adcDist(col("qv"), col("codes"), book))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist2"))

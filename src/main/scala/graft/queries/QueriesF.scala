@@ -357,5 +357,70 @@ object QueriesF {
              |    CAST(row_number() OVER (PARTITION BY query_id
              |      ORDER BY dist2, neighbor_id) AS BIGINT) AS rank
              |  FROM d) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
-      "product-quantization ADC top-k, codebook/codes/distances replayed exactly (Pq)"))
+      "product-quantization ADC top-k, codebook/codes/distances replayed exactly (Pq)"),
+
+    // ------------------------------------------------------------------
+    // q90: IVF-PQ — the composed corpus-scale ANN path (Pq.ivfPqTopK;
+    // FAISS IVF16,PQ8 posture, by_residual=false). Property oracle in
+    // the q43 style: with nprobe = nlist every inverted list is probed,
+    // so the result equals flat ADC over all codes REGARDLESS of where
+    // the (xxhash64-seeded, Lloyd-refined) coarse centroids land — the
+    // oracle replays the flat-ADC ranking and pins the probe/route/scan
+    // machinery while the IVF side runs for real (distinct clusters,
+    // one Lloyd pass, per-list code scans).
+    // ------------------------------------------------------------------
+    "q90_ivf_pq" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val book = graft.ops.Pq.train(emb, "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 0,
+          hash = c => graft.functions.HashFns.polyHash(c))
+        graft.ops.Pq.ivfPqTopK(emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "embedding", book, k = 3, nlist = 16, nprobe = 16,
+          kmeansIters = 1)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("dist2"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH emb AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT v, CAST(row_number() OVER (
+             |      ORDER BY ${QueriesB.polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id)
+             |    - 1 AS INT) AS code
+             |  FROM emb QUALIFY code < 16),
+             |cb AS (
+             |  SELECT CAST(s AS INT) AS s, code, list_slice(v, s * 8 + 1, s * 8 + 8) AS cv
+             |  FROM seeds, (SELECT unnest(range(0, 8)) AS s)),
+             |enc AS (
+             |  SELECT vec_id, s, code FROM (
+             |    SELECT e.vec_id, c.s, c.code,
+             |      row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+             |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(list_zip(list_slice(e.v, c.s * 8 + 1, c.s * 8 + 8), c.cv),
+             |            p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) ASC,
+             |        c.code ASC) AS rn
+             |    FROM emb e, cb c) WHERE rn = 1),
+             |nc AS (
+             |  SELECT en.vec_id AS neighbor_id, en.s, c.cv
+             |  FROM enc en JOIN cb c ON c.s = en.s AND c.code = en.code),
+             |parts AS (
+             |  SELECT q.vec_id AS query_id, nc.neighbor_id, nc.s,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip(list_slice(q.v, nc.s * 8 + 1, nc.s * 8 + 8), nc.cv),
+             |        p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS pd
+             |  FROM emb q, nc
+             |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> nc.neighbor_id),
+             |d AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pd ORDER BY s)),
+             |      (a, b) -> a + b) AS dist2
+             |  FROM parts GROUP BY query_id, neighbor_id)
+             |SELECT query_id, rank, neighbor_id, dist2 FROM (
+             |  SELECT query_id, neighbor_id, dist2,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist2, neighbor_id) AS BIGINT) AS rank
+             |  FROM d) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      "IVF-PQ composed ANN: exhaustive probe == flat ADC regardless of centroids (property oracle)"))
 }

@@ -89,6 +89,30 @@ class PqSpec extends AnyFunSuite {
     assert(e2 <= e0 + 1e-9, s"Lloyd made it worse: $e0 -> $e2")
   }
 
+  test("IVF-PQ with exhaustive probe equals flat ADC; partial probe is a subset path") {
+    val pts = (0 until 30).map { i =>
+      (i.toLong, Seq((i % 7).toDouble, (i % 5).toDouble, (i % 3).toDouble, (i % 2).toDouble))
+    }.toDF("id", "v")
+    val book = Pq.train(pts, "id", "v", m = 2, ksub = 4)
+    val queries = pts.filter($"id" % 10 === 0)
+    val flat = Pq.adcTopK(queries, Pq.encode(pts, "id", "v", book), "id", "v", book, k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val ivf = Pq.ivfPqTopK(queries, pts, "id", "v", book, k = 4,
+      nlist = 4, nprobe = 4, kmeansIters = 1)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(ivf == flat)
+    // nprobe < nlist returns ranked results drawn from the probed lists
+    // only — still k (or fewer) rows per query, distances still exact ADC
+    val partial = Pq.ivfPqTopK(queries, pts, "id", "v", book, k = 4,
+      nlist = 4, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    val flatDist = flat.map(r => (r._1, r._3) -> r._4).toMap
+    partial.groupBy(_._1).values.foreach(rs => assert(rs.length <= 4))
+    partial.foreach { case (q, _, n, d2) =>
+      flatDist.get((q, n)).foreach(fd => assert(fd == d2))
+    }
+  }
+
   test("invalid shapes fail fast") {
     intercept[IllegalArgumentException] {
       Pq.train(corpus, "id", "v", m = 3, ksub = 2) // 4 % 3 != 0

@@ -506,6 +506,23 @@ class PlanSpec extends AnyFunSuite {
       treeNames(plan).distinct)
   }
 
+  test("IVF-PQ probe: equi-join on cluster, corpus vectors die at their scan") {
+    import org.apache.spark.sql.functions.col
+    val book = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val plan = executed(graft.ops.Pq.ivfPqTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", book,
+      k = 3, nlist = 8, nprobe = 2))
+    val names = treeNames(plan)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")), names.distinct)
+    // the corpus-scale list side shuffles (neighbor_id, cluster, codes) —
+    // the raw vector column ("dv"/"nv") never crosses an exchange; "qv"
+    // may (nprobe rows per query, query set is small by contract)
+    assert(shuffleCols(plan).forall(cols =>
+      !cols.exists(c => c.contains("dv") || c.contains("nv") || c.contains("embedding"))),
+      shuffleCols(plan).toString)
+  }
+
   test("heavy hitters: both passes join-free; the sketch collapses map-side") {
     import org.apache.spark.sql.functions.col
     val toks = docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
