@@ -57,6 +57,11 @@ object Pq {
       * broadcast-as-expression that keeps encode/ADC join-free. */
     private[graft] def literal: Column =
       typedLit(cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    /** The codebook as the nested primitive array the native kernels
+      * ([[graft.functions.PqImpl]]) embed via the codegen reference
+      * table. */
+    private[graft] def nativeArray: Array[Array[Array[Double]]] =
+      cb.map(_.map(_.toArray).toArray).toArray
   }
 
   /** Train a PQ codebook: deterministic hash-random seeds (the `ksub`
@@ -115,12 +120,21 @@ object Pq {
     } else Codebook(m, seedRows.length, dim, cb)
   }
 
-  /** Encode every vector into its m sub-codes — a pure map over the
-    * codebook literal (per subspace: argmin_{code} ‖v_sub − cb[s][code]‖²,
-    * ties to the lower code via lexicographic struct min). Output:
-    * (idCol, codes array<int>) — the m-byte row that replaces the
-    * 4·D-byte vector downstream. */
-  def encode(df: DataFrame, idCol: String, vecCol: String, book: Codebook): DataFrame = {
+  /** Encode every vector into its m sub-codes — a pure map running the
+    * native codegen'd argmin kernel ([[graft.functions.PqImpl.encode]];
+    * per subspace: argmin_{code} ‖v_sub − cb[s][code]‖², ties to the
+    * lower code), bit-identical to [[encodeHof]] (pinned in PqSpec).
+    * Output: (idCol, codes array<int>) — the m-byte row that replaces
+    * the 4·D-byte vector downstream. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, book: Codebook): DataFrame =
+    df.select(col(idCol),
+      graft.functions.PqFns.pqEncode(asDouble(col(vecCol)), book.nativeArray).as("codes"))
+
+  /** The higher-order-function twin of [[encode]] — the definitional
+    * form the native kernel must match fold-for-fold. Kept (not dead
+    * code) as the equivalence witness PqSpec executes. */
+  private[graft] def encodeHof(df: DataFrame, idCol: String, vecCol: String,
+      book: Codebook): DataFrame = {
     val cbl = book.literal
     val dsub = book.dsub
     df.select(col(idCol), asDouble(col(vecCol)).as("dv"))
@@ -168,9 +182,17 @@ object Pq {
   }
 
   /** The ADC distance expression: Σ_s ‖q_sub(s) − cb[s][code_s]‖², folded
-    * in subspace order. Shared by [[adcTopK]] and [[ivfPqTopK]] so the
-    * two search paths cannot drift. */
-  private def adcDist(qv: Column, codes: Column, book: Codebook): Column = {
+    * in subspace order — the native codegen'd kernel
+    * ([[graft.functions.PqImpl.adcDist]]), bit-identical to
+    * [[adcDistHof]] (pinned in PqSpec). Shared by [[adcTopK]] and
+    * [[ivfPqTopK]] so the two search paths cannot drift. */
+  private def adcDist(qv: Column, codes: Column, book: Codebook): Column =
+    graft.functions.PqFns.pqAdcDist(qv, codes, book.nativeArray)
+
+  /** The higher-order-function twin of [[adcDist]] — the definitional
+    * fold the native kernel must match; PqSpec executes both over the
+    * same pairs and asserts raw-double equality. */
+  private[graft] def adcDistHof(qv: Column, codes: Column, book: Codebook): Column = {
     val cbl = book.literal
     val dsub = book.dsub
     aggregate(sequence(lit(0), lit(book.m - 1)), lit(0.0), (acc, s) =>

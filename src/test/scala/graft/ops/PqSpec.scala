@@ -113,6 +113,33 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("native kernels are bit-identical to the definitional HOF folds") {
+    // irrational-ish components make any fold-order or grouping drift
+    // visible in the low mantissa bits; raw == comparison, no tolerance
+    val pts = (0 until 64).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 7 + j) * math.sqrt(j + 1)))
+    }.toDF("id", "v")
+    val book = Pq.train(pts, "id", "v", m = 4, ksub = 7)
+    val nat = Pq.encode(pts, "id", "v", book)
+      .select($"id".as[Long], $"codes".as[Seq[Int]]).collect().toMap
+    val hof = Pq.encodeHof(pts, "id", "v", book)
+      .select($"id".as[Long], $"codes".as[Seq[Int]]).collect().toMap
+    assert(nat == hof)
+    val codes = Pq.encode(pts, "id", "v", book)
+    val qv = pts.select($"id".as("qid"), $"v".cast("array<double>").as("qv"))
+    val joined = qv.crossJoin(codes.withColumnRenamed("id", "nid"))
+    import org.apache.spark.sql.functions.col
+    val both = joined.select($"qid", $"nid",
+        graft.functions.PqFns.pqAdcDist(col("qv"), col("codes"), book.nativeArray).as("dn"),
+        Pq.adcDistHof(col("qv"), col("codes"), book).as("dh"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(both.length == 64 * 64)
+    both.foreach { case (q, n, dn, dh) =>
+      assert(java.lang.Double.doubleToLongBits(dn) == java.lang.Double.doubleToLongBits(dh),
+        s"ADC($q,$n) native $dn != hof $dh")
+    }
+  }
+
   test("invalid shapes fail fast") {
     intercept[IllegalArgumentException] {
       Pq.train(corpus, "id", "v", m = 3, ksub = 2) // 4 % 3 != 0
