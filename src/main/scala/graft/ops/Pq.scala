@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
  *    [[Ann.ivfCentroidSeq]]: assignment is the zero-shuffle argmin map,
  *    mean updates aggregate per (sub, code, dim) with map-side partial
  *    aggregation — vectors never shuffle;
- *  - all floating-point folds are index-ordered left folds (zip_with +
- *    aggregate), bit-identical to DuckDB's `list_reduce`, so the q89
- *    oracle replays every distance — and therefore every code and every
- *    rank — exactly, with no tolerance.
+ *  - all floating-point folds are index-ordered left folds, bit-identical
+ *    to DuckDB's `list_reduce`, so the q89 oracle replays every distance
+ *    — and therefore every code and every rank — exactly, with no
+ *    tolerance. The hot path runs native codegen'd kernels
+ *    ([[graft.functions.PqImpl]]); the definitional zip_with + aggregate
+ *    forms remain as [[encodeHof]]/[[adcDistHof]], and PqSpec pins
+ *    native ≡ HOF at doubleToLongBits granularity.
  *
  * Determinism: seeds are the `ksub` corpus rows with the smallest
  * `hash(id)` (hash pluggable like [[BloomDedup]]: production xxhash64,

@@ -422,5 +422,32 @@ object QueriesF {
              |    CAST(row_number() OVER (PARTITION BY query_id
              |      ORDER BY dist2, neighbor_id) AS BIGINT) AS rank
              |  FROM d) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
-      "IVF-PQ composed ANN: exhaustive probe == flat ADC regardless of centroids (property oracle)"))
+      "IVF-PQ composed ANN: exhaustive probe == flat ADC regardless of centroids (property oracle)"),
+
+    // ------------------------------------------------------------------
+    // q91: bounded top-k-per-group aggregate (TopK.topKPerGroup) — the
+    // scale path for R18-style ranking: a k-bounded mergeable buffer
+    // with map-side partial aggregation replaces the row_number window's
+    // full per-group shuffle-and-sort (the exchange carries ≤ k rows per
+    // group per map partition, nothing is globally sorted). The oracle
+    // IS the definitional window replay, same (score desc, id asc)
+    // tie-break — any heap/merge bug that reorders or drops a contender
+    // diverges.
+    // ------------------------------------------------------------------
+    "q91_topk_agg" -> Q(
+      (s, d) => graft.ops.TopK.topKPerGroup(
+          t(s, d, "orders"), "o_orderpriority", "o_totalprice", "o_orderkey", k = 5)
+        .select(col("o_orderpriority"), col("rank"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rank")),
+      Some("""SELECT o_orderpriority, rank, o_orderkey,
+             |  round(total, 2) AS o_totalprice FROM (
+             |  SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             |    CAST(o_totalprice AS DOUBLE) AS total,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS BIGINT) AS rank
+             |  FROM orders)
+             |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin),
+      "k-bounded mergeable top-k aggregate == the row_number window replay (TopK)"))
 }

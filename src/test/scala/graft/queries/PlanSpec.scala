@@ -523,6 +523,20 @@ class PlanSpec extends AnyFunSuite {
       shuffleCols(plan).toString)
   }
 
+  test("top-k aggregate: no Window, no per-group sort — a partial agg pair") {
+    // the whole point of TopK.topKPerGroup is replacing the row_number
+    // window (full shuffle + sort of every group member) with a k-bounded
+    // mergeable aggregate: the plan must carry NO Window node and show
+    // the two-phase (partial → final) aggregate around one exchange
+    val plan = executed(graft.ops.TopK.topKPerGroup(
+      docs.selectExpr("doc_id % 7 AS g", "doc_id AS id", "length(text) AS score"),
+      "g", "score", "id", k = 3))
+    val names = treeNames(plan)
+    assert(!names.exists(_.contains("Window")), names.distinct)
+    assert(!names.exists(_.contains("Join")), names.distinct)
+    assert(names.count(_.contains("Aggregate")) >= 2, names.distinct)
+  }
+
   test("heavy hitters: both passes join-free; the sketch collapses map-side") {
     import org.apache.spark.sql.functions.col
     val toks = docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
