@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -95,4 +96,117 @@ object Multimodal {
         sequence(lit(0L), least(col("duration_ms"), lit(everyMs * (maxFrames - 1))), lit(everyMs))
           .as("frame_ts_ms"))
       .select(col("media_ref"), posexplode(col("frame_ts_ms")).as(Seq("frame_idx", "ts_ms")))
+
+  // --------------------------------------------------------------------
+  // Perceptual-hash near-dup for the media plane (image dedup).
+  // --------------------------------------------------------------------
+
+  /** A decoded-image hash row: opaque ref + its owner doc + 64-bit dHash. */
+  final case class MediaHash(id: Long, media_ref: String, phash: Long)
+
+  /** Raw media payload headed for perceptual hashing: `bytes` is the
+    * DECODED grayscale grid, row-major `rows x (cols+1)` (one extra
+    * column: dHash compares horizontal neighbors). The JPEG/PNG →
+    * grayscale-grid resample is the stubbed codec stage (same boundary
+    * as [[MediaDecoder]]); everything after the grid is real. */
+  final case class GridRow(id: Long, media_ref: String, bytes: Array[Byte])
+
+  /** Difference hash (dHash, Krawetz 2013 — the standard cheap image
+    * near-dup fingerprint): bit (r*cols + c) is set iff
+    * grid[r][c] < grid[r][c+1], over a rows x (cols+1) grayscale grid.
+    * Gradient *direction* survives brightness/contrast shifts and
+    * mild recompression, so near-identical images land within a few
+    * bits of each other.
+    *
+    * Runs as a partition-batched pass over the decoded grids (the codec
+    * boundary — one iterator per partition, like [[extractFeatures]]);
+    * the hash itself is an allocation-free loop. 8x8 bits by default
+    * (rows = cols = 8 → 72-byte grid, 64-bit hash). */
+  def dhash64(spark: SparkSession, grids: Dataset[GridRow],
+      rows: Int = 8, cols: Int = 8): Dataset[MediaHash] = {
+    require(rows * cols <= 64, s"dhash $rows x $cols exceeds 64 bits")
+    import spark.implicits._
+    val stride = cols + 1
+    grids.mapPartitions { it =>
+      it.map { g =>
+        require(g.bytes.length >= rows * stride,
+          s"grid for ${g.media_ref}: ${g.bytes.length} bytes < ${rows * stride}")
+        var h = 0L
+        var r = 0
+        while (r < rows) {
+          var c = 0
+          while (c < cols) {
+            val left = g.bytes(r * stride + c) & 0xFF
+            val right = g.bytes(r * stride + c + 1) & 0xFF
+            if (left < right) h |= (1L << (r * cols + c))
+            c += 1
+          }
+          r += 1
+        }
+        MediaHash(g.id, g.media_ref, h)
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs: banded multi-index join over the dHash
+    * plane — [[Dedup.simhashPairsFor]]'s pigeonhole machinery applied to
+    * the perceptual hash (maxHamming+agreeBlocks blocks; with
+    * agreeBlocks = 2 every pair within `maxHamming` bits shares an exact
+    * pair-of-blocks key, so candidate generation is provably complete).
+    * Only (id, phash) travels; payloads and grids never shuffle. Returns
+    * (doc_a, doc_b, hamming) with doc_a < doc_b, one row per pair. */
+  def phashPairs(hashes: Dataset[MediaHash], maxHamming: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    Dedup.simhashPairsFor(hashes.toDF.select(col("id"), col("phash")),
+      "id", "phash", bits = 64, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize, agreeBlocks = 2)
+
+  // --------------------------------------------------------------------
+  // Interleaved image-text alignment (CLIP-style caption mining).
+  // --------------------------------------------------------------------
+
+  /** For every media span in an interleaved span table, the nearest text
+    * span by document order within `window` positions — the standard
+    * weak-supervision pairing for image-text training data (alt-text /
+    * adjacent-caption mining, LAION-style, over the input_hint span
+    * shape).
+    *
+    * Plan: ONE shuffle (partition by doc), two running window passes
+    * (last text above, first text below — both ignore-nulls frame scans
+    * over the same sort), then a row-local nearest/tie-break pick. No
+    * self-join, no explode beyond the input: at 100 TB the cost is the
+    * per-document sort, and documents are bounded.
+    *
+    * Tie-break: the EARLIER span wins on equal distance (captions lead
+    * their image more often than they trail it). Media spans with no
+    * text span within `window` are dropped.
+    *
+    * Expects columns (idCol, offset, kind, text, media_ref); emits
+    * (idCol, media_ref, media_offset, caption, caption_offset, delta). */
+  def captionPairs(spans: DataFrame, idCol: String, window: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("offset"))
+    val above = w.rowsBetween(Window.unboundedPreceding, -1)
+    val below = w.rowsBetween(1, Window.unboundedFollowing)
+    val textOff = when(col("kind") === "text", col("offset"))
+    val textVal = when(col("kind") === "text", col("text"))
+    val annotated = spans
+      .withColumn("prev_off", last(textOff, ignoreNulls = true).over(above))
+      .withColumn("prev_txt", last(textVal, ignoreNulls = true).over(above))
+      .withColumn("next_off", first(textOff, ignoreNulls = true).over(below))
+      .withColumn("next_txt", first(textVal, ignoreNulls = true).over(below))
+    val prevDelta = col("offset") - col("prev_off")
+    val nextDelta = col("next_off") - col("offset")
+    val usePrev = col("prev_off").isNotNull &&
+      prevDelta <= window &&
+      (col("next_off").isNull || prevDelta <= nextDelta)
+    val useNext = !usePrev && col("next_off").isNotNull && nextDelta <= window
+    annotated
+      .filter(col("kind") === "media")
+      .filter(usePrev || useNext)
+      .select(col(idCol), col("media_ref"),
+        col("offset").as("media_offset"),
+        when(usePrev, col("prev_txt")).otherwise(col("next_txt")).as("caption"),
+        when(usePrev, col("prev_off")).otherwise(col("next_off")).as("caption_offset"),
+        when(usePrev, prevDelta).otherwise(nextDelta).as("delta"))
+  }
 }

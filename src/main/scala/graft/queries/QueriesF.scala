@@ -449,5 +449,111 @@ object QueriesF {
              |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS BIGINT) AS rank
              |  FROM orders)
              |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin),
-      "k-bounded mergeable top-k aggregate == the row_number window replay (TopK)"))
+      "k-bounded mergeable top-k aggregate == the row_number window replay (TopK)"),
+
+    // ------------------------------------------------------------------
+    // q92: perceptual-hash image near-dup (Multimodal.dhash64 +
+    // phashPairs; dHash, Krawetz 2013). Both engines synthesize the same
+    // 8x9 grayscale grids from `documents` arithmetic: docs in the same
+    // doc_id%50 family share a base grid, each doc perturbs ONE byte
+    // (≤ 2 dHash bits → pairwise hamming ≤ 4). The Spark side runs the
+    // REAL pipeline — partition-batched dhash64 over decoded grids, then
+    // the pigeonhole-complete banded pair join — while the oracle is the
+    // definitional brute force: per-bit replay of the same comparisons
+    // and an all-pairs hamming count. Exact match IS the completeness
+    // property (banding with maxHamming+2 blocks misses nothing ≤ 4 bits).
+    // ------------------------------------------------------------------
+    "q92_phash_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val grids = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+          val noisePos = (id / 50 * 17 + id) % 72
+          val bytes = Array.tabulate(72) { i =>
+            val base = ((id % 50) * 31 + (id % 50) * i * 5 + i.toLong * i * 7 + i * 11) % 251
+            val v = if (i == noisePos) (base + 128) % 251 else base
+            v.toByte
+          }
+          graft.ops.Multimodal.GridRow(id, s"m$id", bytes)
+        }
+        val hashes = graft.ops.Multimodal.dhash64(s, grids)
+        graft.ops.Multimodal.phashPairs(hashes, maxHamming = 4)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH g AS (
+             |  SELECT d.doc_id, t.i,
+             |    CASE WHEN t.i = ((d.doc_id // 50) * 17 + d.doc_id) % 72
+             |      THEN (((d.doc_id % 50) * 31 + (d.doc_id % 50) * t.i * 5 + t.i*t.i*7 + t.i*11) % 251 + 128) % 251
+             |      ELSE ((d.doc_id % 50) * 31 + (d.doc_id % 50) * t.i * 5 + t.i*t.i*7 + t.i*11) % 251 END AS b
+             |  FROM documents d, (SELECT unnest(range(0, 72)) AS i) t),
+             |bits AS (
+             |  SELECT l.doc_id, (l.i // 9) * 8 + (l.i % 9) AS k,
+             |    CASE WHEN l.b < r.b THEN 1 ELSE 0 END AS bit
+             |  FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.i = l.i + 1
+             |  WHERE l.i % 9 < 8),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+             |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, hamming FROM pairs
+             |WHERE hamming <= 4 ORDER BY 1, 2""".stripMargin),
+      "dHash near-dup pairs: banded index == brute-force hamming replay (Multimodal.phashPairs)"),
+
+    // ------------------------------------------------------------------
+    // q93: interleaved image-text caption mining (Multimodal.captionPairs)
+    // — both engines synthesize the same interleaved span table from
+    // `documents` (token = span, kind = media iff (offset+doc_id)%7 < 2),
+    // then pair every media span with the nearest text span within 3
+    // positions (earlier wins ties). The oracle replays the two
+    // ignore-nulls running window scans definitionally; any frame,
+    // tie-break, or window-cutoff bug diverges.
+    // ------------------------------------------------------------------
+    "q93_caption_pairs" -> Q(
+      (s, d) => {
+        val spans = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("offset", "tok")))
+          .select(col("doc_id"), col("offset").cast("long").as("offset"),
+            when((col("offset") + col("doc_id")) % 7 < 2, lit("media"))
+              .otherwise(lit("text")).as("kind"),
+            col("tok").as("text"),
+            when((col("offset") + col("doc_id")) % 7 < 2,
+              concat(lit("m"), col("doc_id"), lit("_"), col("offset"))).as("media_ref"))
+        graft.ops.Multimodal.captionPairs(spans, "doc_id", window = 3)
+          .orderBy(col("doc_id"), col("media_offset"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, CAST(pos - 1 AS BIGINT) AS o, tok,
+             |    CASE WHEN ((pos - 1) + doc_id) % 7 < 2 THEN 'media' ELSE 'text' END AS kind
+             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             |               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+             |        FROM documents)),
+             |a AS (
+             |  SELECT doc_id, o, kind,
+             |    'm' || doc_id || '_' || o AS media_ref,
+             |    last_value(CASE WHEN kind = 'text' THEN o END IGNORE NULLS) OVER
+             |      (PARTITION BY doc_id ORDER BY o
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_off,
+             |    last_value(CASE WHEN kind = 'text' THEN tok END IGNORE NULLS) OVER
+             |      (PARTITION BY doc_id ORDER BY o
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_txt,
+             |    first_value(CASE WHEN kind = 'text' THEN o END IGNORE NULLS) OVER
+             |      (PARTITION BY doc_id ORDER BY o
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_off,
+             |    first_value(CASE WHEN kind = 'text' THEN tok END IGNORE NULLS) OVER
+             |      (PARTITION BY doc_id ORDER BY o
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_txt
+             |  FROM sp)
+             |SELECT doc_id, media_ref, o AS media_offset,
+             |  CASE WHEN use_prev THEN prev_txt ELSE next_txt END AS caption,
+             |  CASE WHEN use_prev THEN prev_off ELSE next_off END AS caption_offset,
+             |  CASE WHEN use_prev THEN o - prev_off ELSE next_off - o END AS delta
+             |FROM (SELECT *,
+             |    (prev_off IS NOT NULL AND o - prev_off <= 3
+             |     AND (next_off IS NULL OR o - prev_off <= next_off - o)) AS use_prev
+             |  FROM a)
+             |WHERE kind = 'media'
+             |  AND (use_prev OR (next_off IS NOT NULL AND next_off - o <= 3))
+             |ORDER BY doc_id, media_offset""".stripMargin),
+      "nearest-text caption mining over interleaved spans == window replay (Multimodal.captionPairs)"))
 }

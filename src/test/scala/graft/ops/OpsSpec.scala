@@ -246,4 +246,59 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Int, Long)].collect().sortBy(_._2)
     assert(plan.map(_._3).toSeq == Seq(0L, 4000L, 8000L))
   }
+
+  test("dhash64: bit layout matches the definitional comparison loop") {
+    import Multimodal._
+    // 2x3 grid (stride 4): rows [10, 20, 5, 7 | 9, 9, 200, 1]
+    val g = Array[Byte](10, 20, 5, 7, 9, 9, -56 /* 200 unsigned */, 1)
+    val out = dhash64(spark, spark.createDataset(Seq(GridRow(7L, "m7", g))),
+      rows = 2, cols = 3).collect()(0)
+    // bits (r*3+c): r0: 10<20 T, 20<5 F, 5<7 T; r1: 9<9 F, 9<200 T, 200<1 F
+    assert(out.phash == ((1L << 0) | (1L << 2) | (1L << 4)))
+    assert(out.id == 7L && out.media_ref == "m7")
+  }
+
+  test("phashPairs: banded index equals brute-force hamming (completeness)") {
+    import Multimodal._
+    // deterministic pseudo-random 64-bit hashes with planted near-dups
+    def scramble(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29); h
+    }
+    val hashes = (0L until 60L).map { i =>
+      val base = scramble(i / 3) // triples share a base
+      val noise = (1L << ((i * 7) % 64)) | (1L << ((i * 13) % 64))
+      MediaHash(i, s"m$i", if (i % 3 == 0) base else base ^ noise)
+    }
+    val got = phashPairs(spark.createDataset(hashes), maxHamming = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      a <- hashes; b <- hashes if a.id < b.id
+      h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 4
+    } yield (a.id, b.id, h.toLong)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("captionPairs: nearest text span, earlier-wins tie-break, window cutoff") {
+    import Multimodal._
+    // doc 1: media@2 has text@1 (d=1) and text@3 (d=1) → tie → earlier (1)
+    // doc 1: media@6 nearest text below @8 (d=2) vs above @3 (d=3) → next
+    // doc 2: media@0 text only above the window (none) and @4 (d=4>3) → dropped
+    // doc 3: media@5 with text@2 (d=3, boundary) → kept via prev
+    val spans = Seq(
+      (1L, 0L, "media", "x", "m1_0"), (1L, 1L, "text", "cap-a", null),
+      (1L, 2L, "media", "x", "m1_2"), (1L, 3L, "text", "cap-b", null),
+      (1L, 6L, "media", "x", "m1_6"), (1L, 8L, "text", "cap-c", null),
+      (2L, 0L, "media", "x", "m2_0"), (2L, 4L, "text", "far", null),
+      (3L, 2L, "text", "cap-d", null), (3L, 5L, "media", "x", "m3_5")
+    ).toDF("doc_id", "offset", "kind", "text", "media_ref")
+    val got = captionPairs(spans, "doc_id", window = 3)
+      .select($"media_ref", $"caption", $"caption_offset", $"delta")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("m1_0", "cap-a", 1L, 1L),
+      ("m1_2", "cap-a", 1L, 1L), // tie at d=1: earlier span wins
+      ("m1_6", "cap-c", 8L, 2L),
+      ("m3_5", "cap-d", 2L, 3L)))
+  }
 }
