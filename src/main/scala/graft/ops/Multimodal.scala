@@ -189,11 +189,14 @@ object Multimodal {
     val below = w.rowsBetween(1, Window.unboundedFollowing)
     val textOff = when(col("kind") === "text", col("offset"))
     val textVal = when(col("kind") === "text", col("text"))
-    val annotated = spans
-      .withColumn("prev_off", last(textOff, ignoreNulls = true).over(above))
-      .withColumn("prev_txt", last(textVal, ignoreNulls = true).over(above))
-      .withColumn("next_off", first(textOff, ignoreNulls = true).over(below))
-      .withColumn("next_txt", first(textVal, ignoreNulls = true).over(below))
+    // one projection level: analysis groups the four window expressions
+    // by frame into exactly two Window nodes over the same sort (a
+    // withColumn chain leaves four un-collapsed single-expression Windows)
+    val annotated = spans.select(col("*"),
+      last(textOff, ignoreNulls = true).over(above).as("prev_off"),
+      last(textVal, ignoreNulls = true).over(above).as("prev_txt"),
+      first(textOff, ignoreNulls = true).over(below).as("next_off"),
+      first(textVal, ignoreNulls = true).over(below).as("next_txt"))
     val prevDelta = col("offset") - col("prev_off")
     val nextDelta = col("next_off") - col("offset")
     val usePrev = col("prev_off").isNotNull &&

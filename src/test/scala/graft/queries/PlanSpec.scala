@@ -555,4 +555,43 @@ class PlanSpec extends AnyFunSuite {
     val p2 = executed(graft.ops.HeavyHitters.heavyHitters(toks, "tok", q = 10))
     assert(!treeNames(p2).exists(_.contains("Join")), treeNames(p2).distinct)
   }
+
+  test("phash pair join: equi-join on the banded key, grids never shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val grids = docs.select(col("doc_id")).as[Long].map { id =>
+      graft.ops.Multimodal.GridRow(id, s"m$id",
+        Array.tabulate(72)(i => (((id % 5) * 31 + i * 13) % 251).toByte))
+    }
+    val plan = executed(graft.ops.Multimodal.phashPairs(
+      graft.ops.Multimodal.dhash64(spark, grids), maxHamming = 4))
+    val names = treeNames(plan)
+    assert(!names.exists(n => n.contains("Cartesian") ||
+      n.contains("BroadcastNestedLoop")), names.distinct)
+    assert(names.exists(_.contains("SortMergeJoin")) ||
+      names.exists(_.contains("ShuffledHashJoin")) ||
+      names.exists(_.contains("BroadcastHashJoin")), names.distinct)
+    // the 72-byte grids die at dhash64: no exchange carries a binary column
+    assert(shuffleCols(plan).forall(!_.contains("bytes")), shuffleCols(plan).toString)
+  }
+
+  test("captionPairs: exactly one exchange (the per-doc window), no join") {
+    import org.apache.spark.sql.functions._
+    val spans = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("offset", "tok")))
+      .select(col("doc_id"), col("offset").cast("long").as("offset"),
+        when(col("offset") % 5 === 0, lit("media")).otherwise(lit("text")).as("kind"),
+        col("tok").as("text"),
+        when(col("offset") % 5 === 0, concat(lit("m"), col("offset"))).as("media_ref"))
+    val plan = executed(graft.ops.Multimodal.captionPairs(spans, "doc_id", window = 3))
+    val names = treeNames(plan)
+    assert(!names.exists(_.contains("Join")), names.distinct)
+    // both ignore-nulls scans share one per-doc sort: a single exchange
+    // and a single (fused) Window node
+    assert(shuffleCols(plan).size == 1, shuffleCols(plan).toString)
+    // one Window node per frame (above / below), both over the same sort
+    assert(collectNodes(plan).count(_.nodeName.contains("Window")) <= 2,
+      collectNodes(plan).map(_.nodeName))
+  }
 }
