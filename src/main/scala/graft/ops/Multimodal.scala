@@ -161,6 +161,46 @@ object Multimodal {
       "id", "phash", bits = 64, maxHamming = maxHamming,
       maxBucketSize = maxBucketSize, agreeBlocks = 2)
 
+  /** Video-level near-dup pairs from sampled frame fingerprints: two
+    * videos are near-dups when the JACCARD of their distinct frame-hash
+    * sets clears `threshold` — the standard shot-level video dedup for
+    * multimodal corpora (frame sample via [[frameSamplePlan]], per-frame
+    * dHash via [[dhash64]], then set overlap; [[Dedup.ngramJaccardPairs]]'
+    * posting-join shape with frame hashes in place of text shingles).
+    *
+    * Frames match by EXACT hash equality (a dHash already absorbs
+    * re-encode noise within a frame), so candidate generation is a plain
+    * equi-join on the 8-byte hash — no banding needed and nothing can be
+    * missed. The `maxDf` guard drops hashes shared by more than `maxDf`
+    * videos before the f² posting self-join (black/intro frames are the
+    * boilerplate n-grams of the video plane); Jaccard is computed over
+    * the capped sets on both sides, so the estimate stays
+    * self-consistent. Shuffles carry (video, 8-byte hash) only.
+    *
+    * Expects (videoCol, hashCol) rows, one per sampled frame; emits
+    * (video_a, video_b, shared, jaccard) with video_a < video_b. */
+  def videoNearDupPairs(frameHashes: DataFrame, videoCol: String,
+      hashCol: String, threshold: Double = 0.3,
+      maxDf: Int = 10000): DataFrame = {
+    val f = frameHashes.select(col(videoCol).as("vid"), col(hashCol).as("ph"))
+      .distinct()
+    val rare = f
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ph"))))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = rare.groupBy("vid").agg(count(lit(1)).as("n_fr"))
+    val pairs = rare.as("x").join(rare.as("y"),
+        col("x.ph") === col("y.ph") && col("x.vid") < col("y.vid"))
+      .groupBy(col("x.vid").as("video_a"), col("y.vid").as("video_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("vid", "video_a").withColumnRenamed("n_fr", "na"), "video_a")
+      .join(sizes.withColumnRenamed("vid", "video_b").withColumnRenamed("n_fr", "nb"), "video_b")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("video_a"), col("video_b"), col("shared"), col("jaccard"))
+  }
+
   // --------------------------------------------------------------------
   // Interleaved image-text alignment (CLIP-style caption mining).
   // --------------------------------------------------------------------

@@ -555,5 +555,68 @@ object QueriesF {
              |WHERE kind = 'media'
              |  AND (use_prev OR (next_off IS NOT NULL AND next_off - o <= 3))
              |ORDER BY doc_id, media_offset""".stripMargin),
-      "nearest-text caption mining over interleaved spans == window replay (Multimodal.captionPairs)"))
+      "nearest-text caption mining over interleaved spans == window replay (Multimodal.captionPairs)"),
+
+    // ------------------------------------------------------------------
+    // q94: video near-dup by frame-fingerprint set overlap
+    // (Multimodal.videoNearDupPairs over dhash64 per sampled frame).
+    // Both engines synthesize the same per-(video, frame) grids from
+    // `documents` arithmetic: doc_id%50 families share frame content,
+    // frame count varies 4-6 by variant, and each variant perturbs ONE
+    // frame — so within-family Jaccard lands on both sides of the 0.3
+    // threshold (kept and dropped pairs both occur). Frames match by
+    // exact hash equality, so the posting join IS complete; the oracle
+    // replays hashes as 64-char bit strings (dodges BIGINT<<63) and the
+    // brute-force set overlap.
+    // ------------------------------------------------------------------
+    "q94_video_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val grids = t(s, d, "documents").select(col("doc_id")).as[Long].flatMap { v =>
+          val fam = v % 50
+          val w = v / 50
+          val pPos = (v * 13) % 72
+          (0L until (4 + w % 3)).map { f =>
+            val bytes = Array.tabulate(72) { i =>
+              val base = (fam * 31 + f * 53 + fam * i * 5 + i.toLong * i * 7 + i * 11) % 251
+              val vb = if (f == w % 4 && i == pPos) (base + 128) % 251 else base
+              vb.toByte
+            }
+            graft.ops.Multimodal.GridRow(v * 8 + f, s"v${v}_f$f", bytes)
+          }
+        }
+        val hashes = graft.ops.Multimodal.dhash64(s, grids).toDF
+          .select(floor(col("id") / 8).cast("long").as("vid"), col("phash"))
+        graft.ops.Multimodal.videoNearDupPairs(hashes, "vid", "phash", threshold = 0.3)
+          .orderBy(col("video_a"), col("video_b"))
+      },
+      Some("""WITH fr AS (
+             |  SELECT d.doc_id AS v, t.f
+             |  FROM documents d, (SELECT unnest(range(0, 6)) AS f) t
+             |  WHERE t.f < 4 + ((d.doc_id // 50) % 3)),
+             |g AS (
+             |  SELECT fr.v, fr.f, t.i,
+             |    CASE WHEN fr.f = (fr.v // 50) % 4 AND t.i = (fr.v * 13) % 72
+             |      THEN (((fr.v % 50) * 31 + fr.f * 53 + (fr.v % 50) * t.i * 5 + t.i*t.i*7 + t.i*11) % 251 + 128) % 251
+             |      ELSE ((fr.v % 50) * 31 + fr.f * 53 + (fr.v % 50) * t.i * 5 + t.i*t.i*7 + t.i*11) % 251 END AS b
+             |  FROM fr, (SELECT unnest(range(0, 72)) AS i) t),
+             |h AS (
+             |  SELECT l.v, l.f,
+             |    string_agg(CASE WHEN l.b < r.b THEN '1' ELSE '0' END, ''
+             |      ORDER BY (l.i // 9) * 8 + (l.i % 9)) AS ph
+             |  FROM g l JOIN g r ON r.v = l.v AND r.f = l.f AND r.i = l.i + 1
+             |  WHERE l.i % 9 < 8
+             |  GROUP BY 1, 2),
+             |fs AS (SELECT DISTINCT v, ph FROM h),
+             |sz AS (SELECT v, count(*) AS n FROM fs GROUP BY 1),
+             |pr AS (
+             |  SELECT a.v AS video_a, b.v AS video_b, CAST(count(*) AS BIGINT) AS shared
+             |  FROM fs a JOIN fs b ON a.ph = b.ph AND a.v < b.v
+             |  GROUP BY 1, 2)
+             |SELECT video_a, video_b, shared,
+             |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+             |FROM pr JOIN sz sa ON sa.v = pr.video_a JOIN sz sb ON sb.v = pr.video_b
+             |WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.3
+             |ORDER BY 1, 2""".stripMargin),
+      "frame-fingerprint video near-dup: posting join == brute-force set Jaccard (Multimodal.videoNearDupPairs)"))
 }

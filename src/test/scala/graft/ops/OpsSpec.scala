@@ -279,6 +279,27 @@ class OpsSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  test("videoNearDupPairs: set jaccard, distinct frames, boilerplate-hash cap") {
+    import Multimodal._
+    // v1 {A,B,C} / v2 {A,B,C,D} share 3 of 4 (J=0.75); v3 {X,Y} disjoint;
+    // hash B repeats inside v1 (distinct semantics: counted once); hash Z
+    // is a "black frame" shared by ALL videos — the df cap must drop it
+    // BEFORE it links v3 to everything
+    val frames = Seq(
+      (1L, 100L), (1L, 200L), (1L, 200L), (1L, 300L), (1L, 999L),
+      (2L, 100L), (2L, 200L), (2L, 300L), (2L, 400L), (2L, 999L),
+      (3L, 700L), (3L, 800L), (3L, 999L)
+    ).toDF("vid", "ph")
+    val got = videoNearDupPairs(frames, "vid", "ph", threshold = 0.3, maxDf = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 3L, 0.75))) // J over capped sets: 3/(3+4-3)
+    // without the cap the black frame links v3 in (J(1,3)=1/6 < 0.3 still
+    // dropped by threshold, but shared counts shift: J(1,2) = 4/(4+5-4))
+    val uncapped = videoNearDupPairs(frames, "vid", "ph", threshold = 0.3, maxDf = 100)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(uncapped == Set((1L, 2L, 4L, 0.8)))
+  }
+
   test("captionPairs: nearest text span, earlier-wins tie-break, window cutoff") {
     import Multimodal._
     // doc 1: media@2 has text@1 (d=1) and text@3 (d=1) → tie → earlier (1)
