@@ -105,22 +105,34 @@ object Dedup {
       threshold: Double = 0.25, maxDf: Int = 64,
       shingles: Column => Column = shingleHashes(_, 3)): DataFrame = {
     val all = docs.select(col(idCol), explode(shingles(col(textCol))).as("sh"))
-    val rare = all
+    postingJaccardPairs(all, idCol, "sh", threshold, maxDf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Posting-list set-Jaccard core shared by [[ngramJaccardPairs]] (text
+    * shingles) and `Multimodal.videoNearDupPairs` (frame fingerprints):
+    * df cap (streaming window count, bounded memory per key) → per-id set
+    * sizes → equi self-join on the key → per-pair intersection counts →
+    * Jaccard over the capped sets on both sides (self-consistent, rounded
+    * to 4 decimals so the driver gate never rides a raw-double last bit).
+    * Emits (doc_a, doc_b, inter, jaccard); shuffles carry (key, id). */
+  private[ops] def postingJaccardPairs(posting: DataFrame, idCol: String,
+      keyCol: String, threshold: Double, maxDf: Int): DataFrame = {
+    val rare = posting
       .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
       .filter(col("df") <= maxDf).drop("df")
-    val sizes = rare.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val sizes = rare.groupBy(idCol).agg(count(lit(1)).as("n_keys"))
     val pairs = rare.as("x").join(rare.as("y"),
-        col("x.sh") === col("y.sh") && col(s"x.$idCol") < col(s"y.$idCol"))
+        col(s"x.$keyCol") === col(s"y.$keyCol") && col(s"x.$idCol") < col(s"y.$idCol"))
       .groupBy(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
-      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_keys", "na"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_keys", "nb"), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash over token hashes — single native pass per document

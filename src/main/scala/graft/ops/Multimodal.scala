@@ -165,8 +165,9 @@ object Multimodal {
     * videos are near-dups when the JACCARD of their distinct frame-hash
     * sets clears `threshold` — the standard shot-level video dedup for
     * multimodal corpora (frame sample via [[frameSamplePlan]], per-frame
-    * dHash via [[dhash64]], then set overlap; [[Dedup.ngramJaccardPairs]]'
-    * posting-join shape with frame hashes in place of text shingles).
+    * dHash via [[dhash64]], then set overlap via the SAME posting-join
+    * core as [[Dedup.ngramJaccardPairs]] — `Dedup.postingJaccardPairs`
+    * with frame hashes in place of text shingles).
     *
     * Frames match by EXACT hash equality (a dHash already absorbs
     * re-encode noise within a frame), so candidate generation is a plain
@@ -184,21 +185,9 @@ object Multimodal {
       maxDf: Int = 10000): DataFrame = {
     val f = frameHashes.select(col(videoCol).as("vid"), col(hashCol).as("ph"))
       .distinct()
-    val rare = f
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ph"))))
-      .filter(col("df") <= maxDf).drop("df")
-    val sizes = rare.groupBy("vid").agg(count(lit(1)).as("n_fr"))
-    val pairs = rare.as("x").join(rare.as("y"),
-        col("x.ph") === col("y.ph") && col("x.vid") < col("y.vid"))
-      .groupBy(col("x.vid").as("video_a"), col("y.vid").as("video_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("vid", "video_a").withColumnRenamed("n_fr", "na"), "video_a")
-      .join(sizes.withColumnRenamed("vid", "video_b").withColumnRenamed("n_fr", "nb"), "video_b")
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("na") + col("nb") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("video_a"), col("video_b"), col("shared"), col("jaccard"))
+    Dedup.postingJaccardPairs(f, "vid", "ph", threshold, maxDf)
+      .select(col("doc_a").as("video_a"), col("doc_b").as("video_b"),
+        col("inter").as("shared"), col("jaccard"))
   }
 
   // --------------------------------------------------------------------

@@ -607,16 +607,20 @@ object QueriesF {
              |  FROM g l JOIN g r ON r.v = l.v AND r.f = l.f AND r.i = l.i + 1
              |  WHERE l.i % 9 < 8
              |  GROUP BY 1, 2),
-             |fs AS (SELECT DISTINCT v, ph FROM h),
+             |fd AS (SELECT DISTINCT v, ph FROM h),
+             |fs AS (SELECT v, ph FROM (
+             |  SELECT v, ph, count(*) OVER (PARTITION BY ph) AS df FROM fd)
+             |  WHERE df <= 10000),
              |sz AS (SELECT v, count(*) AS n FROM fs GROUP BY 1),
              |pr AS (
              |  SELECT a.v AS video_a, b.v AS video_b, CAST(count(*) AS BIGINT) AS shared
              |  FROM fs a JOIN fs b ON a.ph = b.ph AND a.v < b.v
              |  GROUP BY 1, 2)
-             |SELECT video_a, video_b, shared,
-             |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
-             |FROM pr JOIN sz sa ON sa.v = pr.video_a JOIN sz sb ON sb.v = pr.video_b
-             |WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.3
+             |SELECT video_a, video_b, shared, jaccard FROM (
+             |  SELECT video_a, video_b, shared,
+             |    round(CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
+             |  FROM pr JOIN sz sa ON sa.v = pr.video_a JOIN sz sb ON sb.v = pr.video_b)
+             |WHERE jaccard >= 0.3
              |ORDER BY 1, 2""".stripMargin),
       "frame-fingerprint video near-dup: posting join == brute-force set Jaccard (Multimodal.videoNearDupPairs)"))
 }
