@@ -79,4 +79,27 @@ object Packing {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
       .drop("__pid")
   }
+
+  /** Interleaved multimodal packing layout (the Flamingo/MM1-style batch
+    * layout for image-text training): the same concat-then-chunk layout
+    * over an interleaved span table — columns (idCol, kind, text) per the
+    * input_hint shape — where each media span costs a FIXED `mediaTokens`
+    * budget (the vision encoder emits a constant patch-token count per
+    * image) and each text span costs its word count.
+    *
+    * Per-document costs collapse map-side out of the span table (one
+    * combinable groupBy of (id, long) rows — span text dies at its scan),
+    * then ride [[layout]]'s two-level distributed scan unchanged: the
+    * cost table IS the (id, n_tokens) input, tokenCount = identity. */
+  def interleavedLayout(spans: DataFrame, idCol: String, seqLen: Long,
+      mediaTokens: Long, nParts: Int = 32,
+      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    require(mediaTokens >= 0, "mediaTokens must be non-negative")
+    val costs = spans
+      .select(col(idCol),
+        when(col("kind") === "media", lit(mediaTokens))
+          .otherwise(tokenCount(col("text"))).as("c"))
+      .groupBy(col(idCol)).agg(sum(col("c")).as("cost"))
+    layout(costs, idCol, "cost", seqLen, nParts, identity)
+  }
 }

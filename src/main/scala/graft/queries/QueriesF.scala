@@ -622,5 +622,50 @@ object QueriesF {
              |  FROM pr JOIN sz sa ON sa.v = pr.video_a JOIN sz sb ON sb.v = pr.video_b)
              |WHERE jaccard >= 0.3
              |ORDER BY 1, 2""".stripMargin),
-      "frame-fingerprint video near-dup: posting join == brute-force set Jaccard (Multimodal.videoNearDupPairs)"))
+      "frame-fingerprint video near-dup: posting join == brute-force set Jaccard (Multimodal.videoNearDupPairs)"),
+
+    // ------------------------------------------------------------------
+    // q95: interleaved multimodal packing layout (Packing
+    // .interleavedLayout) — q57's concat-then-chunk layout over the
+    // interleaved span plane, where a media span costs a fixed 64-token
+    // vision budget and a text span its word count. Spark runs the
+    // span-collapse + two-level distributed scan; the oracle is the
+    // definitional conditional-cost cumulative window over the same
+    // order. seqLen = 512 so docs genuinely straddle sequence boundaries.
+    // ------------------------------------------------------------------
+    "q95_interleaved_packing" -> Q(
+      (s, d) => {
+        val spans = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("offset", "tok")))
+          .select(col("doc_id"),
+            when((col("offset") + col("doc_id")) % 7 < 2, lit("media"))
+              .otherwise(lit("text")).as("kind"),
+            col("tok").as("text"))
+        graft.ops.Packing.interleavedLayout(spans, "doc_id",
+          seqLen = 512L, mediaTokens = 64L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ((pos - 1) + doc_id) % 7 < 2 THEN 'media' ELSE 'text' END AS kind
+             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             |               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+             |        FROM documents)),
+             |nt AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN kind = 'media' THEN 64 ELSE 1 END) AS BIGINT) AS n_tokens
+             |  FROM sp GROUP BY 1),
+             |s AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+             |  FROM nt)
+             |SELECT doc_id, n_tokens, start_tok,
+             |  start_tok + n_tokens AS end_tok,
+             |  start_tok // 512 AS first_seq,
+             |  (start_tok + n_tokens - 1) // 512 AS last_seq,
+             |  (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 AS n_seqs
+             |FROM s ORDER BY doc_id""".stripMargin),
+      "interleaved multimodal packing: span-collapse + two-level scan == conditional-cost cumulative window (Packing.interleavedLayout)"))
 }

@@ -56,4 +56,27 @@ class PackingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("last_seq") == 1L)
     assert(r.getAs[Long]("n_seqs") == 2L)
   }
+
+  test("interleavedLayout: media spans cost the fixed vision budget") {
+    // doc 1: 2 text + 1 media = 2 + 64 = 66 tokens; doc 2: 3 text = 3
+    val spans = Seq(
+      (1L, "text", "hello world"), (1L, "media", "x"), (1L, "text", "bye"),
+      (2L, "text", "a"), (2L, "text", "b c")
+    ).toDF("doc_id", "kind", "text")
+    val rows = Packing.interleavedLayout(spans, "doc_id",
+        seqLen = 32L, mediaTokens = 64L)
+      .orderBy("doc_id").collect()
+    val d1 = rows(0)
+    assert(d1.getAs[Long]("n_tokens") == 67L) // 2 + 64 + 1
+    assert(d1.getAs[Long]("start_tok") == 0L && d1.getAs[Long]("end_tok") == 67L)
+    assert(d1.getAs[Long]("first_seq") == 0L && d1.getAs[Long]("last_seq") == 2L)
+    assert(d1.getAs[Long]("n_seqs") == 3L) // straddles seqs 0,1,2
+    val d2 = rows(1)
+    assert(d2.getAs[Long]("n_tokens") == 3L)
+    assert(d2.getAs[Long]("start_tok") == 67L && d2.getAs[Long]("end_tok") == 70L)
+    assert(d2.getAs[Long]("first_seq") == 2L && d2.getAs[Long]("last_seq") == 2L)
+    // the stream stays gapless across the span-collapse: same invariant
+    // layout guarantees on plain text
+    assert(d2.getAs[Long]("start_tok") == d1.getAs[Long]("end_tok"))
+  }
 }
