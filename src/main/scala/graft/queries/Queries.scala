@@ -26,6 +26,21 @@ object Queries {
       oracle: Option[String],
       doc: String)
 
+  /** Scratch root for the stateful-sink queries (snapshot tables live
+    * here for the query's duration): prefers tmpfs (/dev/shm) over the
+    * default tmp dir — this box's virtio /tmp measured ~3× slower for
+    * snapshot write+read-back traffic, the same reason Bench puts
+    * spark.local.dir on tmpfs (a production cluster provisions NVMe).
+    * Leftovers are MB-scale per run and the sandbox is ephemeral. */
+  private[queries] def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val base = new java.io.File(shm, "graft-query-scratch")
+      base.mkdirs()
+      java.nio.file.Files.createTempDirectory(base.toPath, prefix).toString
+    } else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

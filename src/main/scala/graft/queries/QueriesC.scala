@@ -445,7 +445,7 @@ object QueriesC {
           // 40-char prefix: distinct docs sharing an opening collapse to
           // one blob — the oracle actually exercises the CAS dedup
           encode(substring(col("text"), 1, 40), "utf-8").as("media_bytes"))
-        val root = java.nio.file.Files.createTempDirectory("q44_media_cas").toString
+        val root = Queries.scratchDir("q44_media_cas")
         graft.sinks.MediaStore.ingestWave(s, fetched, root)
         val blobs = graft.sinks.MediaStore.blobs(s, root)
           .select(col("content_hash"), col("media_type"), col("size_bytes"),
@@ -696,7 +696,7 @@ object QueriesC {
     "q53_dedup_incremental" -> Q(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val root = java.nio.file.Files.createTempDirectory("q53_dedup_inc").toString
+        val root = Queries.scratchDir("q53_dedup_inc")
         val b1 = docs.filter(col("doc_id") % 2 === 0)
         val b2 = docs.filter(col("doc_id") % 2 === 1)
         val ph: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -740,7 +740,7 @@ object QueriesC {
             .select(col("doc_id"), col("x.band"), col("x.bv"))
         }
         val docs = t(s, d, "documents")
-        val root = java.nio.file.Files.createTempDirectory("q54_lsh_inc").toString
+        val root = Queries.scratchDir("q54_lsh_inc")
         val b1 = docs.filter(col("doc_id") % 2 === 0)
         val b2 = docs.filter(col("doc_id") % 2 === 1)
         graft.ops.Dedup.lshIncrementalFor(s, b1.select(col("doc_id")),

@@ -104,7 +104,7 @@ object QueriesF {
             concat(lit("solo "), col("doc_id").cast("string")): _*),
             "\n").as("text"))
         val docs = t(s, d, "documents")
-        val root = java.nio.file.Files.createTempDirectory("q84_bloom").toString
+        val root = Queries.scratchDir("q84_bloom")
         graft.ops.BloomDedup.bloomParagraphDedup(s,
           textOf(docs.filter(col("doc_id") % 2 === 0)),
           "doc_id", "text", root, cfg, h1, h2)
