@@ -20,6 +20,22 @@ object TextStats {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / 4.0).cast("long")))
 
+  /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019):
+    * contractions, letter runs, digit runs, punctuation runs, each run
+    * absorbing one optional leading space. Deliberately LOOKAHEAD-FREE
+    * (the original's `\s+(?!\S)` tail is dropped, pure-whitespace runs
+    * are simply not tokens) so the same string runs identically on
+    * java.util.regex (Spark codegen) and RE2 (the DuckDB oracle). */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Pre-tokenizer token count over [[BpeishPattern]] — the "how many
+    * BPE merge inputs" estimate a mixed-script corpus report wants
+    * (CJK text counts letter runs, not characters), without training or
+    * applying an actual merge table (that is [[Bpe]]). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
   /** Stopword hit ratio against a given lexicon. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val set = array(stopwords.map(lit): _*)

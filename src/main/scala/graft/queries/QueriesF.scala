@@ -667,5 +667,28 @@ object QueriesF {
              |  (start_tok + n_tokens - 1) // 512 AS last_seq,
              |  (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 AS n_seqs
              |FROM s ORDER BY doc_id""".stripMargin),
-      "interleaved multimodal packing: span-collapse + two-level scan == conditional-cost cumulative window (Packing.interleavedLayout)"))
+      "interleaved multimodal packing: span-collapse + two-level scan == conditional-cost cumulative window (Packing.interleavedLayout)"),
+
+    // ------------------------------------------------------------------
+    // q96: token counting, whitespace + BPE-ish pre-tokenizer
+    // (TextStats.tokenCount / bpeishTokenCount) — the two corpus-report
+    // counters side by side per document. The GPT-2-style pattern is
+    // lookahead-free so java.util.regex (Spark codegen) and RE2 (DuckDB)
+    // tokenize identically; on this mixed-script corpus the two counters
+    // genuinely diverge (CJK runs, punctuation splits), so a regex
+    // drift on either engine shows up as a count mismatch.
+    // ------------------------------------------------------------------
+    "q96_token_counts" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextStats.tokenCount(col("text")).as("ws_tokens"),
+          graft.ops.TextStats.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text,
+             |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+             |    AS BIGINT) AS bpeish_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "whitespace + GPT-2-style pre-tokenizer counts == RE2 replay (TextStats.bpeishTokenCount)"))
 }

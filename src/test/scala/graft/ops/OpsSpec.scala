@@ -247,6 +247,18 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.map(_._3).toSeq == Seq(0L, 4000L, 8000L))
   }
 
+  test("bpeishTokenCount: GPT-2-style pre-tokenizer runs, contractions, CJK") {
+    val r = Seq(
+      (1L, "can't stop"),          // can | 't | _stop
+      (2L, "hello  world 42!"),    // hello | _world | _42 | !
+      (3L, "第204回ページ h0 p12"), // 第 | 204 | 回ページ | _h | 0 | _p | 12
+      (4L, "")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextStats.bpeishTokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 4L, 3L -> 7L, 4L -> 0L))
+  }
+
   test("dhash64: bit layout matches the definitional comparison loop") {
     import Multimodal._
     // 2x3 grid (stride 4): rows [10, 20, 5, 7 | 9, 9, 200, 1]
