@@ -690,5 +690,62 @@ object QueriesF {
              |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
              |    AS BIGINT) AS bpeish_tokens
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "whitespace + GPT-2-style pre-tokenizer counts == RE2 replay (TextStats.bpeishTokenCount)"))
+      "whitespace + GPT-2-style pre-tokenizer counts == RE2 replay (TextStats.bpeishTokenCount)"),
+
+    // ------------------------------------------------------------------
+    // q97: seeded global shuffle + shard layout (Shard.globalShuffleLayout)
+    // — the reproducible epoch-order stage between packing and the data
+    // loader. Order key = the affine permutation (48271·id + 11) mod
+    // 1000003 (MINSTD multiplier; p prime just above the id domain so
+    // the map wraps and genuinely shuffles): a bijection on Z_p, so the
+    // layout is a pure function of the seed. Spark runs the two-level
+    // range-exchange scan (no global window); the oracle is the
+    // definitional row_number replay.
+    // ------------------------------------------------------------------
+    "q97_global_shuffle" -> Q(
+      (s, d) => graft.ops.Shard.globalShuffleLayout(
+          t(s, d, "documents"), "doc_id", a = 48271L, b = 11L,
+          p = 1000003L, shardSize = 64L)
+        .orderBy(col("doc_id")),
+      Some("""WITH k AS (
+             |  SELECT doc_id, (48271 * doc_id + 11) % 1000003 AS perm_key
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, perm_key,
+             |    CAST(row_number() OVER (ORDER BY perm_key) - 1 AS BIGINT) AS ordinal
+             |  FROM k)
+             |SELECT doc_id, perm_key, ordinal,
+             |  ordinal // 64 AS shard, ordinal % 64 AS pos_in_shard
+             |FROM o ORDER BY doc_id""".stripMargin),
+      "seeded affine global shuffle + shard layout == window replay (Shard.globalShuffleLayout)"),
+
+    // ------------------------------------------------------------------
+    // q98: per-shard manifest over the q97 layout — (docs, weight,
+    // key range) per shard; contiguous ordinals make the key ranges
+    // non-overlapping, which is the loader's shard-audit invariant.
+    // ------------------------------------------------------------------
+    "q98_shard_manifest" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val layout = graft.ops.Shard.globalShuffleLayout(
+          docs, "doc_id", a = 48271L, b = 11L,
+          p = 1000003L, shardSize = 64L)
+        graft.ops.Shard.manifest(layout, "doc_id", docs, "n_chars")
+          .orderBy(col("shard"))
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, n_chars,
+             |    (48271 * doc_id + 11) % 1000003 AS perm_key
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, n_chars, perm_key,
+             |    CAST(row_number() OVER (ORDER BY perm_key) - 1 AS BIGINT) AS ordinal
+             |  FROM k)
+             |SELECT ordinal // 64 AS shard,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS weight,
+             |  min(perm_key) AS min_key,
+             |  max(perm_key) AS max_key
+             |FROM o GROUP BY 1 ORDER BY shard""".stripMargin),
+      "shard manifest: counts + weight + contiguous key ranges (Shard.manifest)"))
 }

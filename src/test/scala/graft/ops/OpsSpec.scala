@@ -334,4 +334,49 @@ class OpsSpec extends AnyFunSuite {
       ("m1_6", "cap-c", 8L, 2L),
       ("m3_5", "cap-d", 2L, 3L)))
   }
+
+  test("globalShuffleLayout: seeded bijection, contiguous shards, deterministic") {
+    val ids = spark.range(0, 100).toDF("id")
+    // p just above the id domain: a·id wraps mod p, so the map shuffles
+    // (with p >> max(id), the affine map is monotonic on a small range)
+    val layout = Shard.globalShuffleLayout(ids, "id",
+      a = 73L, b = 11L, p = 101L, shardSize = 16L, nParts = 8)
+    val rows = layout.select($"id", $"perm_key", $"ordinal", $"shard",
+      $"pos_in_shard").as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 100)
+    // bijection on the id set: all permuted keys distinct
+    assert(rows.map(_._2).distinct.length == 100)
+    // ordinals are exactly 0..99 and order-isomorphic to perm_key
+    assert(rows.map(_._3).sorted.toSeq == (0L until 100L))
+    assert(rows.sortBy(_._2).map(_._3).toSeq == (0L until 100L))
+    // shard/pos arithmetic
+    assert(rows.forall(r => r._4 == r._3 / 16 && r._5 == r._3 % 16))
+    // NOT the identity order (the permutation actually shuffles)
+    assert(rows.sortBy(_._1).map(_._3).toSeq != (0L until 100L))
+    // same seed → identical layout; different seed → different order
+    val again = Shard.globalShuffleLayout(ids, "id", 73L, 11L,
+      101L, 16L, nParts = 8)
+      .select($"id", $"ordinal").as[(Long, Long)].collect().toMap
+    assert(rows.forall(r => again(r._1) == r._3))
+    val other = Shard.globalShuffleLayout(ids, "id", 29L, 0L,
+      101L, 16L, nParts = 8)
+      .select($"id", $"ordinal").as[(Long, Long)].collect().toMap
+    assert(rows.exists(r => other(r._1) != r._3))
+  }
+
+  test("shard manifest: sizes, weights, non-overlapping key ranges") {
+    val ids = spark.range(0, 100).toDF("id")
+      .withColumn("w", $"id" % 7 + 1)
+    val layout = Shard.globalShuffleLayout(ids, "id",
+      a = 73L, b = 11L, p = 101L, shardSize = 16L, nParts = 8)
+    val m = Shard.manifest(layout, "id", ids, "w")
+      .orderBy($"shard")
+      .select($"shard", $"n_docs", $"weight", $"min_key", $"max_key")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(m.map(_._1).toSeq == (0L until 7L)) // ceil(100/16) = 7 shards
+    assert(m.init.forall(_._2 == 16L) && m.last._2 == 4L)
+    assert(m.map(_._3).sum == (0L until 100L).map(_ % 7 + 1).sum)
+    // contiguous ordinals ⇒ key ranges strictly increase across shards
+    assert(m.sliding(2).forall { case Array(a, b) => a._5 < b._4 })
+  }
 }

@@ -594,4 +594,26 @@ class PlanSpec extends AnyFunSuite {
     assert(collectNodes(plan).count(_.nodeName.contains("Window")) <= 2,
       collectNodes(plan).map(_.nodeName))
   }
+
+  test("global shuffle layout: ordinal window is partition-local, no shuffle past the pinned range exchange") {
+    val p = executed(graft.ops.Shard.globalShuffleLayout(
+      docs, "doc_id", a = 73L, b = 11L, p = 1000003L, shardSize = 16L,
+      nParts = 8))
+    val ws = collectNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty, treeNames(p).distinct)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"found a partition-less Window: ${treeNames(p).distinct}")
+    // the range exchange is pinned inside the localCheckpoint; past it
+    // the only allowed exchange is the window's hash repartition by
+    // __pid (the checkpoint erases the known partitioning — same cost
+    // profile as Packing.layout), and it may carry nothing but the
+    // fixed-width (id, key, pid) rows — never a single-partition
+    // global-window exchange
+    val sc = shuffleCols(p)
+    assert(sc.size <= 1, sc)
+    assert(sc.forall(cols => cols.toSet.subsetOf(
+      Set("doc_id", "perm_key", "__pid"))), sc)
+  }
 }
