@@ -364,6 +364,18 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.exists(r => other(r._1) != r._3))
   }
 
+  test("globalShuffleLayout is partitioning-invariant: same ordinals at any nParts") {
+    // the two-level scan's offsets come from per-partition counts — the
+    // result must be a pure function of the data, not the partition count
+    val ids = spark.range(0, 100).toDF("id")
+    def at(n: Int) = Shard.globalShuffleLayout(ids, "id",
+      a = 73L, b = 11L, p = 101L, shardSize = 16L, nParts = n)
+      .select($"id", $"ordinal").as[(Long, Long)].collect().toMap
+    val ref = at(1)
+    assert(at(3) == ref)
+    assert(at(8) == ref)
+  }
+
   test("shard manifest: sizes, weights, non-overlapping key ranges") {
     val ids = spark.range(0, 100).toDF("id")
       .withColumn("w", $"id" % 7 + 1)
