@@ -69,6 +69,19 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got == bruteSA(corpus, 32))
   }
 
+  test("suffix array is partitioning-invariant: same ranks at any nParts") {
+    // denseRankPairs/rowNumberByPairPos derive offsets from per-partition
+    // aggregates — the ranks must be a pure function of the corpus, not
+    // of the partition count or the input's incoming partitioning
+    val docs = corpus.toDF("doc_id", "text")
+    def at(n: Int, df: org.apache.spark.sql.DataFrame) =
+      SuffixArray.ofDocs(df, "doc_id", "text", window = 32, nParts = n)
+        .orderBy("sa_rank").as[(Long, Long)].collect().toSeq
+    val ref = at(1, docs)
+    assert(at(5, docs) == ref)
+    assert(at(8, docs.repartition(13)) == ref)
+  }
+
   test("window ties break by position (W=4 on repetitive text)") {
     val texts = Seq((1L, "aaaaaaaaaa"), (2L, "aaaaa"))
     val docs = texts.toDF("doc_id", "text")
