@@ -299,7 +299,11 @@ object QueriesB {
         val speeches = t(s, d, "documents")
           .select(
             concat(lit("M"), (col("doc_id") % 7).cast("string")).as("minutes_id"),
-            (col("doc_id") % 97).cast("int").as("speech_order"),
+            // doc_id DIV 7, NOT doc_id % k: within meeting doc_id % 7 the
+            // quotient is unique at ANY corpus size, where a second modulus
+            // collides once N exceeds lcm(7, k) — duplicate orders make the
+            // ordered fold nondeterministic and fan out the speech_id join
+            expr("CAST(doc_id DIV 7 AS INT)").as("speech_order"),
             lit("議長").as("speaker"),
             concat(lit("○議長　"),
               when(col("doc_id") % 3 === 0,
@@ -326,7 +330,7 @@ object QueriesB {
       },
       Some("""WITH sp AS (
              |  SELECT 'M' || (doc_id % 7) AS minutes_id,
-             |    CAST(doc_id % 97 AS INT) AS speech_order,
+             |    CAST(doc_id // 7 AS INT) AS speech_order,
              |    doc_id % 3 = 0 AS has_topic,
              |    doc_id % 5 AS k,
              |    doc_id % 4 AS ph
