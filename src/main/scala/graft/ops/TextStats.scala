@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -87,4 +87,43 @@ object TextStats {
     * round-1 per-character HOF fold. */
   def fingerprint(text: Column): Column =
     graft.functions.HashFns.polyHash(trim(text))
+
+  /** Per-document language profile over an INTERLEAVED span table (the
+    * input_hint shape: one row per span, text spans carry prose, media
+    * spans a media_ref). The doc-level [[langId]] can't run on an
+    * interleaved doc without first reassembling its text; this op skips
+    * the reassembly: per-span stopword hits are row-local (span text dies
+    * at its scan), and the per-doc profile is ONE map-side-combinable
+    * groupBy of fixed-width rows — at 100 TB the exchange carries
+    * `(doc_id, 2 + |langs| longs)` per doc, never a span body.
+    *
+    * Verdict semantics match [[langId]]: most hits wins, earlier lexicon
+    * wins ties, `und` when no lexicon hits at all. Media spans count into
+    * `n_media_spans` but never vote. */
+  def interleavedLangProfile(spans: DataFrame, idCol: String,
+      lexicons: Seq[(String, Seq[String])]): DataFrame = {
+    require(lexicons.nonEmpty, "need at least one lexicon")
+    val isText = col("kind") === "text"
+    val hitAggs = lexicons.map { case (lang, words) =>
+      val set = array(words.map(lit): _*)
+      sum(when(isText,
+        size(filter(tokens(col("text")), t => array_contains(set, t))).cast("long"))
+        .otherwise(0L)).as(s"${lang}_hits")
+    }
+    val counts = Seq(
+      sum(when(isText, 1L).otherwise(0L)).as("n_text_spans"),
+      sum(when(!isText, 1L).otherwise(0L)).as("n_media_spans"))
+    val agg = spans.groupBy(col(idCol)).agg(counts.head, (counts.tail ++ hitAggs): _*)
+    val hitCols = lexicons.map { case (lang, _) => col(s"${lang}_hits") }
+    val total = hitCols.reduce(_ + _)
+    // argmax with earlier-lexicon tie-win, as a when-chain (same shape
+    // the q31 oracle uses, so the SQL mirror is definitional)
+    def pick(i: Int): Column =
+      if (i == lexicons.size - 1) lit(lexicons(i)._1)
+      else {
+        val rest = hitCols.drop(i + 1).reduce((a, b) => greatest(a, b))
+        when(hitCols(i) >= rest, lexicons(i)._1).otherwise(pick(i + 1))
+      }
+    agg.withColumn("pred_lang", when(total === 0, "und").otherwise(pick(0)))
+  }
 }

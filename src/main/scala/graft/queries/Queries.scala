@@ -502,7 +502,7 @@ object Queries {
       "MERGE upsert by id, partial-field coalesce (SURVEY K1)")
   )
 
-  def allDefs: Map[String, Q] = defs ++ QueriesB.defs ++ QueriesC.defs ++ QueriesD.defs ++ QueriesE.defs ++ QueriesF.defs
+  def allDefs: Map[String, Q] = defs ++ QueriesB.defs ++ QueriesC.defs ++ QueriesD.defs ++ QueriesE.defs ++ QueriesF.defs ++ QueriesG.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map { case (k, q) => k -> q.run }

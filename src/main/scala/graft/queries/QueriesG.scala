@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Queries.Q
+
+/**
+ * Query batch G: round-4 continuation ops — curation observability and
+ * interleaved-payload text analysis. Inputs are synthesized
+ * deterministically from `documents` (BASELINE.json: no external data).
+ */
+object QueriesG {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def defs: Map[String, Q] = Map(
+
+    // ------------------------------------------------------------------
+    // q99: curation filter funnel (Curation.funnel) — per-document drop
+    // attribution for the q55 pipeline, same config and portable hashes.
+    // The audit plane a production run reports ("31% died to dedup, 9%
+    // to the token gate"); first-failing-stage semantics pin the
+    // pipeline's stage ORDER, and document bodies never shuffle (the
+    // only exchange carries fixed-width (hash, id, metrics) rows).
+    // ------------------------------------------------------------------
+    "q99_curation_funnel" -> Q(
+      (s, d) => {
+        graft.ops.Curation.funnel(t(s, d, "documents"), "doc_id", "text",
+            graft.ops.Curation.Config(minTokens = 10, minUniqRatio = 0.2,
+              maxDupLineFrac = 0.5, sampleRate = 0.5),
+            contentHash = c => graft.functions.HashFns.polyHash(c),
+            sampleHash = c => graft.functions.HashFns.polyHash(c))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, text, ${QueriesB.polyHashSql("trim(text)")} AS ch FROM documents),
+             |win AS (SELECT ch, min(doc_id) AS win FROM h GROUP BY ch),
+             |m AS (
+             |  SELECT doc_id, ch,
+             |    CAST(len(ts) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(ts)) AS DOUBLE) / greatest(len(ts), 1) AS uq,
+             |    round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / greatest(len(ls), 1), 4) AS dl,
+             |    ${QueriesB.polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000000 AS sh
+             |  FROM (SELECT doc_id, ch,
+             |          string_split_regex(trim(text), '\\s+') AS ts,
+             |          string_split(text, chr(10)) AS ls FROM h))
+             |SELECT m.doc_id,
+             |  CASE WHEN m.doc_id <> w.win THEN 'dedup_loser'
+             |       WHEN m.n_tokens < 10 THEN 'too_few_tokens'
+             |       WHEN m.uq < 0.2 THEN 'low_uniq_ratio'
+             |       WHEN m.dl > 0.5 THEN 'repetitive'
+             |       WHEN m.sh >= 500000 THEN 'sampled_out'
+             |       ELSE 'kept' END AS stage,
+             |  m.n_tokens
+             |FROM m JOIN win w ON m.ch = w.ch
+             |ORDER BY m.doc_id""".stripMargin),
+      "curation filter funnel: per-doc first-failing-stage attribution == SQL CTE replay"),
+
+    // ------------------------------------------------------------------
+    // q100: interleaved span-plane language profile
+    // (TextStats.interleavedLangProfile) — the input_hint span shape.
+    // Both engines synthesize the q93 span table (token spans, media iff
+    // (offset+doc_id)%7 < 2); per-doc profile = one map-side-combinable
+    // groupBy of fixed-width hit counts, media spans counted but never
+    // voting, verdict chain identical to q31's with an added `und` row
+    // (docs whose text spans hit no lexicon).
+    // ------------------------------------------------------------------
+    "q100_span_langid" -> Q(
+      (s, d) => {
+        val spans = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("offset", "tok")))
+          .select(col("doc_id"), col("offset").cast("long").as("offset"),
+            when((col("offset") + col("doc_id")) % 7 < 2, lit("media"))
+              .otherwise(lit("text")).as("kind"),
+            col("tok").as("text"))
+        graft.ops.TextStats.interleavedLangProfile(spans, "doc_id", Seq(
+            "en" -> Seq("the", "of", "and", "to", "a"),
+            "de" -> Seq("der", "die", "das", "und", "ist"),
+            "fr" -> Seq("le", "la", "et", "les", "des"),
+            "es" -> Seq("el", "los", "y", "en", "que")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, CAST(pos - 1 AS BIGINT) AS o, tok,
+             |    CASE WHEN ((pos - 1) + doc_id) % 7 < 2 THEN 'media' ELSE 'text' END AS kind
+             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             |               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+             |        FROM documents)),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text_spans,
+             |    CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media_spans,
+             |    CAST(sum(CASE WHEN kind = 'text' AND tok IN ('the','of','and','to','a') THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+             |    CAST(sum(CASE WHEN kind = 'text' AND tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+             |    CAST(sum(CASE WHEN kind = 'text' AND tok IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits,
+             |    CAST(sum(CASE WHEN kind = 'text' AND tok IN ('el','los','y','en','que') THEN 1 ELSE 0 END) AS BIGINT) AS es_hits
+             |  FROM sp GROUP BY doc_id)
+             |SELECT doc_id, n_text_spans, n_media_spans, en_hits, de_hits, fr_hits, es_hits,
+             |  CASE WHEN en_hits + de_hits + fr_hits + es_hits = 0 THEN 'und'
+             |       WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+             |       WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+             |       WHEN fr_hits >= es_hits THEN 'fr'
+             |       ELSE 'es' END AS pred_lang
+             |FROM agg ORDER BY doc_id""".stripMargin),
+      "interleaved span-plane language profile: media-aware per-doc verdict == SQL replay"))
+}

@@ -54,4 +54,39 @@ class CurationSpec extends AnyFunSuite {
     assert(half.subsetOf(all))
     assert(half == half2) // partition-invariant
   }
+
+  test("funnel: first-failing-stage attribution, kept set == curate output") {
+    val cfg = Curation.Config(minTokens = 10, minUniqRatio = 0.5, maxDupLineFrac = 0.3)
+    val v = Curation.funnel(corpus, "doc_id", "text", cfg)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    assert(v.size == corpus.count())            // one verdict per input doc
+    assert(v(21L) == "dedup_loser")
+    assert(v(22L) == "too_few_tokens")
+    assert(v(23L) == "low_uniq_ratio")
+    assert(v(24L) == "repetitive")
+    assert((1L to 10L).forall(v(_) == "kept"))
+    val kept = Curation.funnel(corpus, "doc_id", "text", cfg)
+      .filter(col("stage") === "kept").select("doc_id").as[Long].collect().toSet
+    val curated = Curation.curate(corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == curated)
+  }
+
+  test("funnel: sampled_out stage mirrors the sample gate; report sums to input") {
+    val cfg = Curation.Config(minTokens = 10, minUniqRatio = 0.5,
+      maxDupLineFrac = 0.3, sampleRate = 0.5)
+    val verdicts = Curation.funnel(corpus, "doc_id", "text", cfg)
+    val kept = verdicts.filter(col("stage") === "kept")
+      .select("doc_id").as[Long].collect().toSet
+    val curated = Curation.curate(corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == curated)                     // sampler attribution exact
+    val sampledOut = verdicts.filter(col("stage") === "sampled_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert((kept ++ sampledOut) == (1L to 10L).toSet) // gates unchanged by sampling
+    val report = Curation.funnelReport(verdicts, "doc_id")
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(report.values.sum == corpus.count())
+    assert(report.keySet.subsetOf(Curation.FunnelStages.toSet))
+  }
 }

@@ -225,6 +225,29 @@ class OpsSpec extends AnyFunSuite {
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("interleaved lang profile: media-aware counts, tie-break, und") {
+    // spans with multi-token text spans (the real input_hint shape; q100's
+    // synthesis degenerates to one token per span, so the multi-token and
+    // tie/und branches are pinned here)
+    val spans = Seq(
+      (1L, 0L, "text", "the cat and the dog", null),
+      (1L, 1L, "media", null, "m1_1"),
+      (1L, 2L, "text", "der hund", null),
+      (2L, 0L, "text", "der the", null),        // en/de tie -> earlier lexicon (en)
+      (3L, 0L, "media", null, "m3_0"),          // media only -> und
+      (3L, 1L, "text", "zzz qqq", null)         // no hits -> still und
+    ).toDF("doc_id", "offset", "kind", "text", "media_ref")
+    val out = TextStats.interleavedLangProfile(spans, "doc_id", Seq(
+        "en" -> Seq("the", "and"), "de" -> Seq("der", "und")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_text_spans"), r.getAs[Long]("n_media_spans"),
+          r.getAs[Long]("en_hits"), r.getAs[Long]("de_hits"),
+          r.getAs[String]("pred_lang")))).toMap
+    assert(out(1L) == ((2L, 1L, 3L, 1L, "en")))  // 'und' lexeme absent from doc 1
+    assert(out(2L) == ((1L, 0L, 1L, 1L, "en")))  // tie -> earlier lexicon wins
+    assert(out(3L) == ((1L, 1L, 0L, 0L, "und"))) // media never votes
+  }
+
   test("multimodal: deterministic stub decode, batching, frame plan") {
     import Multimodal._
     val rows = Seq(
