@@ -616,4 +616,38 @@ class PlanSpec extends AnyFunSuite {
     assert(sc.forall(cols => cols.toSet.subsetOf(
       Set("doc_id", "perm_key", "__pid"))), sc)
   }
+
+  test("curation funnel: bodies never shuffle — every exchange is metrics-width") {
+    val p = executed(graft.ops.Curation.funnel(docs, "doc_id", "text",
+      graft.ops.Curation.Config(sampleRate = 0.5)))
+    val names = treeNames(p)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    // exchanges: the winners agg + the hash-plane join sides — none may
+    // carry the document text (all gate metrics die row-local at the scan)
+    val sc = shuffleCols(p)
+    assert(sc.nonEmpty, names.distinct)
+    assert(sc.forall(cols => !cols.contains("text")), sc)
+    // the dedup-decision join is the only join in the plan
+    assert(names.count(_.contains("Join")) <= 1, names.distinct)
+  }
+
+  test("interleaved lang profile: one combinable aggregate exchange, no join, span text dies at its scan") {
+    import org.apache.spark.sql.functions._
+    val spans = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("offset", "tok")))
+      .select(col("doc_id"), col("offset").cast("long").as("offset"),
+        when(col("offset") % 5 === 0, lit("media")).otherwise(lit("text")).as("kind"),
+        col("tok").as("text"))
+    val p = executed(graft.ops.TextStats.interleavedLangProfile(spans, "doc_id",
+      Seq("en" -> Seq("the", "of"), "de" -> Seq("der", "und"))))
+    val names = treeNames(p)
+    assert(!names.exists(_.contains("Join")), names.distinct)
+    val sc = shuffleCols(p)
+    assert(sc.size == 1, sc)            // the per-doc groupBy, nothing else
+    assert(sc.head.forall(c => c != "text" && c != "tok"), sc) // partial-agg rows only
+    // partial aggregation must sit below the exchange (map-side combine)
+    assert(collectNodes(p).count(_.nodeName.contains("HashAggregate")) >= 2,
+      names.distinct)
+  }
 }
