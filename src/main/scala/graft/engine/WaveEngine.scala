@@ -579,10 +579,13 @@ private[engine] object WaveCore {
               }
             (st, d, null, null)
           }
-        // wall-clock store time in BOTH modes: the S11 TTL predicate must
-        // never see a simulated planned stamp (those are future-dated on
-        // any warm run and would defeat the cutoff)
-        val storedAt = if (realtime) fetchedAt else System.currentTimeMillis()
+        // wall-clock store time in BOTH modes, stamped AFTER the fetch
+        // returns: the S11 TTL predicate must never see a simulated
+        // planned stamp (future-dated on any warm run), and in realtime
+        // mode `stored_at_ms - fetched_at_ms` is the observed fetch
+        // latency — the signal ops/Throttle.adaptiveHostDelays feeds on —
+        // without a schema field or any cost on the simulated bench path
+        val storedAt = System.currentTimeMillis()
         nIn += 1
         if (status >= 200 && status < 300) nOk += 1
         if (status >= 400) nErr += 1

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Latency-adaptive per-host politeness (the AutoThrottle idea: pace each
+ * host from its OBSERVED response latency instead of one fixed delay).
+ * The reference crawls at a fixed global 1 req/s
+ * (`/root/reference/crawler/settings.py:23,28`); a 10^10-URL frontier
+ * over thousands of hosts needs the crawl-side feedback loop real
+ * crawlers run: a slow (loaded) host gets backed off, a fast host is
+ * paced up toward the configured floor — per host, from data the crawl
+ * already produced.
+ *
+ * This is a FRONTIER-FEEDBACK op like [[Mirror]]/[[Dust]]/[[Recrawl]]:
+ * it consumes the fetched table of crawl N and emits the per-host rate
+ * overrides crawl N+1 passes as `CrawlConfig.hostRps` (the engine always
+ * honors the SLOWER of a config rate and a robots Crawl-delay, so
+ * composing with robots is automatic). Latency needs no schema field:
+ * in realtime mode the engine stamps `fetched_at_ms` after the
+ * politeness sleep and `stored_at_ms` after the fetch returns, so
+ * `stored_at_ms - fetched_at_ms` IS the per-fetch service time.
+ *
+ * Update rule (per host, per crawl — the batch form of AutoThrottle's
+ * per-response EWMA):
+ *
+ *   cand = (prev_delay + avg_latency / targetConcurrency) / 2
+ *   new  = clamp(cand, minDelayMs, maxDelayMs)        if the host had 2xx rows
+ *   new  = clamp(max(prev_delay, cand), …)            if it had only errors
+ *          (an erroring host may be backed off, never sped up)
+ *   new  = prev_delay                                 if it wasn't fetched
+ *
+ * Scale shape: ONE map-side-combinable groupBy(host) over the fetched
+ * rows (the exchange carries (host, 3 longs) — never bodies or spans),
+ * then an O(hosts)⋈O(hosts) equi-join with the previous delay table.
+ * Both sides are host-cardinality; AQE broadcasts the smaller.
+ */
+object Throttle {
+
+  /** Per-host observed service latency from a realtime crawl's fetched
+    * table: (host, n_obs, n_ok, avg_latency_ms). Cache hits are excluded
+    * (their "latency" is a local read, and AutoThrottle must pace the
+    * SERVER, not the cache). */
+  def observedLatencies(fetched: DataFrame): DataFrame =
+    fetched
+      .filter(!col("from_cache"))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(when(col("status") >= 200 && col("status") < 300, 1L).otherwise(0L)).as("n_ok"),
+        avg(col("stored_at_ms") - col("fetched_at_ms")).as("avg_latency_ms"))
+
+  /** The adaptive-delay update. `prevDelays` is (host, delay_ms) from the
+    * previous crawl (empty on the first: every observed host starts at
+    * `startDelayMs`). Hosts present in `prevDelays` but unfetched this
+    * crawl carry their delay unchanged, so the table is a stable
+    * accumulator across crawls. Returns (host, delay_ms, n_obs, n_ok,
+    * avg_latency_ms) — n_obs = 0 for carried-only hosts. */
+  def adaptiveHostDelays(fetched: DataFrame, prevDelays: DataFrame,
+      startDelayMs: Long = 1000L, targetConcurrency: Double = 1.0,
+      minDelayMs: Long = 100L, maxDelayMs: Long = 60000L): DataFrame = {
+    require(targetConcurrency > 0, s"targetConcurrency=$targetConcurrency")
+    require(minDelayMs <= maxDelayMs, s"min=$minDelayMs > max=$maxDelayMs")
+    val obs = observedLatencies(fetched)
+    val prev = prevDelays.select(col("host"), col("delay_ms").as("__prev"))
+    val joined = obs.join(prev, Seq("host"), "full_outer")
+      .withColumn("__p", coalesce(col("__prev"), lit(startDelayMs)))
+    val cand = (col("__p") + col("avg_latency_ms") / targetConcurrency) / 2.0
+    val updated = when(col("n_obs").isNull, col("__p").cast("double")) // carried host
+      .when(col("n_ok") > 0, cand)                                     // normal update
+      .otherwise(greatest(col("__p").cast("double"), cand))            // errors: back off only
+    joined.select(
+      col("host"),
+      // floor, not a bare long cast: double→long truncation is engine-
+      // specific (DuckDB rounds); floor pins the same integer everywhere
+      floor(least(lit(maxDelayMs).cast("double"),
+        greatest(lit(minDelayMs).cast("double"), updated))).cast("long").as("delay_ms"),
+      coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+      coalesce(col("n_ok"), lit(0L)).as("n_ok"),
+      col("avg_latency_ms"))
+  }
+
+  /** Driver-side glue for the next crawl: (host → rps) from a delay
+    * table. O(hosts) collect — the same cardinality `CrawlConfig.hostRps`
+    * itself is; the engine keeps the slower of this and any robots
+    * Crawl-delay per host. */
+  def rpsOverrides(delays: DataFrame): Map[String, Double] =
+    delays.select(col("host"), col("delay_ms")).collect()
+      .map(r => r.getString(0) -> 1000.0 / math.max(1L, r.getLong(1))).toMap
+}

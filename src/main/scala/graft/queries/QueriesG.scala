@@ -104,5 +104,61 @@ object QueriesG {
              |       WHEN fr_hits >= es_hits THEN 'fr'
              |       ELSE 'es' END AS pred_lang
              |FROM agg ORDER BY doc_id""".stripMargin),
-      "interleaved span-plane language profile: media-aware per-doc verdict == SQL replay"))
+      "interleaved span-plane language profile: media-aware per-doc verdict == SQL replay"),
+
+    // ------------------------------------------------------------------
+    // q101: latency-adaptive politeness update (Throttle, S15) — both
+    // engines synthesize the same fetched-plane rows (host = doc_id%19,
+    // h3 all-errors, doc_id%17 cache hits excluded, service latency
+    // (doc_id%7)*25+5) and prev-delay table (hosts h0–h8), then replay
+    // the batch AutoThrottle rule: EWMA toward latency/target for ok
+    // hosts, backoff-only for error hosts, clamps at [250, 520]. The
+    // only exchange carries (host, 3 longs); bodies/spans never exist.
+    // ------------------------------------------------------------------
+    "q101_adaptive_throttle" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val f = docs.select(
+          concat(lit("h"), (col("doc_id") % 19).cast("string")).as("host"),
+          when(col("doc_id") % 19 === 3, 503).otherwise(200).as("status"),
+          (col("doc_id") % 17 === 0).as("from_cache"),
+          (col("doc_id") * 10).as("fetched_at_ms"),
+          (col("doc_id") * 10 + (col("doc_id") % 7) * 25 + 5).as("stored_at_ms"))
+        val prev = docs.select((col("doc_id") % 19).as("k")).distinct()
+          .filter(col("k") < 9)
+          .select(concat(lit("h"), col("k").cast("string")).as("host"),
+            (lit(300L) + col("k") * 40).as("delay_ms"))
+        graft.ops.Throttle.adaptiveHostDelays(f, prev,
+            startDelayMs = 1000L, targetConcurrency = 2.0,
+            minDelayMs = 250L, maxDelayMs = 520L)
+          .orderBy(col("host"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS host,
+             |    CASE WHEN doc_id % 19 = 3 THEN 503 ELSE 200 END AS status,
+             |    doc_id % 17 = 0 AS from_cache,
+             |    (doc_id % 7) * 25 + 5 AS lat
+             |  FROM documents),
+             |obs AS (
+             |  SELECT host, CAST(count(*) AS BIGINT) AS n_obs,
+             |    CAST(sum(CASE WHEN status >= 200 AND status < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             |    avg(CAST(lat AS DOUBLE)) AS avg_latency_ms
+             |  FROM f WHERE NOT from_cache GROUP BY host),
+             |prev AS (
+             |  SELECT 'h' || CAST(k AS VARCHAR) AS host, 300 + k * 40 AS p
+             |  FROM (SELECT DISTINCT doc_id % 19 AS k FROM documents WHERE doc_id % 19 < 9)),
+             |j AS (
+             |  SELECT coalesce(o.host, prev.host) AS host, o.n_obs, o.n_ok, o.avg_latency_ms,
+             |    CAST(coalesce(prev.p, 1000) AS DOUBLE) AS p
+             |  FROM obs o FULL OUTER JOIN prev ON o.host = prev.host)
+             |SELECT host,
+             |  CAST(floor(least(520.0, greatest(250.0,
+             |    CASE WHEN n_obs IS NULL THEN p
+             |         WHEN n_ok > 0 THEN (p + avg_latency_ms / 2.0) / 2.0
+             |         ELSE greatest(p, (p + avg_latency_ms / 2.0) / 2.0) END))) AS BIGINT) AS delay_ms,
+             |  coalesce(n_obs, 0) AS n_obs,
+             |  coalesce(n_ok, 0) AS n_ok,
+             |  avg_latency_ms
+             |FROM j ORDER BY host""".stripMargin),
+      "latency-adaptive politeness update (batch AutoThrottle) == SQL replay"))
 }
