@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Span-sequence equality audit between two interleaved-document tables —
+ * the north rule's own per-row invariant ("span-sequence equality
+ * (kind, text, media_ref, order)" vs the reference spiders) lifted from
+ * a test assertion into a distributed operator, so two crawls (engine vs
+ * reference import, crawl N vs crawl N+1, pre- vs post-migration) can be
+ * diffed at corpus scale and the result queried instead of eyeballed.
+ *
+ * Input shape is the input_hint table on both sides:
+ * `(idCol, spansCol: array<struct<kind,text,media_ref,offset>>)`.
+ * Equality is by (kind, text, media_ref) in offset ORDER — the offset
+ * VALUES are explicitly not part of the contract (two engines may number
+ * spans differently; order is what the invariant fixes), so each side is
+ * sorted by offset and then projected down before comparing.
+ *
+ * Output: one row per doc_id present on either side —
+ * (doc_id, verdict ∈ match|mismatch|left_only|right_only,
+ *  n_left, n_right, first_diff) with `first_diff` the 1-based index of
+ * the first differing span (0 for match; for a pure prefix the first
+ * index past the shorter side — zip padding compares a span against
+ * nothing and nothing ≠ something).
+ *
+ * Scale shape: ONE full-outer equi-join on the id; every comparison is
+ * row-local (codegen'd array lambdas), verdict rows are fixed-width, and
+ * span bodies cross the exchange exactly once each — there is no
+ * cheaper shape for a content-equality diff, since the bodies ARE the
+ * compared value. At 100 TB this is the same cost class as writing
+ * either table.
+ */
+object SpanDiff {
+
+  /** Sort by offset, drop offset: the comparable (kind, text, media_ref)
+    * sequence the invariant speaks about. */
+  private def comparable(spans: Column): Column =
+    transform(
+      array_sort(spans, (a, b) =>
+        when(a.getField("offset") < b.getField("offset"), -1)
+          .when(a.getField("offset") > b.getField("offset"), 1)
+          .otherwise(0)),
+      x => struct(x.getField("kind").as("kind"), x.getField("text").as("text"),
+        x.getField("media_ref").as("media_ref")))
+
+  def audit(left: DataFrame, right: DataFrame, idCol: String,
+      spansCol: String = "spans"): DataFrame = {
+    val l = left.select(col(idCol), comparable(col(spansCol)).as("__l"))
+    val r = right.select(col(idCol), comparable(col(spansCol)).as("__r"))
+    l.join(r, Seq(idCol), "full_outer")
+      .select(
+        col(idCol),
+        col("__l"), col("__r"),
+        size(col("__l")).cast("long").as("n_left"),   // size(null) = -1, fixed below
+        size(col("__r")).cast("long").as("n_right"))
+      .select(
+        col(idCol),
+        when(col("__l").isNull, "right_only")
+          .when(col("__r").isNull, "left_only")
+          .when(col("n_left") === col("n_right") &&
+            array_position(zip_with(col("__l"), col("__r"), (a, b) => a <=> b),
+              lit(false)) === 0L, "match")
+          .otherwise("mismatch").as("verdict"),
+        when(col("__l").isNull, lit(null).cast("long")).otherwise(col("n_left")).as("n_left"),
+        when(col("__r").isNull, lit(null).cast("long")).otherwise(col("n_right")).as("n_right"),
+        when(col("__l").isNull || col("__r").isNull, lit(null).cast("long"))
+          .otherwise(array_position(
+            zip_with(col("__l"), col("__r"), (a, b) => a <=> b), lit(false)))
+          .as("first_diff"))
+  }
+
+  /** O(verdicts) rollup: documents per verdict — the one-line summary a
+    * migration run logs ("9,999,712 match, 288 mismatch, 0 only"). */
+  def auditReport(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+}

@@ -160,5 +160,90 @@ object QueriesG {
              |  coalesce(n_ok, 0) AS n_ok,
              |  avg_latency_ms
              |FROM j ORDER BY host""".stripMargin),
-      "latency-adaptive politeness update (batch AutoThrottle) == SQL replay"))
+      "latency-adaptive politeness update (batch AutoThrottle) == SQL replay"),
+
+    // ------------------------------------------------------------------
+    // q102: span-sequence equality audit (SpanDiff) — the north rule's
+    // per-row invariant as a distributed diff. Both engines synthesize
+    // the q93 span table as the LEFT crawl and a perturbed RIGHT crawl
+    // (doc_id%29 dropped -> left_only, doc_id%19 truncated at offset>=3
+    // -> prefix mismatch, doc_id%23's offset-1 token edited -> content
+    // mismatch, one synthetic -id-1 doc per doc_id%31 -> right_only),
+    // then replay verdict + first-diff index. Offsets are renumbered
+    // x10 on the right to pin "order matters, offset values don't".
+    // ------------------------------------------------------------------
+    "q102_span_diff" -> Q(
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("offset", "tok")))
+          .select(col("doc_id"), col("offset").cast("long").as("offset"),
+            when((col("offset") + col("doc_id")) % 7 < 2, lit("media"))
+              .otherwise(lit("text")).as("kind"),
+            col("tok").as("text"),
+            when((col("offset") + col("doc_id")) % 7 < 2,
+              concat(lit("m"), col("doc_id"), lit("_"), col("offset"))).as("media_ref"))
+        val extra = t(s, d, "documents").filter(col("doc_id") % 31 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"), lit(0L).as("offset"),
+            lit("text").as("kind"), lit("extra").as("text"),
+            lit(null).cast("string").as("media_ref"))
+        val rightRows = base
+          .filter(col("doc_id") % 29 =!= 0)
+          .filter(!(col("doc_id") % 19 === 0 && col("offset") >= 3))
+          .withColumn("text",
+            when(col("doc_id") % 23 === 0 && col("offset") === 1,
+              concat(col("text"), lit("X"))).otherwise(col("text")))
+          .withColumn("offset", col("offset") * 10) // order-isomorphic renumbering
+          .unionByName(extra)
+        def toTable(rows: org.apache.spark.sql.DataFrame) =
+          rows.groupBy(col("doc_id")).agg(collect_list(
+            struct(col("kind"), col("text"), col("media_ref"), col("offset"))).as("spans"))
+        graft.ops.SpanDiff.audit(toTable(base), toTable(rightRows), "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, CAST(pos - 1 AS BIGINT) AS o, tok,
+             |    CASE WHEN ((pos - 1) + doc_id) % 7 < 2 THEN 'media' ELSE 'text' END AS kind,
+             |    CASE WHEN ((pos - 1) + doc_id) % 7 < 2
+             |         THEN 'm' || doc_id || '_' || (pos - 1) END AS media_ref
+             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             |               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+             |        FROM documents)),
+             |rsp AS (
+             |  SELECT doc_id, o * 10 AS o, kind, media_ref,
+             |    CASE WHEN doc_id % 23 = 0 AND o = 1 THEN tok || 'X' ELSE tok END AS tok
+             |  FROM sp WHERE doc_id % 29 <> 0 AND NOT (doc_id % 19 = 0 AND o >= 3)
+             |  UNION ALL
+             |  SELECT -doc_id - 1, CAST(0 AS BIGINT), 'text', NULL, 'extra'
+             |  FROM documents WHERE doc_id % 31 = 0),
+             |lft AS (
+             |  SELECT doc_id,
+             |    list(struct_pack(kind := kind, text := tok, media_ref := media_ref)
+             |         ORDER BY o) AS l
+             |  FROM sp GROUP BY doc_id),
+             |rgt AS (
+             |  SELECT doc_id,
+             |    list(struct_pack(kind := kind, text := tok, media_ref := media_ref)
+             |         ORDER BY o) AS r
+             |  FROM rsp GROUP BY doc_id),
+             |j AS (
+             |  SELECT coalesce(lft.doc_id, rgt.doc_id) AS doc_id, l, r
+             |  FROM lft FULL OUTER JOIN rgt ON lft.doc_id = rgt.doc_id),
+             |v AS (
+             |  SELECT doc_id, l, r,
+             |    CASE WHEN l IS NULL OR r IS NULL THEN NULL ELSE
+             |      coalesce(list_position(
+             |        list_transform(range(1, greatest(len(l), len(r)) + 1),
+             |          i -> l[i] IS NOT DISTINCT FROM r[i]), false), 0) END AS fd
+             |  FROM j)
+             |SELECT doc_id,
+             |  CASE WHEN l IS NULL THEN 'right_only'
+             |       WHEN r IS NULL THEN 'left_only'
+             |       WHEN len(l) = len(r) AND fd = 0 THEN 'match'
+             |       ELSE 'mismatch' END AS verdict,
+             |  CASE WHEN l IS NULL THEN NULL ELSE CAST(len(l) AS BIGINT) END AS n_left,
+             |  CASE WHEN r IS NULL THEN NULL ELSE CAST(len(r) AS BIGINT) END AS n_right,
+             |  CAST(fd AS BIGINT) AS first_diff
+             |FROM v ORDER BY doc_id""".stripMargin),
+      "span-sequence equality audit (north-rule per-row invariant as a distributed diff) == SQL replay"))
 }
