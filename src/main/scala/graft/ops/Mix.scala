@@ -37,4 +37,46 @@ object Mix {
       round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all), 6)
         .as("token_share"))
   }
+
+  /** Corpus drift between two snapshots (crawl N vs N+1, pre- vs
+    * post-curation): per-stratum counts and shares on both sides, the
+    * token-share delta, and each stratum's contribution to the
+    * total-variation distance (`tv_contrib = |Δtoken_share| / 2`;
+    * `sum(tv_contrib)` over the result IS the TV distance between the
+    * two token mixes — the number a drift monitor alarms on). A stratum
+    * absent from one side reports 0 counts / 0.0 shares there, so
+    * appearing and vanishing sources are first-class drift.
+    *
+    * Deltas are computed from the ROUNDED shares (and re-rounded):
+    * deterministic and engine-portable, matching [[report]]'s contract.
+    * Scale shape: two [[report]] aggregates (each one combinable
+    * exchange of O(strata) rows) and an O(strata)⋈O(strata) full-outer
+    * join — corpus text never moves. */
+  def drift(prev: DataFrame, curr: DataFrame, strataCol: String,
+      textCol: String,
+      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    val p = report(prev, strataCol, textCol, tokenCount).select(
+      col(strataCol), col("n_docs").as("n_docs_prev"),
+      col("n_tokens").as("n_tokens_prev"),
+      col("doc_share").as("doc_share_prev"),
+      col("token_share").as("token_share_prev"))
+    val c = report(curr, strataCol, textCol, tokenCount).select(
+      col(strataCol), col("n_docs").as("n_docs_curr"),
+      col("n_tokens").as("n_tokens_curr"),
+      col("doc_share").as("doc_share_curr"),
+      col("token_share").as("token_share_curr"))
+    val delta = round(coalesce(col("token_share_curr"), lit(0.0)) -
+      coalesce(col("token_share_prev"), lit(0.0)), 6)
+    p.join(c, Seq(strataCol), "full_outer")
+      .select(
+        col(strataCol),
+        coalesce(col("n_docs_prev"), lit(0L)).as("n_docs_prev"),
+        coalesce(col("n_docs_curr"), lit(0L)).as("n_docs_curr"),
+        coalesce(col("n_tokens_prev"), lit(0L)).as("n_tokens_prev"),
+        coalesce(col("n_tokens_curr"), lit(0L)).as("n_tokens_curr"),
+        coalesce(col("token_share_prev"), lit(0.0)).as("token_share_prev"),
+        coalesce(col("token_share_curr"), lit(0.0)).as("token_share_curr"),
+        delta.as("token_share_delta"),
+        round(abs(delta) / 2.0, 6).as("tv_contrib"))
+  }
 }

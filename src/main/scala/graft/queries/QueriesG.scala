@@ -245,5 +245,52 @@ object QueriesG {
              |  CASE WHEN r IS NULL THEN NULL ELSE CAST(len(r) AS BIGINT) END AS n_right,
              |  CAST(fd AS BIGINT) AS first_diff
              |FROM v ORDER BY doc_id""".stripMargin),
-      "span-sequence equality audit (north-rule per-row invariant as a distributed diff) == SQL replay"))
+      "span-sequence equality audit (north-rule per-row invariant as a distributed diff) == SQL replay"),
+
+    // ------------------------------------------------------------------
+    // q103: corpus drift report (Mix.drift) — per-language share deltas
+    // between two snapshot halves (prev = even doc_ids, curr = odd with
+    // 'fr' dropped, so a vanished stratum is exercised); sum(tv_contrib)
+    // is the total-variation distance a drift monitor alarms on. Corpus
+    // text never moves: two O(strata) aggregates + an O(strata) join.
+    // ------------------------------------------------------------------
+    "q103_corpus_drift" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.ops.Mix.drift(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1 && col("lang") =!= "fr"),
+            "lang", "text")
+          .orderBy(col("lang"))
+      },
+      Some("""WITH rep_p AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+             |p AS (
+             |  SELECT lang, n_docs, n_tokens,
+             |    round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS ts,
+             |    round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS ds
+             |  FROM rep_p),
+             |rep_c AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id % 2 = 1 AND lang <> 'fr' GROUP BY lang),
+             |c AS (
+             |  SELECT lang, n_docs, n_tokens,
+             |    round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS ts,
+             |    round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS ds
+             |  FROM rep_c),
+             |j AS (
+             |  SELECT coalesce(p.lang, c.lang) AS lang,
+             |    coalesce(p.n_docs, 0) AS n_docs_prev, coalesce(c.n_docs, 0) AS n_docs_curr,
+             |    coalesce(p.n_tokens, 0) AS n_tokens_prev, coalesce(c.n_tokens, 0) AS n_tokens_curr,
+             |    coalesce(p.ts, 0.0) AS token_share_prev, coalesce(c.ts, 0.0) AS token_share_curr,
+             |    round(coalesce(c.ts, 0.0) - coalesce(p.ts, 0.0), 6) AS token_share_delta
+             |  FROM p FULL OUTER JOIN c ON p.lang = c.lang)
+             |SELECT lang, n_docs_prev, n_docs_curr, n_tokens_prev, n_tokens_curr,
+             |  token_share_prev, token_share_curr, token_share_delta,
+             |  round(abs(token_share_delta) / 2.0, 6) AS tv_contrib
+             |FROM j ORDER BY lang""".stripMargin),
+      "corpus drift report (per-stratum share deltas + TV contributions) == SQL replay"))
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MixSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // prev: en 2 docs / 30 tokens, fr 1 doc / 10 tokens
+  private def prev = Seq(
+    (1L, "en", Seq.fill(10)("w").mkString(" ")),
+    (2L, "en", Seq.fill(20)("w").mkString(" ")),
+    (3L, "fr", Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "lang", "text")
+  // curr: en 1 doc / 20 tokens, de 1 doc / 20 tokens (fr vanished, de new)
+  private def curr = Seq(
+    (4L, "en", Seq.fill(20)("w").mkString(" ")),
+    (5L, "de", Seq.fill(20)("w").mkString(" "))).toDF("doc_id", "lang", "text")
+
+  test("report: doc and token shares sum to 1 and match hand counts") {
+    val r = Mix.report(prev, "lang", "text")
+      .collect().map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"),
+          x.getAs[Double]("token_share")))).toMap
+    assert(r("en") == ((2L, 30L, 0.75)))
+    assert(r("fr") == ((1L, 10L, 0.25)))
+  }
+
+  test("drift: vanished and new strata are first-class; tv_contrib sums to the TV distance") {
+    val d = Mix.drift(prev, curr, "lang", "text")
+      .collect().map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Long]("n_docs_prev"), x.getAs[Long]("n_docs_curr"),
+          x.getAs[Double]("token_share_prev"), x.getAs[Double]("token_share_curr"),
+          x.getAs[Double]("token_share_delta"), x.getAs[Double]("tv_contrib")))).toMap
+    assert(d("en") == ((2L, 1L, 0.75, 0.5, -0.25, 0.125)))
+    assert(d("fr") == ((1L, 0L, 0.25, 0.0, -0.25, 0.125)))
+    assert(d("de") == ((0L, 1L, 0.0, 0.5, 0.5, 0.25)))
+    // TV distance between {en .75, fr .25} and {en .5, de .5} = 0.5
+    assert(math.abs(d.values.map(_._6).sum - 0.5) < 1e-9)
+  }
+}
