@@ -103,17 +103,26 @@ object TextStats {
   def interleavedLangProfile(spans: DataFrame, idCol: String,
       lexicons: Seq[(String, Seq[String])]): DataFrame = {
     require(lexicons.nonEmpty, "need at least one lexicon")
+    // ONE tokenize + explode, then every per-token test is a codegen'd
+    // `In` over the lexicon literals. (The first cut ran an interpreted
+    // higher-order filter PER LEXICON PER SPAN — HOF lambdas never enter
+    // whole-stage codegen, and on a span-exploded corpus that was 9× the
+    // cost of this plan at sf0.1.) Media spans carry a null token array,
+    // so posexplode_outer emits exactly one counting row for them.
     val isText = col("kind") === "text"
+    val toks = spans.select(col(idCol), col("kind"),
+      posexplode_outer(when(isText, tokens(col("text")))).as(Seq("pos", "tok")))
     val hitAggs = lexicons.map { case (lang, words) =>
-      val set = array(words.map(lit): _*)
-      sum(when(isText,
-        size(filter(tokens(col("text")), t => array_contains(set, t))).cast("long"))
+      sum(when(col("kind") === "text" && col("tok").isin(words.map(w => w: Any): _*), 1L)
         .otherwise(0L)).as(s"${lang}_hits")
     }
     val counts = Seq(
-      sum(when(isText, 1L).otherwise(0L)).as("n_text_spans"),
-      sum(when(!isText, 1L).otherwise(0L)).as("n_media_spans"))
-    val agg = spans.groupBy(col(idCol)).agg(counts.head, (counts.tail ++ hitAggs): _*)
+      // a text span contributes one row per token: count it at token 0
+      sum(when(col("kind") === "text" && col("pos") === 0, 1L).otherwise(0L))
+        .as("n_text_spans"),
+      // a non-text span contributes exactly its one null-token row
+      sum(when(col("kind") =!= "text", 1L).otherwise(0L)).as("n_media_spans"))
+    val agg = toks.groupBy(col(idCol)).agg(counts.head, (counts.tail ++ hitAggs): _*)
     val hitCols = lexicons.map { case (lang, _) => col(s"${lang}_hits") }
     val total = hitCols.reduce(_ + _)
     // argmax with earlier-lexicon tie-win, as a when-chain (same shape
