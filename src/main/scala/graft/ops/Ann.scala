@@ -318,4 +318,37 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** ANN evaluation plane: recall@k of an approximate top-k result
+    * against the exact one — the metric every approximate index
+    * ([[lshTopK]], [[ivfTopK]], PQ/ADC) is tuned by, as a distributed
+    * op instead of a notebook loop. Inputs are two (queryCol,
+    * neighborCol) top-k tables (ranks irrelevant — recall@k is set
+    * overlap); duplicates are collapsed, and a query missing from
+    * `approx` entirely scores 0 — an index that returns nothing must
+    * not be graded only on the queries it answered.
+    *
+    * Output: one row per query in `exact` — (queryCol, n_hits, recall)
+    * with recall = |approx ∩ exact| / k rounded to 6 — plus mean over
+    * queries via [[recallSummary]]. Scale: one equi-join on (query,
+    * neighbor) — both sides are O(queries·k) fixed-width rows — and one
+    * combinable count. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      neighborCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val a = approx.select(col(queryCol), col(neighborCol)).distinct()
+    val e = exact.select(col(queryCol), col(neighborCol)).distinct()
+    val hits = e.join(a, Seq(queryCol, neighborCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hits"))
+    e.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / k.toDouble, 6).as("recall"))
+  }
+
+  /** O(1)-row rollup of [[recallAtK]]: (n_queries, mean_recall). */
+  def recallSummary(perQuery: DataFrame, queryCol: String): DataFrame =
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      round(avg(col("recall")), 6).as("mean_recall"))
 }

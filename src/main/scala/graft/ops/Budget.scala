@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Budgeted corpus assembly (training-data op): "fill a token budget with
+ * the best documents" — rank the corpus by a quality score and keep the
+ * ranked prefix whose cumulative token count fits the budget. This is
+ * the selection step that turns scored candidates ([[TextStats
+ * .qualityScore]], [[QualityClassifier]] margins, [[Perplexity]] NLL,
+ * [[Dsir]] importance weights) into an actual N-token training set.
+ *
+ * Semantics: total order = (score DESC, id ASC); a document is kept iff
+ * its INCLUSIVE cumulative token count ≤ `budgetTokens` (the document
+ * that would cross the budget is dropped, as is everything below it —
+ * the largest budget-respecting prefix of the ranked corpus).
+ *
+ * Scale shape: the same two-level distributed scan as [[Packing.layout]]
+ * — the corpus-wide prefix sum is the one genuinely order-coupled step —
+ * but over the SCORE order instead of the id order: one range exchange
+ * of fixed-width (id, score, n_tokens) rows (text dies at the scan),
+ * per-partition totals to the driver (O(nParts)), then a
+ * partition-local window. No global single-partition window anywhere.
+ */
+object Budget {
+
+  /** Returns one row per input doc: (idCol, scoreCol, n_tokens,
+    * cum_tokens, kept) with `cum_tokens` the inclusive prefix sum in
+    * rank order. Callers wanting only the training set filter on
+    * `kept`; emitting the full ranked ledger makes the budget boundary
+    * auditable (the first dropped doc is the budget's witness). */
+  def selectByBudget(docs: DataFrame, idCol: String, scoreCol: String,
+      textCol: String, budgetTokens: Long, nParts: Int = 32,
+      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens")
+    // 1. slim + range-partition by the rank key (see Packing.layout for
+    // why localCheckpoint and not cache: offsets must pair with the ONE
+    // materialized partitioning)
+    val slim = docs
+      .select(col(idCol), col(scoreCol), tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(nParts, col(scoreCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // 2. per-partition totals -> broadcast offsets (pid order IS rank order)
+    val partials = slim.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect()
+      .sortBy(_.getAs[Int]("__pid"))
+    val offsetMap =
+      if (partials.isEmpty) map(lit(0), lit(0L))
+      else map(partials.map(_.getAs[Int]("__pid"))
+        .zip(partials.scanLeft(0L)(_ + _.getAs[Long]("s")).init)
+        .flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*)
+    // 3. partition-local inclusive running sum + offset
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    slim
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w) + element_at(offsetMap, col("__pid")))
+      .withColumn("kept", col("cum_tokens") <= budgetTokens)
+      .drop("__pid")
+  }
+}

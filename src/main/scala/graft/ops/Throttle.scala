@@ -88,4 +88,66 @@ object Throttle {
   def rpsOverrides(delays: DataFrame): Map[String, Double] =
     delays.select(col("host"), col("delay_ms")).collect()
       .map(r => r.getString(0) -> 1000.0 / math.max(1L, r.getLong(1))).toMap
+
+  /** Per-host crawl health rollup — the dashboard row a crawl run logs
+    * per host: fetch/ok/cache counts, ok rate, and the service-latency
+    * distribution (cache hits excluded from latency, like
+    * [[observedLatencies]]). One groupBy(host) exchange.
+    *
+    * `approx = false` (default) uses EXACT interpolated percentiles —
+    * engine-portable (DuckDB `quantile_cont` computes the identical
+    * interpolation) and fine wherever one host's latencies fit a task
+    * (they do: a host's fetch count is politeness-bounded). At extreme
+    * per-host cardinality pass `approx = true` for the t-digest sketch
+    * (map-side combinable, rank error ≤ 1/accuracy). */
+  def hostHealth(fetched: DataFrame, approx: Boolean = false): DataFrame = {
+    val ok = col("status") >= 200 && col("status") < 300
+    val lat = when(!col("from_cache"),
+      (col("stored_at_ms") - col("fetched_at_ms")).cast("double"))
+    def pct(p: Double) =
+      if (approx) percentile_approx(lat, lit(p), lit(10000)).cast("double")
+      else percentile(lat, lit(p))
+    fetched.groupBy(col("host")).agg(
+      count(lit(1)).as("n_fetches"),
+      sum(when(ok, 1L).otherwise(0L)).as("n_ok"),
+      round(sum(when(ok, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+        .as("ok_rate"),
+      sum(when(col("from_cache"), 1L).otherwise(0L)).as("n_cache"),
+      round(avg(lat), 6).as("avg_latency_ms"),
+      pct(0.5).as("p50_latency_ms"),
+      pct(0.95).as("p95_latency_ms"),
+      max(lat).as("max_latency_ms"))
+  }
+
+  /** Frontier drain forecast — the skew audit of the north star's "hot
+    * domains must not straggle" clause, as data: given the pending
+    * frontier and each host's politeness delay, how long does each host
+    * take to drain, how many waves at the per-wave budget, and which
+    * hosts exceed the straggler threshold (candidates for a tighter
+    * per-wave cap, a politeness renegotiation, or partition isolation).
+    *
+    * `pending` is any (host, …) frontier slice; `delays` is (host,
+    * delay_ms) (e.g. [[adaptiveHostDelays]] output); hosts without a
+    * row use `defaultDelayMs`. Politeness is per-host sequential — the
+    * engine's invariant — so drain time is exactly
+    * `n_pending · delay_ms / 1000` regardless of cluster size: the ONE
+    * quantity more executors cannot improve, which is why it deserves
+    * its own report. One map-side-combinable count + an O(hosts) join.
+    *
+    * Output: (host, n_pending, delay_ms, drain_sec, waves_to_drain,
+    * straggler). */
+  def drainForecast(pending: DataFrame, delays: DataFrame,
+      budgetPerWave: Long, stragglerSec: Double,
+      defaultDelayMs: Long = 1000L): DataFrame = {
+    require(budgetPerWave > 0, s"budgetPerWave=$budgetPerWave")
+    val counts = pending.groupBy(col("host")).agg(count(lit(1)).as("n_pending"))
+    counts.join(delays.select(col("host"), col("delay_ms")), Seq("host"), "left")
+      .withColumn("delay_ms", coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .withColumn("drain_sec",
+        round(col("n_pending") * col("delay_ms") / 1000.0, 6))
+      .withColumn("waves_to_drain",
+        floor((col("n_pending") + budgetPerWave - 1) / budgetPerWave.toDouble)
+          .cast("long"))
+      .withColumn("straggler", col("drain_sec") > stragglerSec)
+  }
 }

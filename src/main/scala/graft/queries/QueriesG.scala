@@ -292,5 +292,153 @@ object QueriesG {
              |  token_share_prev, token_share_curr, token_share_delta,
              |  round(abs(token_share_delta) / 2.0, 6) AS tv_contrib
              |FROM j ORDER BY lang""".stripMargin),
-      "corpus drift report (per-stratum share deltas + TV contributions) == SQL replay"))
+      "corpus drift report (per-stratum share deltas + TV contributions) == SQL replay"),
+
+    // ------------------------------------------------------------------
+    // q104: budgeted corpus assembly (Budget.selectByBudget) — rank by a
+    // deterministic score (doc_id*37 % 101, ties broken by id), keep the
+    // largest prefix whose inclusive token sum fits the budget. The op
+    // runs the two-level distributed scan (range exchange of fixed-width
+    // rows + partition-local windows, never a global window); the oracle
+    // is DuckDB's straight cumulative window. Budget = 40% of the corpus
+    // tokens at any sf, so the cut lands mid-corpus scale-robustly.
+    // ------------------------------------------------------------------
+    "q104_budget_select" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val budget = docs
+          .select(sum(graft.ops.TextStats.tokenCount(col("text"))).as("t"))
+          .collect()(0).getAs[Long]("t") * 2 / 5
+        graft.ops.Budget.selectByBudget(
+            docs.withColumn("score", (col("doc_id") * 37 % 101).cast("long")),
+            "doc_id", "score", "text", budget)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, (doc_id * 37) % 101 AS score,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT (CAST(sum(n_tokens) AS BIGINT) * 2) // 5 AS budget FROM scored),
+             |c AS (
+             |  SELECT doc_id, score, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM scored)
+             |SELECT doc_id, score, n_tokens, cum_tokens,
+             |  cum_tokens <= (SELECT budget FROM b) AS kept
+             |FROM c ORDER BY doc_id""".stripMargin),
+      "budgeted corpus assembly (ranked prefix under a token budget) == SQL cumulative window"),
+
+    // ------------------------------------------------------------------
+    // q105: per-host crawl health rollup (Throttle.hostHealth) over the
+    // q101 fetched-plane synthesis — counts, ok/cache rates, and the
+    // service-latency distribution with EXACT interpolated percentiles
+    // (Spark `percentile` and DuckDB `quantile_cont` compute the same
+    // interpolation; cache hits excluded from latency on both engines).
+    // ------------------------------------------------------------------
+    "q105_crawl_health" -> Q(
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          concat(lit("h"), (col("doc_id") % 19).cast("string")).as("host"),
+          when(col("doc_id") % 19 === 3, 503).otherwise(200).as("status"),
+          (col("doc_id") % 17 === 0).as("from_cache"),
+          (col("doc_id") * 10).as("fetched_at_ms"),
+          (col("doc_id") * 10 + (col("doc_id") % 7) * 25 + 5).as("stored_at_ms"))
+        graft.ops.Throttle.hostHealth(f).orderBy(col("host"))
+      },
+      Some("""WITH f AS (
+             |  SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS host,
+             |    CASE WHEN doc_id % 19 = 3 THEN 503 ELSE 200 END AS status,
+             |    doc_id % 17 = 0 AS from_cache,
+             |    CAST((doc_id % 7) * 25 + 5 AS DOUBLE) AS lat
+             |  FROM documents)
+             |SELECT host,
+             |  CAST(count(*) AS BIGINT) AS n_fetches,
+             |  CAST(sum(CASE WHEN status >= 200 AND status < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             |  round(CAST(sum(CASE WHEN status >= 200 AND status < 300 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 6) AS ok_rate,
+             |  CAST(sum(CASE WHEN from_cache THEN 1 ELSE 0 END) AS BIGINT) AS n_cache,
+             |  round(avg(CASE WHEN NOT from_cache THEN lat END), 6) AS avg_latency_ms,
+             |  quantile_cont(CASE WHEN NOT from_cache THEN lat END, 0.5) AS p50_latency_ms,
+             |  quantile_cont(CASE WHEN NOT from_cache THEN lat END, 0.95) AS p95_latency_ms,
+             |  max(CASE WHEN NOT from_cache THEN lat END) AS max_latency_ms
+             |FROM f GROUP BY host ORDER BY host""".stripMargin),
+      "per-host crawl health (counts, rates, exact latency percentiles) == SQL replay"),
+
+    // ------------------------------------------------------------------
+    // q106: frontier drain forecast (Throttle.drainForecast) — the north
+    // star's skew clause as data: per-host sequential politeness makes
+    // drain time n_pending·delay/1000 the one quantity more executors
+    // cannot improve. Synthesis plants a hot host (every doc_id%3==0 row
+    // lands on h0) and a partial delay table (h0–h11 at 200+k·50 ms,
+    // rest default 1000 ms); budget 16/wave, straggler threshold 30 s.
+    // ------------------------------------------------------------------
+    "q106_drain_forecast" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pending = docs.select(
+          when(col("doc_id") % 3 === 0, lit("h0"))
+            .otherwise(concat(lit("h"), (col("doc_id") % 19).cast("string"))).as("host"))
+        val delays = docs.select((col("doc_id") % 19).as("k")).distinct()
+          .filter(col("k") < 12)
+          .select(concat(lit("h"), col("k").cast("string")).as("host"),
+            (lit(200L) + col("k") * 50).as("delay_ms"))
+        graft.ops.Throttle.drainForecast(pending, delays,
+            budgetPerWave = 16L, stragglerSec = 30.0)
+          .orderBy(col("host"))
+      },
+      Some("""WITH pending AS (
+             |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'h0'
+             |              ELSE 'h' || CAST(doc_id % 19 AS VARCHAR) END AS host
+             |  FROM documents),
+             |counts AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pending
+             |           FROM pending GROUP BY host),
+             |delays AS (
+             |  SELECT 'h' || CAST(k AS VARCHAR) AS host, 200 + k * 50 AS delay_ms
+             |  FROM (SELECT DISTINCT doc_id % 19 AS k FROM documents WHERE doc_id % 19 < 12))
+             |SELECT c.host, c.n_pending,
+             |  CAST(coalesce(d.delay_ms, 1000) AS BIGINT) AS delay_ms,
+             |  round(c.n_pending * coalesce(d.delay_ms, 1000) / 1000.0, 6) AS drain_sec,
+             |  CAST(floor((c.n_pending + 15) / CAST(16 AS DOUBLE)) AS BIGINT) AS waves_to_drain,
+             |  round(c.n_pending * coalesce(d.delay_ms, 1000) / 1000.0, 6) > 30.0 AS straggler
+             |FROM counts c LEFT JOIN delays d ON c.host = d.host
+             |ORDER BY c.host""".stripMargin),
+      "frontier drain forecast (per-host politeness-bounded drain + straggler flags) == SQL replay"),
+
+    // ------------------------------------------------------------------
+    // q107: ANN recall@k evaluation plane (Ann.recallAtK) — grade a
+    // synthetic approximate index against the exact result: neighbor
+    // sets from modular arithmetic, the approx side perturbed on
+    // doc_id%4==0 rows, queries missing from approx score 0 (doc_id%50
+    // == 47 is withheld from the approx side entirely).
+    // ------------------------------------------------------------------
+    "q107_ann_recall" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val exact = docs.select((col("doc_id") % 50).as("qid"),
+          ((col("doc_id") * 13) % 500).as("nid"))
+        val approx = docs.filter(col("doc_id") % 50 =!= 47)
+          .select((col("doc_id") % 50).as("qid"),
+            when(col("doc_id") % 4 === 0, (col("doc_id") * 13 + 1) % 500)
+              .otherwise((col("doc_id") * 13) % 500).as("nid"))
+        graft.ops.Ann.recallAtK(approx, exact, "qid", "nid", k = 10)
+          .orderBy(col("qid"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT doc_id % 50 AS qid, (doc_id * 13) % 500 AS nid FROM documents),
+             |a AS (
+             |  SELECT DISTINCT doc_id % 50 AS qid,
+             |    CASE WHEN doc_id % 4 = 0 THEN (doc_id * 13 + 1) % 500
+             |         ELSE (doc_id * 13) % 500 END AS nid
+             |  FROM documents WHERE doc_id % 50 <> 47),
+             |hits AS (
+             |  SELECT e.qid, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM e JOIN a ON e.qid = a.qid AND e.nid = a.nid
+             |  GROUP BY e.qid)
+             |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+             |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+             |FROM (SELECT DISTINCT qid FROM e) q
+             |LEFT JOIN hits h ON q.qid = h.qid
+             |ORDER BY q.qid""".stripMargin),
+      "ANN recall@k evaluation (set overlap vs exact, absent queries score 0) == SQL replay"))
 }

@@ -225,6 +225,23 @@ class OpsSpec extends AnyFunSuite {
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("recallAtK: set overlap, duplicates collapse, absent query scores 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 99L), (1L, 12L), (2L, 21L))
+      .toDF("qid", "nid") // dup (1,10); extra 99 never counts; qid 3 absent
+    val r = Ann.recallAtK(approx, exact, "qid", "nid", k = 3)
+      .collect().map(x => x.getAs[Long]("qid") ->
+        ((x.getAs[Long]("n_hits"), x.getAs[Double]("recall")))).toMap
+    assert(r(1L) == ((2L, 0.666667)))
+    assert(r(2L) == ((1L, 0.333333)))
+    assert(r(3L) == ((0L, 0.0)))
+    val sum = Ann.recallSummary(Ann.recallAtK(approx, exact, "qid", "nid", 3), "qid")
+      .collect().head
+    assert(sum.getAs[Long]("n_queries") == 3L)
+    assert(sum.getAs[Double]("mean_recall") == 0.333333)
+  }
+
   test("interleaved lang profile: media-aware counts, tie-break, und") {
     // spans with multi-token text spans (the real input_hint shape; q100's
     // synthesis degenerates to one token per span, so the multi-token and

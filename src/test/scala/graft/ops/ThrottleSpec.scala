@@ -76,6 +76,43 @@ class ThrottleSpec extends AnyFunSuite {
     assert(math.abs(rps("a") - 1000.0 / 600.0) < 1e-9)
   }
 
+  test("hostHealth: counts, rates, exact percentiles; cache rows excluded from latency") {
+    val f = fetched(
+      ("a", 200, false, 0L, 10L),   // latencies 10, 20, 30, 40
+      ("a", 200, false, 0L, 20L),
+      ("a", 404, false, 0L, 30L),
+      ("a", 200, false, 0L, 40L),
+      ("a", 200, true, 0L, 9999L),  // cache hit: counted, never in latency
+      ("b", 200, false, 0L, 7L))
+    val out = Throttle.hostHealth(f)
+      .collect().map(r => r.getAs[String]("host") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_fetches") == 5L)
+    assert(a.getAs[Long]("n_ok") == 4L)       // the cache row is a 200 too
+    assert(a.getAs[Double]("ok_rate") == 0.8)
+    assert(a.getAs[Long]("n_cache") == 1L)
+    assert(a.getAs[Double]("avg_latency_ms") == 25.0)
+    assert(a.getAs[Double]("p50_latency_ms") == 25.0)  // interpolated between 20 and 30
+    assert(math.abs(a.getAs[Double]("p95_latency_ms") - 38.5) < 1e-9) // 0.95*(4-1)=2.85
+    assert(a.getAs[Double]("max_latency_ms") == 40.0)
+    assert(out("b").getAs[Double]("p50_latency_ms") == 7.0)
+  }
+
+  test("drainForecast: politeness-bounded drain time, wave ceil-division, default delay, straggler flag") {
+    val pending = (Seq.fill(40)("hot") ++ Seq.fill(3)("cold") ++ Seq("nodelay"))
+      .toDF("host")
+    val d = delays(("hot", 1000L), ("cold", 100L))
+    val out = Throttle.drainForecast(pending, d, budgetPerWave = 16L,
+        stragglerSec = 30.0, defaultDelayMs = 500L)
+      .collect().map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_pending"), r.getAs[Long]("delay_ms"),
+          r.getAs[Double]("drain_sec"), r.getAs[Long]("waves_to_drain"),
+          r.getAs[Boolean]("straggler")))).toMap
+    assert(out("hot") == ((40L, 1000L, 40.0, 3L, true)))    // ceil(40/16) = 3
+    assert(out("cold") == ((3L, 100L, 0.3, 1L, false)))
+    assert(out("nodelay") == ((1L, 500L, 0.5, 1L, false)))  // default delay
+  }
+
   test("e2e: realtime crawl observes service latency; the next crawl honors the adapted pace") {
     // host serves at ~40 ms/request while the crawl is configured at
     // 50 rps (20 ms spacing): the observed latency must be the SERVICE

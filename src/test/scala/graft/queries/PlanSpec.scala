@@ -617,6 +617,27 @@ class PlanSpec extends AnyFunSuite {
       Set("doc_id", "perm_key", "__pid"))), sc)
   }
 
+  test("budget select: windows are partition-local, post-checkpoint exchange is fixed-width") {
+    import org.apache.spark.sql.functions._
+    val p = executed(graft.ops.Budget.selectByBudget(
+      docs.withColumn("score", (col("doc_id") * 37 % 101).cast("long")),
+      "doc_id", "score", "text", budgetTokens = 1000L, nParts = 8))
+    val ws = collectNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty, treeNames(p).distinct)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"found a partition-less (global) Window: ${treeNames(p).distinct}")
+    // same cost profile as Packing.layout / Shard.globalShuffleLayout:
+    // the range exchange is pinned inside the localCheckpoint; past it
+    // only the window's hash repartition by __pid remains, carrying
+    // fixed-width rows (id, score, n_tokens, pid) — never text
+    val sc = shuffleCols(p)
+    assert(sc.size <= 1, sc)
+    assert(sc.forall(cols => cols.toSet.subsetOf(
+      Set("doc_id", "score", "n_tokens", "__pid"))), sc)
+  }
+
   test("curation funnel: bodies never shuffle — every exchange is metrics-width") {
     val p = executed(graft.ops.Curation.funnel(docs, "doc_id", "text",
       graft.ops.Curation.Config(sampleRate = 0.5)))
