@@ -348,7 +348,7 @@ object Ann {
   }
 
   /** O(1)-row rollup of [[recallAtK]]: (n_queries, mean_recall). */
-  def recallSummary(perQuery: DataFrame, queryCol: String): DataFrame =
+  def recallSummary(perQuery: DataFrame): DataFrame =
     perQuery.agg(count(lit(1)).as("n_queries"),
       round(avg(col("recall")), 6).as("mean_recall"))
 }

@@ -130,14 +130,23 @@ object Curation {
       pmod(sampleHash(id.cast("string")), lit(1000000L)).as("__sh"))
     val winners = metrics.groupBy(col("__ch")).agg(min(id).as("__win"))
     val sampleCut = math.round(cfg.sampleRate * 1000000L)
-    metrics.join(winners, "__ch")
+    // null-safe join: a pluggable contentHash may null-propagate (the
+    // portable polyHash does, unlike xxhash64), and the ledger contract
+    // is one row per INPUT document — a plain equi-join would silently
+    // drop every null-hash doc
+    metrics.join(winners.withColumnRenamed("__ch", "__chw"),
+        col("__ch") <=> col("__chw"))
+      .drop("__chw")
       .withColumn("stage",
+        // each gate is the NEGATION of curate's keep-predicate with
+        // null folded to "dropped" — curate's filters drop a null
+        // predicate row, so the ledger must attribute it, not "keep" it
         when(id =!= col("__win"), FunnelStages(0))
-          .when(col("n_tokens") < cfg.minTokens, FunnelStages(1))
-          .when(col("__uq") < cfg.minUniqRatio, FunnelStages(2))
-          .when(col("__dl") > cfg.maxDupLineFrac, FunnelStages(3))
-          .when(lit(cfg.sampleRate < 1.0) && col("__sh") >= sampleCut,
-            FunnelStages(4))
+          .when(!coalesce(col("n_tokens") >= cfg.minTokens, lit(false)), FunnelStages(1))
+          .when(!coalesce(col("__uq") >= cfg.minUniqRatio, lit(false)), FunnelStages(2))
+          .when(!coalesce(col("__dl") <= cfg.maxDupLineFrac, lit(false)), FunnelStages(3))
+          .when(lit(cfg.sampleRate < 1.0) &&
+            !coalesce(col("__sh") < sampleCut, lit(false)), FunnelStages(4))
           .otherwise(FunnelStages(5)))
       .select(id, col("stage"), col("n_tokens"))
   }
@@ -145,7 +154,7 @@ object Curation {
   /** Aggregate funnel report over [[funnel]]'s verdicts: per stage,
     * documents and tokens attributed to it. Map-side combinable — the
     * report is O(stages) and the natural thing to log per curation run. */
-  def funnelReport(verdicts: DataFrame, idCol: String): DataFrame =
+  def funnelReport(verdicts: DataFrame): DataFrame =
     verdicts.groupBy(col("stage"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 }

@@ -56,20 +56,22 @@ object Mix {
       textCol: String,
       tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
     val p = report(prev, strataCol, textCol, tokenCount).select(
-      col(strataCol), col("n_docs").as("n_docs_prev"),
+      col(strataCol).as("__sp"), col("n_docs").as("n_docs_prev"),
       col("n_tokens").as("n_tokens_prev"),
-      col("doc_share").as("doc_share_prev"),
       col("token_share").as("token_share_prev"))
     val c = report(curr, strataCol, textCol, tokenCount).select(
-      col(strataCol), col("n_docs").as("n_docs_curr"),
+      col(strataCol).as("__sc"), col("n_docs").as("n_docs_curr"),
       col("n_tokens").as("n_tokens_curr"),
-      col("doc_share").as("doc_share_curr"),
       col("token_share").as("token_share_curr"))
     val delta = round(coalesce(col("token_share_curr"), lit(0.0)) -
       coalesce(col("token_share_prev"), lit(0.0)), 6)
-    p.join(c, Seq(strataCol), "full_outer")
+    // null-safe join key: a NULL stratum (unidentified language, missing
+    // source) is one real stratum on each side — a plain equi-join would
+    // split it into two half-rows and inflate the TV distance (same trap
+    // Sampling.quotaPerStratum documents)
+    p.join(c, col("__sp") <=> col("__sc"), "full_outer")
       .select(
-        col(strataCol),
+        coalesce(col("__sp"), col("__sc")).as(strataCol),
         coalesce(col("n_docs_prev"), lit(0L)).as("n_docs_prev"),
         coalesce(col("n_docs_curr"), lit(0L)).as("n_docs_curr"),
         coalesce(col("n_tokens_prev"), lit(0L)).as("n_tokens_prev"),

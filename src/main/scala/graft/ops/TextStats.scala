@@ -97,8 +97,11 @@ object TextStats {
     * groupBy of fixed-width rows — at 100 TB the exchange carries
     * `(doc_id, 2 + |langs| longs)` per doc, never a span body.
     *
-    * Verdict semantics match [[langId]]: most hits wins, earlier lexicon
-    * wins ties, `und` when no lexicon hits at all. Media spans count into
+    * Verdict: most hits wins; a hit TIE goes to the EARLIER lexicon in
+    * `lexicons` (the caller's preference order — note [[langId]]'s
+    * `array_max` breaks ties toward the lexicographically LAST language
+    * name instead, so the two ops only agree on tie-free documents);
+    * `und` when no lexicon hits at all. Media spans count into
     * `n_media_spans` but never vote. */
   def interleavedLangProfile(spans: DataFrame, idCol: String,
       lexicons: Seq[(String, Seq[String])]): DataFrame = {

@@ -45,6 +45,11 @@ object Throttle {
   def observedLatencies(fetched: DataFrame): DataFrame =
     fetched
       .filter(!col("from_cache"))
+      // guard against simulated-mode tables: there fetched_at_ms is a
+      // PLANNED (often future-dated) stamp, so stored−fetched is negative
+      // garbage that would collapse every adaptive delay to the floor;
+      // only realtime rows carry a real service time
+      .filter(col("stored_at_ms") >= col("fetched_at_ms"))
       .groupBy(col("host"))
       .agg(
         count(lit(1)).as("n_obs"),
@@ -102,11 +107,18 @@ object Throttle {
     * (map-side combinable, rank error ≤ 1/accuracy). */
   def hostHealth(fetched: DataFrame, approx: Boolean = false): DataFrame = {
     val ok = col("status") >= 200 && col("status") < 300
-    val lat = when(!col("from_cache"),
+    // same simulated-stamp guard as observedLatencies: latency only from
+    // rows whose stamps are a real before/after pair
+    val lat = when(!col("from_cache") &&
+        col("stored_at_ms") >= col("fetched_at_ms"),
       (col("stored_at_ms") - col("fetched_at_ms")).cast("double"))
+    // round(…, 6) like avg: Spark's Percentile interpolates as
+    // lower·(1−f)+upper·f, DuckDB's quantile_cont as lower+(upper−lower)·f
+    // — algebraically equal, ulp-divergent; unrounded values would make
+    // the cross-engine hash compare data-dependent
     def pct(p: Double) =
       if (approx) percentile_approx(lat, lit(p), lit(10000)).cast("double")
-      else percentile(lat, lit(p))
+      else round(percentile(lat, lit(p)), 6)
     fetched.groupBy(col("host")).agg(
       count(lit(1)).as("n_fetches"),
       sum(when(ok, 1L).otherwise(0L)).as("n_ok"),

@@ -359,8 +359,8 @@ object QueriesG {
              |    / count(*), 6) AS ok_rate,
              |  CAST(sum(CASE WHEN from_cache THEN 1 ELSE 0 END) AS BIGINT) AS n_cache,
              |  round(avg(CASE WHEN NOT from_cache THEN lat END), 6) AS avg_latency_ms,
-             |  quantile_cont(CASE WHEN NOT from_cache THEN lat END, 0.5) AS p50_latency_ms,
-             |  quantile_cont(CASE WHEN NOT from_cache THEN lat END, 0.95) AS p95_latency_ms,
+             |  round(quantile_cont(CASE WHEN NOT from_cache THEN lat END, 0.5), 6) AS p50_latency_ms,
+             |  round(quantile_cont(CASE WHEN NOT from_cache THEN lat END, 0.95), 6) AS p95_latency_ms,
              |  max(CASE WHEN NOT from_cache THEN lat END) AS max_latency_ms
              |FROM f GROUP BY host ORDER BY host""".stripMargin),
       "per-host crawl health (counts, rates, exact latency percentiles) == SQL replay"),

@@ -84,9 +84,27 @@ class CurationSpec extends AnyFunSuite {
     val sampledOut = verdicts.filter(col("stage") === "sampled_out")
       .select("doc_id").as[Long].collect().toSet
     assert((kept ++ sampledOut) == (1L to 10L).toSet) // gates unchanged by sampling
-    val report = Curation.funnelReport(verdicts, "doc_id")
+    val report = Curation.funnelReport(verdicts)
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
     assert(report.values.sum == corpus.count())
     assert(report.keySet.subsetOf(Curation.FunnelStages.toSet))
+  }
+
+  test("funnel: null-text docs keep their ledger row under a null-propagating hash") {
+    // polyHash(null) is null — the q99 configuration; a plain equi-join
+    // on the hash would silently drop these rows from the ledger, and a
+    // null token count must attribute to the token gate (curate's filter
+    // drops a null predicate), never to 'kept'
+    val withNulls = corpus.unionByName(
+      Seq((30L, null: String), (31L, null: String)).toDF("doc_id", "text"))
+    val cfg = Curation.Config(minTokens = 10, minUniqRatio = 0.5, maxDupLineFrac = 0.3)
+    val v = Curation.funnel(withNulls, "doc_id", "text", cfg,
+        contentHash = c => graft.functions.HashFns.polyHash(c),
+        sampleHash = c => graft.functions.HashFns.polyHash(c))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    assert(v.size == withNulls.count())          // ledger contract holds
+    assert(v(31L) == "dedup_loser")              // null-hash group, min id 30 wins
+    assert(v(30L) == "too_few_tokens")           // null token count -> token gate
+    assert((1L to 10L).forall(v(_) == "kept"))   // real docs unaffected
   }
 }

@@ -38,4 +38,18 @@ class MixSpec extends AnyFunSuite {
     // TV distance between {en .75, fr .25} and {en .5, de .5} = 0.5
     assert(math.abs(d.values.map(_._6).sum - 0.5) < 1e-9)
   }
+
+  test("drift: a NULL stratum present on both sides is ONE row, not two half-rows") {
+    val p = Seq((1L, null: String, "a b c"), (2L, "en", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val c = Seq((3L, null: String, "a b c d e f"), (4L, "en", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Mix.drift(p, c, "lang", "text").collect()
+    assert(rows.length == 2) // en + the single NULL-stratum row
+    val nul = rows.find(_.isNullAt(0)).get
+    assert(nul.getAs[Long]("n_docs_prev") == 1L)
+    assert(nul.getAs[Long]("n_docs_curr") == 1L)
+    assert(nul.getAs[Long]("n_tokens_prev") == 3L)
+    assert(nul.getAs[Long]("n_tokens_curr") == 6L)
+  }
 }

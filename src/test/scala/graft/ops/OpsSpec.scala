@@ -236,7 +236,7 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1L) == ((2L, 0.666667)))
     assert(r(2L) == ((1L, 0.333333)))
     assert(r(3L) == ((0L, 0.0)))
-    val sum = Ann.recallSummary(Ann.recallAtK(approx, exact, "qid", "nid", 3), "qid")
+    val sum = Ann.recallSummary(Ann.recallAtK(approx, exact, "qid", "nid", 3))
       .collect().head
     assert(sum.getAs[Long]("n_queries") == 3L)
     assert(sum.getAs[Double]("mean_recall") == 0.333333)
