@@ -1046,6 +1046,50 @@ class WaveEngine(
   def fetchedTable(): DataFrame = spark.read.schema(fetchResultSchema)
     .option("recursiveFileLookup", "true").parquet(s"$ckpt/fetched")
 
+  private val lineageSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("wave", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("partition_id", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("in_count", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("fetched", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("errors", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("deduped_wave", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("novel_wave", org.apache.spark.sql.types.LongType)))
+
+  /** The flushed per-(wave, partition) lineage rows — the north rule's
+    * "per-partition lineage + metrics" as a queryable surface instead of
+    * files an operator has to know the layout of. Explicit schema: an
+    * interrupted run may leave an empty flush dir (no parquet footer). */
+  def lineageTable(): DataFrame = spark.read.schema(lineageSchema)
+    .option("recursiveFileLookup", "true").parquet(s"$ckpt/lineage")
+
+  /** Per-wave rollup of [[lineageTable]] with the partition-balance
+    * audit: `skew` = max/mean of per-partition input rows for the wave —
+    * the number that says whether one hot bucket is stalling the wave
+    * barrier (the north star's "hot domains must not straggle" clause,
+    * measured instead of hoped). Lineage rows are accumulator-fed
+    * (at-least-once under task retry) so a retried wave can repeat a
+    * partition row; the rollup takes max per (wave, partition) first,
+    * making the report idempotent under retry. */
+  def lineageReport(): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lineageTable()
+      .groupBy(col("wave"), col("partition_id"))
+      .agg(max(col("in_count")).as("in_count"), max(col("fetched")).as("fetched"),
+        max(col("errors")).as("errors"), max(col("deduped_wave")).as("deduped"),
+        max(col("novel_wave")).as("novel"))
+      .groupBy(col("wave"))
+      .agg(
+        count(lit(1)).as("n_partitions"),
+        sum(col("in_count")).as("in_count"),
+        sum(col("fetched")).as("fetched"),
+        sum(col("errors")).as("errors"),
+        max(col("deduped")).as("deduped"),   // wave-constant, repeated per row
+        max(col("novel")).as("novel"),
+        round(max(col("in_count")) /
+          greatest(avg(col("in_count")), lit(1e-9)), 4).as("skew"))
+      .orderBy(col("wave"))
+  }
+
   // ==================================================================
   // scalable path: bucket-partitioned seen-state RDD core
   // ==================================================================

@@ -77,6 +77,27 @@ class WaveEngineSpec extends AnyFunSuite {
     assert(res2.fetched == oracleOrder.size)
   }
 
+  test("lineage surface: per-wave report reconciles with the fetched table; skew audited") {
+    val ckpt = SparkTestSession.tmpDir("lineage")
+    val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = 4,
+      maxPerHostPerWave = 3)
+    val engine = new WaveEngine(spark, site, parsers, cfg)
+    val res = engine.run(seeds)
+    import spark.implicits._
+    val report = engine.lineageReport().collect()
+    assert(report.nonEmpty)
+    // every wave that fetched something has a lineage row, and the
+    // rollup's fetched total reconciles with the materialized table
+    val fetchedByWave = engine.fetchedTable().groupBy($"wave").count()
+      .as[(Int, Long)].collect().toMap
+    val reportByWave = report.map(r =>
+      r.getAs[Int]("wave") -> r.getAs[Long]("in_count")).toMap
+    assert(fetchedByWave.keySet.subsetOf(reportByWave.keySet))
+    assert(reportByWave.values.sum == res.fetched)
+    assert(report.map(_.getAs[Long]("novel")).sum >= res.fetched - seeds.size)
+    assert(report.forall(_.getAs[Double]("skew") >= 1.0)) // max/mean by construction
+  }
+
   test("politeness: per-host wave budget caps fetches per wave and orders slots") {
     val ckpt = SparkTestSession.tmpDir("polite")
     val cfg = CrawlConfig(checkpointDir = ckpt, hostBuckets = 8, fetchPartitions = 4,
