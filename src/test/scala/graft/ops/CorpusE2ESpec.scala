@@ -133,4 +133,87 @@ class CorpusE2ESpec extends AnyFunSuite {
 
     docs.unpersist(); curated.unpersist(); gated.unpersist(); guarded.unpersist()
   }
+
+  test("day-4: funnel observability, corpus drift, budgeted assembly, span-diff regression gate") {
+    val site = SyntheticSite(nHosts = 3, basePagesPerHost = 8, branching = 2, hotFactor = 2)
+    val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
+    val engine = new WaveEngine(spark, site, parsers,
+      CrawlConfig(checkpointDir = SparkTestSession.tmpDir("corpus-e2e-d4"),
+        hostBuckets = 4, fetchPartitions = 2))
+    engine.run((0 until 3).map(k => SeedSpec(site.pageUrl(k, 0))))
+    val fetched = engine.fetchedTable().filter(col("status") === 200).cache()
+    val crawled = fetched
+      .select(col("canonical").as("doc_id"),
+        array_join(transform(col("spans"), s => s.getField("text")), "\n").as("text"))
+    val docs = crawled.unionByName(
+      crawled.withColumn("doc_id", concat(lit("mirror:"), col("doc_id")))).cache()
+    val cfg = Curation.Config(minTokens = 1, minUniqRatio = 0.0, maxDupLineFrac = 1.0)
+
+    // funnel observability: ledger covers every input doc, kept set IS
+    // the curate output, and every mirror doc is attributed to dedup
+    val verdicts = Curation.funnel(docs, "doc_id", "text", cfg).cache()
+    assert(verdicts.count() == docs.count())
+    val kept = verdicts.filter(col("stage") === "kept")
+      .select("doc_id").as[String].collect().toSet
+    val curated = Curation.curate(docs, "doc_id", "text", cfg).cache()
+    assert(kept == curated.select("doc_id").as[String].collect().toSet)
+    assert(verdicts.filter(col("doc_id").startsWith("mirror:"))
+      .filter(col("stage") =!= "dedup_loser").count() == 0)
+    val report = Curation.funnelReport(verdicts)
+      .select($"stage".as[String], $"n_docs".as[Long]).collect().toMap
+    assert(report.values.sum == docs.count())
+
+    // corpus drift raw -> curated: the mirror stratum vanishes entirely
+    // (mirroring is uniform per host, so host shares alone wouldn't move
+    // — the stratum choice is what makes the drift visible)
+    val host = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "://([^/]+)", 1)
+    val stratum = (c: org.apache.spark.sql.Column) =>
+      when(c.startsWith("mirror:"), lit("mirror")).otherwise(host(c))
+    val drift = Mix.drift(
+      docs.withColumn("h", stratum(col("doc_id"))).withColumn("scrubbed", col("text")),
+      curated.withColumn("h", stratum(col("doc_id"))),
+      "h", "scrubbed")
+    val tv = drift.agg(sum("tv_contrib")).head().getDouble(0)
+    assert(tv > 0.0)
+    val mirrorRow = drift.filter(col("h") === "mirror").collect()
+    assert(mirrorRow.length == 1 && mirrorRow.head.getAs[Long]("n_docs_curr") == 0L)
+
+    // budgeted assembly: score by doc length (long docs first), budget =
+    // half the curated tokens; the ledger partitions exactly at the budget
+    val scored = curated.withColumn("score", col("n_tokens"))
+    val budget = curated.agg(sum("n_tokens")).head().getLong(0) / 2
+    val ledger = Budget.selectByBudget(scored, "doc_id", "score", "scrubbed", budget)
+      .collect()
+    assert(ledger.filter(_.getAs[Boolean]("kept"))
+      .forall(_.getAs[Long]("cum_tokens") <= budget))
+    assert(ledger.filterNot(_.getAs[Boolean]("kept"))
+      .forall(_.getAs[Long]("cum_tokens") > budget))
+    assert(ledger.exists(_.getAs[Boolean]("kept")) &&
+      ledger.exists(!_.getAs[Boolean]("kept")))
+
+    // span-diff regression gate: the crawl vs itself matches everywhere;
+    // a re-extraction that drops one doc and edits one span is caught
+    val left = fetched.select(col("canonical").as("doc_id"), col("spans"))
+    val self = SpanDiff.auditReport(SpanDiff.audit(left, left, "doc_id"))
+      .select($"verdict".as[String], $"n_docs".as[Long]).collect().toMap
+    assert(self.keySet == Set("match"))
+    val victim = left.orderBy("doc_id").select("doc_id").as[String].head()
+    val right = left.filter(col("doc_id") =!= victim)
+      .withColumn("spans", transform(col("spans"), s =>
+        struct(s.getField("kind").as("kind"),
+          when(col("doc_id").endsWith("/p1") && s.getField("offset") === 0,
+            lit("EDITED")).otherwise(s.getField("text")).as("text"),
+          s.getField("media_ref").as("media_ref"),
+          s.getField("offset").as("offset"))))
+    val audit = SpanDiff.audit(left, right, "doc_id").cache()
+    assert(audit.filter(col("verdict") === "left_only")
+      .select("doc_id").as[String].collect().toSeq == Seq(victim))
+    assert(audit.filter(col("verdict") === "mismatch")
+      .count() == audit.filter(col("doc_id").endsWith("/p1") &&
+        col("doc_id") =!= victim).count())
+
+    fetched.unpersist(); docs.unpersist(); verdicts.unpersist()
+    curated.unpersist(); audit.unpersist()
+  }
 }
