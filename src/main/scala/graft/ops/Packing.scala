@@ -102,4 +102,40 @@ object Packing {
       .groupBy(col(idCol)).agg(sum(col("c")).as("cost"))
     layout(costs, idCol, "cost", seqLen, nParts, identity)
   }
+
+  /** Per-document overlapping chunk intervals — the RAG/embedding prep
+    * shape next to [[layout]]'s corpus-wide packing: each document is
+    * cut into windows of `chunkTokens` advancing by `strideTokens`
+    * (overlap = chunk − stride), with full coverage and no chunk past
+    * the text. A document with `n ≤ chunkTokens` yields exactly one
+    * chunk (0, n); a null text yields none (an empty string still counts
+    * one empty token under [[TextStats.tokenCount]]'s whitespace-split
+    * definition, so it chunks as n = 1). The last chunk starts
+    * at `ceil((n − chunk)/stride)·stride` — the first window whose end
+    * reaches `n` — so tails are covered without emitting windows that
+    * add no new tokens.
+    *
+    * Scale shape: pure row-local arithmetic — one codegen'd `sequence` +
+    * `posexplode` per doc, no exchange at all; output is O(total
+    * chunks) fixed-width rows. Token counting shares [[TextStats
+    * .tokenCount]]'s definition so chunk indices line up with every
+    * other token-counting op. */
+  def chunkIntervals(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Long, strideTokens: Long,
+      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens=$chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"strideTokens=$strideTokens must be in [1, chunkTokens]")
+    val n = tokenCount(col(textCol))
+    val kMax = ceil(greatest(n - chunkTokens, lit(0L)) / strideTokens.toDouble)
+      .cast("long")
+    docs
+      .select(col(idCol), n.as("__n"), kMax.as("__k"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__n"),
+        posexplode(sequence(lit(0L), col("__k"))).as(Seq("chunk_idx", "__kk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("__kk") * strideTokens).as("start_tok"),
+        least(col("__kk") * strideTokens + chunkTokens, col("__n")).as("end_tok"))
+  }
 }

@@ -440,5 +440,33 @@ object QueriesG {
              |FROM (SELECT DISTINCT qid FROM e) q
              |LEFT JOIN hits h ON q.qid = h.qid
              |ORDER BY q.qid""".stripMargin),
-      "ANN recall@k evaluation (set overlap vs exact, absent queries score 0) == SQL replay"))
+      "ANN recall@k evaluation (set overlap vs exact, absent queries score 0) == SQL replay"),
+
+    // ------------------------------------------------------------------
+    // q108: overlapping chunk intervals (Packing.chunkIntervals) — the
+    // RAG/embedding prep cut: chunk 32 tokens, stride 24 (8-token
+    // overlap). Pure row-local arithmetic (sequence + posexplode, no
+    // exchange); the oracle replays the k_max = ceil((n-chunk)/stride)
+    // window enumeration with generate_series.
+    // ------------------------------------------------------------------
+    "q108_chunk_intervals" -> Q(
+      (s, d) => graft.ops.Packing.chunkIntervals(
+          t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 32L, strideTokens = 24L)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, n,
+             |    CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS k_max
+             |  FROM tok WHERE n > 0)
+             |SELECT doc_id,
+             |  CAST(kk AS BIGINT) AS chunk_idx,
+             |  CAST(kk * 24 AS BIGINT) AS start_tok,
+             |  CAST(least(kk * 24 + 32, n) AS BIGINT) AS end_tok
+             |FROM (SELECT doc_id, n, unnest(generate_series(0, k_max)) AS kk FROM k)
+             |ORDER BY doc_id, chunk_idx""".stripMargin),
+      "overlapping chunk intervals (RAG cut: coverage, overlap, tail rule) == SQL replay"))
 }

@@ -79,4 +79,35 @@ class PackingSpec extends AnyFunSuite {
     // layout guarantees on plain text
     assert(d2.getAs[Long]("start_tok") == d1.getAs[Long]("end_tok"))
   }
+
+  test("chunkIntervals: overlap windows, full coverage, short doc = one chunk, empty = none") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10: chunk 8 stride 4
+      (2L, "a b c"),                                   // n=3 <= chunk: one chunk
+      (3L, ""),                                        // n=0... tokenCount("")=1 ("" token)
+      (4L, (1 to 8).map(i => s"w$i").mkString(" ")),   // n=8 == chunk: exactly one chunk
+      (5L, (1 to 9).map(i => s"w$i").mkString(" "))    // n=9: starts 0,4 -> (0,8),(4,9)
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkIntervals(docs, "doc_id", "text",
+        chunkTokens = 8L, strideTokens = 4L)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("chunk_idx"))
+        .map(r => (r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"))).toSeq)
+      .toMap
+    assert(out(1L) == Seq((0L, 8L), (4L, 10L)))
+    assert(out(2L) == Seq((0L, 3L)))
+    assert(out(4L) == Seq((0L, 8L)))
+    assert(out(5L) == Seq((0L, 8L), (4L, 9L)))
+    // whitespace-split of "" yields one empty token under tokenCount's
+    // definition — consistent with every other token-counting op
+    assert(out(3L) == Seq((0L, 1L)))
+    // coverage + bounded-size invariants over all chunks
+    for ((_, chunks) <- out; ((s, e), i) <- chunks.zipWithIndex) {
+      assert(e - s <= 8L && e > s)
+      if (i > 0) assert(s == chunks(i - 1)._1 + 4L) // stride
+      if (i == chunks.size - 1) assert(e == chunks.map(_._2).max)
+    }
+  }
 }
