@@ -81,4 +81,57 @@ object Mix {
         delta.as("token_share_delta"),
         round(abs(delta) / 2.0, 6).as("tv_contrib"))
   }
+
+  /** UniMax mixture allocation (Chung et al. 2023, arXiv:2304.09151):
+    * distribute a token budget across strata as uniformly as possible,
+    * capping each stratum at `maxEpochs` passes over its data — the
+    * budget-driven alternative to [[Temperature]]'s α-flattening (which
+    * can silently demand 100 epochs of a tiny language; UniMax never
+    * exceeds the repetition cap).
+    *
+    * Computed in CLOSED FORM instead of the paper's sequential loop: the
+    * allocation is a waterline τ with Σ min(cap_i, τ) = B. Rank strata
+    * by cap ascending; τ_r = (B − Σ_{caps below r}) / (strata from r on)
+    * is each rank's candidate waterline, the first rank whose cap
+    * reaches its candidate fixes τ, and alloc = min(cap, τ) — if every
+    * cap is below its candidate (B ≥ Σ cap), every stratum just gets its
+    * cap. Equivalent to the loop, and one O(strata) windowed projection
+    * instead of a driver iteration — all windows run on the AGGREGATED
+    * frame (one row per stratum), never the corpus.
+    *
+    * Output: (stratum, n_tokens, cap, alloc, epochs), alloc/epochs
+    * rounded to 6 for engine-portable comparison. */
+  def unimaxQuotas(docs: DataFrame, strataCol: String, textCol: String,
+      budgetTokens: Long, maxEpochs: Double,
+      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs=$maxEpochs")
+    val caps = docs
+      .select(col(strataCol), tokenCount(col(textCol)).as("__nt"))
+      .groupBy(col(strataCol))
+      .agg(sum(col("__nt")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val byCap = Window.orderBy(col("cap"), col(strataCol))
+    val all = Window.partitionBy() // O(strata) frame
+    val ranked = caps
+      .withColumn("__rk", row_number().over(byCap))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__below", coalesce(
+        sum(col("cap")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("__tau",
+        (lit(budgetTokens.toDouble) - col("__below")) /
+          (col("__n") - col("__rk") + 1))
+    // the first rank whose cap reaches its candidate fixes τ; candidates
+    // strictly decrease past that rank and every later rank qualifies
+    // (caps ascend, candidates descend), so τ* = MAX over qualifiers
+    val tauStar = max(when(col("cap") >= col("__tau"), col("__tau"))).over(all)
+    ranked
+      .withColumn("alloc", round(
+        when(tauStar.isNull, col("cap")).otherwise(least(col("cap"), tauStar)), 6))
+      .withColumn("epochs", round(col("alloc") /
+        greatest(col("n_tokens").cast("double"), lit(1e-9)), 6))
+      .select(col(strataCol), col("n_tokens"), round(col("cap"), 6).as("cap"),
+        col("alloc"), col("epochs"))
+  }
 }

@@ -468,5 +468,51 @@ object QueriesG {
              |  CAST(least(kk * 24 + 32, n) AS BIGINT) AS end_tok
              |FROM (SELECT doc_id, n, unnest(generate_series(0, k_max)) AS kk FROM k)
              |ORDER BY doc_id, chunk_idx""".stripMargin),
-      "overlapping chunk intervals (RAG cut: coverage, overlap, tail rule) == SQL replay"))
+      "overlapping chunk intervals (RAG cut: coverage, overlap, tail rule) == SQL replay"),
+
+    // ------------------------------------------------------------------
+    // q109: UniMax mixture allocation (Mix.unimaxQuotas, Chung et al.
+    // 2023) — budget = 3.2× corpus tokens at maxEpochs 4, so the four
+    // small languages hit their epoch caps and en takes the pooled
+    // remainder (waterline) — every branch live at any sf. The oracle
+    // replays the closed-form waterline (rank by cap, candidate τ per
+    // rank, τ* = max over ranks whose cap reaches their candidate).
+    // ------------------------------------------------------------------
+    "q109_unimax_quotas" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val total = docs
+          .select(sum(graft.ops.TextStats.tokenCount(col("text"))).as("t"))
+          .collect()(0).getAs[Long]("t")
+        graft.ops.Mix.unimaxQuotas(docs, "lang", "text",
+            budgetTokens = total * 16 / 5, maxEpochs = 4.0)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH caps AS (
+             |  SELECT lang,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) * 4.0 AS cap
+             |  FROM documents GROUP BY lang),
+             |b AS (SELECT (CAST(sum(n_tokens) AS BIGINT) * 16) // 5 AS bt FROM caps),
+             |r AS (
+             |  SELECT lang, n_tokens, cap,
+             |    row_number() OVER (ORDER BY cap, lang) AS rk,
+             |    count(*) OVER () AS n,
+             |    coalesce(sum(cap) OVER (ORDER BY cap, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS below
+             |  FROM caps),
+             |t AS (
+             |  SELECT lang, n_tokens, cap,
+             |    (CAST((SELECT bt FROM b) AS DOUBLE) - below) / (n - rk + 1) AS tau
+             |  FROM r),
+             |ts AS (SELECT max(CASE WHEN cap >= tau THEN tau END) AS tstar FROM t),
+             |a AS (
+             |  SELECT lang, n_tokens, cap,
+             |    round(CASE WHEN (SELECT tstar FROM ts) IS NULL THEN cap
+             |               ELSE least(cap, (SELECT tstar FROM ts)) END, 6) AS alloc
+             |  FROM t)
+             |SELECT lang, n_tokens, round(cap, 6) AS cap, alloc,
+             |  round(alloc / greatest(CAST(n_tokens AS DOUBLE), 1e-9), 6) AS epochs
+             |FROM a ORDER BY lang""".stripMargin),
+      "UniMax epoch-capped mixture allocation (closed-form waterline) == SQL replay"))
 }

@@ -39,6 +39,28 @@ class MixSpec extends AnyFunSuite {
     assert(math.abs(d.values.map(_._6).sum - 0.5) < 1e-9)
   }
 
+  test("unimax: waterline allocation — caps bind small strata, remainder pools; budget conserved") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a", words(10)), (2L, "b", words(20)), (3L, "c", words(100))
+    ).toDF("doc_id", "lang", "text")
+    def quotas(b: Long) = Mix.unimaxQuotas(docs, "lang", "text", b, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("alloc"), r.getAs[Double]("epochs")))).toMap
+    // caps 20/40/200; B=120: a,b capped at 2 epochs, c takes the rest
+    val q = quotas(120L)
+    assert(q("a") == ((20.0, 2.0)))
+    assert(q("b") == ((40.0, 2.0)))
+    assert(q("c") == ((60.0, 0.6)))
+    assert(math.abs(q.values.map(_._1).sum - 120.0) < 1e-9) // budget conserved
+    // B >= sum(caps): everyone at cap, never past maxEpochs
+    val full = quotas(500L)
+    assert(full == Map("a" -> ((20.0, 2.0)), "b" -> ((40.0, 2.0)), "c" -> ((200.0, 2.0))))
+    // tiny budget: uniform split, no cap binds
+    val tiny = quotas(30L)
+    assert(tiny("a")._1 == 10.0 && tiny("b")._1 == 10.0 && tiny("c")._1 == 10.0)
+  }
+
   test("drift: a NULL stratum present on both sides is ONE row, not two half-rows") {
     val p = Seq((1L, null: String, "a b c"), (2L, "en", "a b c"))
       .toDF("doc_id", "lang", "text")
