@@ -84,6 +84,62 @@ class BpeSpec extends AnyFunSuite {
     assert(counts(1L) > 0)
   }
 
+  test("train at vocab scale: 2000 merges on a 50k-word plane, no per-merge jobs") {
+    // Deterministic pseudo-corpus plane: 50k distinct words, Zipf-ish
+    // counts — the shape of a frequency-floored open-web word plane.
+    val plane = (0 until 50000).map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L)
+      val len = 3 + rnd.nextInt(9)
+      val base = (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      // distinct-ify with a letter suffix so the (word, cnt) plane is keyed
+      val suffix = java.lang.Long.toString(i.toLong, 26).map(c =>
+        if (c.isDigit) ('q' + (c - '0')).toChar else c)
+      (base + suffix, 1L + 500000L / (i + 1))
+    }.toDF("word", "cnt")
+    plane.cache().count()
+
+    // Count Spark jobs scheduled by train: must be the one plane collect,
+    // INDEPENDENT of numMerges (the r4 shape was ~2 jobs per merge).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(nMerges: Int): (Int, Long, Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      val t0 = System.nanoTime()
+      val (m, _) = Bpe.train(plane, nMerges)
+      val ms = (System.nanoTime() - t0) / 1000000L
+      Thread.sleep(1500) // listener bus is async; drain before reading
+      spark.sparkContext.removeSparkListener(listener)
+      (jobs.get(), ms, m.size)
+    }
+    val (jobsSmall, _, mSmall) = countJobs(50)
+    val (jobsBig, msBig, mBig) = countJobs(2000)
+    assert(mSmall == 50 && mBig == 2000)
+    assert(jobsBig == jobsSmall, // zero marginal jobs for 40x the merges
+      s"jobs must not scale with numMerges: $jobsSmall @50 vs $jobsBig @2000")
+    assert(jobsBig <= 2, s"train must cost at most the plane collect, got $jobsBig")
+    info(s"2000 merges over 50k words: ${msBig} ms, $jobsBig Spark job(s)")
+    assert(msBig < 10000, s"2000 merges took ${msBig} ms")
+  }
+
+  test("train: minCount floors the collected plane; floored words encode as OOV") {
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("rare", 1L)).toDF("word", "cnt")
+    val (m1, trained) = Bpe.train(wc, 4, minCount = 2L)
+    val (m2, _) = Bpe.train(wc.filter(col("cnt") >= 2), 4)
+    assert(m1 == m2) // floor == prefilter
+    val seg = Bpe.segmentation(trained).as[(String, Seq[String])].collect().toMap
+    assert(!seg.contains("rare")) // floored out of the plane entirely
+    val enc = Bpe.encode(Seq((1L, "rare")).toDF("id", "text"), "id", "text",
+        Bpe.segmentation(trained))
+      .orderBy(col("sub_pos")).select(col("token").as[String]).collect().toSeq
+    assert(enc == Seq("r", "a", "r", "e")) // char fallback
+  }
+
   test("vocab: dense lexicographic token ids over the trained plane") {
     val (_, trained) = Bpe.train(
       Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
