@@ -209,7 +209,20 @@ final case class CrawlConfig(
     // per-host politeness override (host → requests/sec), e.g. built from
     // seed-host robots Crawl-delay as 1/delay; hosts absent here pace at
     // `politenessRps`. Empty = the scalar fast path (bench unchanged).
+    // DRIVER-RESIDENT — right for ≤10^4 hosts; at frontier host
+    // cardinality (10^6-10^7) use `hostRpsTable` instead.
     hostRps: Map[String, Double] = Map.empty,
+    // TABLE-VALUED per-host pacing — the 10^10-frontier twin of
+    // `hostRps`: a (host: string, rps: double) DataFrame (e.g.
+    // graft.ops.Throttle.rpsTable of an adaptive-delay table). The
+    // engine bucket-partitions it ONCE with the frontier's own
+    // partitioner and stamps each pending row's rate per partition
+    // (zipPartitions — no shuffle, no driver map, no fat task closure:
+    // each task ever sees only ITS buckets' hosts). Robots Crawl-delays
+    // discovered mid-crawl min-compose on top (robots can only slow a
+    // host, never speed it up). Mutually exclusive with `hostRps`;
+    // None = the existing map/scalar paths, bit-for-bit.
+    hostRpsTable: Option[DataFrame] = None,
     // upper clamp on a robots Crawl-delay (seconds). Hosts in a partition
     // fetch sequentially, so an unclamped hostile "Crawl-delay: 86400"
     // would stall the partition — and with it the wave barrier — for a
@@ -485,7 +498,8 @@ private[engine] object WaveCore {
       waveStartMs: Long,
       lineageAcc: CollectionAccumulator[(Int, Long, Long, Long)],
       pace: Map[Long, Long] = Map.empty,
-      hostRps: Map[String, Double] = Map.empty): Iterator[FetchResult] = {
+      hostRps: Map[String, Double] = Map.empty,
+      tablePaced: Boolean = false): Iterator[FetchResult] = {
     // one comparator sort groups hosts AND orders each host's run by
     // (priority desc, seq) — replaces groupBy + per-host sortBy, which
     // allocated a map, per-host arrays, and a tuple key per row
@@ -535,7 +549,18 @@ private[engine] object WaveCore {
           hostStartMs =
             if (pace.isEmpty) waveStartMs
             else math.max(waveStartMs, pace.getOrElse(UrlCanon.urlHash(r.host), 0L))
-          if (!hostRps.isEmpty) // scalar fast path stays allocation-free
+          if (tablePaced) {
+            // table mode: base rate rides the row (stamped per partition
+            // from the co-located rate plane); robots deltas min-compose
+            val base = r.meta.get(RpsKey) match {
+              case Some(v) => java.lang.Double.parseDouble(v)
+              case None => rps
+            }
+            val eff =
+              if (hostRps.isEmpty) base
+              else math.min(base, hostRps.getOrElse(r.host, Double.MaxValue))
+            hostMsPerFetch = 1000.0 / eff
+          } else if (!hostRps.isEmpty) // scalar fast path stays allocation-free
             hostMsPerFetch = 1000.0 / hostRps.getOrElse(r.host, rps)
         }
         val plannedMs = hostStartMs + math.round(slot * hostMsPerFetch)
@@ -628,6 +653,13 @@ private[engine] object WaveCore {
     * `url_hash` carries the host hash, `parent_seq` the host's
     * next-allowed fetch ms. One per (host, wave) — never enters dedup. */
   val PaceFn = "__pace__"
+
+  /** Meta key carrying a row's table-sourced base rps (hostRpsTable
+    * mode): stamped per partition from the bucket-co-located rate plane,
+    * so the rate rides the ROW through every downstream path (cache
+    * misses, validator re-bucketing, unions) and no task closure ever
+    * holds a host→rate map. */
+  val RpsKey = "__rps__"
 
   /** parse_fn tag routing a frontier row to [[Fetcher.fetchMedia]] (binary
     * plane). Media rows emit no follow-ups (the engine registers NoFollow
@@ -1031,6 +1063,11 @@ class WaveEngine(
     // replay's contract is Scrapy's sequence (robots off, one global rps)
     require(!(cfg.referenceOrder && (cfg.robotsResolve.isDefined || cfg.hostRps.nonEmpty)),
       "robotsResolve/hostRps are not supported in referenceOrder mode")
+    require(!(cfg.referenceOrder && cfg.hostRpsTable.isDefined),
+      "hostRpsTable is not supported in referenceOrder mode")
+    require(!(cfg.hostRps.nonEmpty && cfg.hostRpsTable.isDefined),
+      "hostRps and hostRpsTable are mutually exclusive (use the table " +
+        "form at frontier host cardinality)")
     require(!(cfg.referenceOrder && cfg.revalidateFrom.isDefined),
       "revalidateFrom is not supported in referenceOrder mode")
     require(!(cfg.referenceOrder && cfg.maxPagesPerHost != Long.MaxValue),
@@ -1316,7 +1353,25 @@ class WaveEngine(
     // boundary (see the hook at the top of the loop); static when no
     // resolver is configured — the common paths never touch them
     var robotsMap = cfg.robotsDisallow
+    // in table mode this map holds ONLY mid-crawl robots deltas (it
+    // starts empty — the requires forbid combining it with the table);
+    // consumers min-compose it with each row's stamped table rate
     var hostRpsMap = cfg.hostRps
+    // table-valued pacing plane: bucket-keyed with the frontier's OWN
+    // partitioner, so each task's zipPartitions sees exactly its
+    // buckets' hosts — the rate plane never rides a task closure and
+    // never lives on the driver. Computed once, reused every wave.
+    val tablePaced = cfg.hostRpsTable.isDefined
+    val hostRpsRdd: Option[RDD[(Int, (String, Double))]] =
+      cfg.hostRpsTable.map { df =>
+        val r = df.select(df("host").cast("string"), df("rps").cast("double"))
+          .rdd.map(row => (UrlCanon.hostBucket(row.getString(0), buckets),
+            (row.getString(0), row.getDouble(1))))
+          .partitionBy(partitioner)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        r.count() // materialize once, ahead of the first wave
+        r
+      }
     // every host resolves its robots exactly once, INCLUDING hosts with
     // static entries — a static rps override must not suppress a live
     // Disallow, nor a static Disallow a live Crawl-delay (resolution
@@ -1413,7 +1468,14 @@ class WaveEngine(
             // — robots cannot grant more than the operator configured
             p.crawlDelaySec.foreach { d0 =>
               val d = math.min(d0, cfg.maxRobotsDelaySec)
-              if (d > 0 && 1.0 / d < hostRpsMap.getOrElse(h, rps))
+              // table mode: record the delta unconditionally vs the map's
+              // own prior (consumers min-compose with the stamped table
+              // rate, so robots still only ever SLOWS the host); map
+              // mode: unchanged — write only if slower than effective
+              val cur =
+                if (tablePaced) hostRpsMap.getOrElse(h, Double.MaxValue)
+                else hostRpsMap.getOrElse(h, rps)
+              if (d > 0 && 1.0 / d < cur)
                 hostRpsMap += h -> 1.0 / d
             }
           }
@@ -1447,6 +1509,25 @@ class WaveEngine(
       val robotsW = robotsMap
       val hostRpsW = hostRpsMap
 
+      // table-valued pacing: stamp each pending row's base rate from the
+      // co-partitioned rate plane — zipPartitions, zero shuffle, and the
+      // only per-task state is the PARTITION's own hosts. Idempotent
+      // across waves (deferred rows re-stamp the same value); None = the
+      // bench/map paths, untouched.
+      val pendingW = hostRpsRdd match {
+        case None => pending
+        case Some(rates) =>
+          pending.zipPartitions(rates, preservesPartitioning = true) { (it, rs) =>
+            val m = new java.util.HashMap[String, String]()
+            rs.foreach { case (_, (h, rr)) => m.put(h, rr.toString) }
+            it.map { case (b, r) =>
+              val v = m.get(r.host)
+              if (v == null) (b, r)
+              else (b, r.copy(meta = r.meta + (WaveCore.RpsKey -> v)))
+            }
+          }
+      }
+
       // batch selection: per-host politeness budget, partition-local
       // (hosts never span buckets, buckets never span partitions). The
       // per-host groupBy+sort runs ONCE, persisted tagged — batch (fetch
@@ -1459,22 +1540,33 @@ class WaveEngine(
       // simulated mode nothing sleeps, and the scalar no-override path
       // (the bench job) keeps the budget a plain constant.
       val stallSec = cfg.maxHostWaveStallSec
-      val slowHostBudget: String => Int =
-        if (!realtime || hostRpsW.isEmpty) _ => maxPerHost
-        else { h =>
-          val hr = hostRpsW.getOrElse(h, rps)
+      // budget from a representative ROW (not just the host): in table
+      // mode the base rate rides the row's stamped meta, so the budget
+      // function needs no host→rate map of any size
+      val slowHostBudget: UrlRecord => Int =
+        if (!realtime || (hostRpsW.isEmpty && !tablePaced)) _ => maxPerHost
+        else { r0 =>
+          val hr =
+            if (tablePaced) {
+              val base = r0.meta.get(WaveCore.RpsKey) match {
+                case Some(v) => java.lang.Double.parseDouble(v)
+                case None => rps
+              }
+              if (hostRpsW.isEmpty) base
+              else math.min(base, hostRpsW.getOrElse(r0.host, Double.MaxValue))
+            } else hostRpsW.getOrElse(r0.host, rps)
           if (hr >= rps) maxPerHost
           else math.min(maxPerHost.toLong,
             math.max(1L, math.floor(stallSec * hr).toLong)).toInt
         }
       val needBudget = maxPerHost != Int.MaxValue ||
-        (realtime && hostRpsW.exists(_._2 < rps))
+        (realtime && (hostRpsW.exists(_._2 < rps) || tablePaced))
       val (batch, deferred, waveBatchCount, selRetained) =
-        if (!needBudget) (pending.values, None, batchCount, None)
+        if (!needBudget) (pendingW.values, None, batchCount, None)
         else {
-          val sel = pending.mapPartitions(it =>
+          val sel = pendingW.mapPartitions(it =>
             it.map(_._2).toArray.groupBy(_.host).valuesIterator.flatMap { rows =>
-              val budget = slowHostBudget(rows.head.host)
+              val budget = slowHostBudget(rows.head)
               rows.sortBy(r => (-r.priority, r.seq)).iterator.zipWithIndex
                 .map { case (r, i) => (i < budget, r) }
             },
@@ -1507,11 +1599,11 @@ class WaveEngine(
               }
             }
             WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs,
-              lineageAcc, pace, hostRpsW)
+              lineageAcc, pace, hostRpsW, tablePaced)
           }
         else rows.mapPartitions(it =>
           WaveCore.fetchIter(it, fetcherL, rps, realtime, fetchWave, waveStartMs,
-            lineageAcc, hostRps = hostRpsW))
+            lineageAcc, hostRps = hostRpsW, tablePaced = tablePaced))
 
       // S14: stamp each live-fetch row with its stored validator (left
       // join on the O(urls) validator plane; rows the prior run never saw
@@ -1590,18 +1682,28 @@ class WaveEngine(
       // rows, nothing on the simulated/bench path.
       val candsRaw: RDD[(Int, Candidate)] =
         if (realtime) fetched.mapPartitions { it =>
-          val lastMs = new java.util.HashMap[String, (Int, Long)]()
+          // third element: the row-stamped table rate (null = none) so the
+          // pace mark can min-compose without any host→rate map in scope
+          val lastMs = new java.util.HashMap[String, (Int, Long, String)]()
           val main = WaveCore.combineCandidates(it.flatMap { fr =>
             val prev = lastMs.get(fr.host)
             if (prev == null || prev._2 < fr.fetched_at_ms)
-              lastMs.put(fr.host, (fr.host_bucket, fr.fetched_at_ms))
+              lastMs.put(fr.host, (fr.host_bucket, fr.fetched_at_ms,
+                if (tablePaced) fr.meta.getOrElse(WaveCore.RpsKey, null) else null))
             WaveCore.candidateIter(fr, parsersB.value, buckets, robotsEnabled, robotsW)
           }).map(c => (c.host_bucket, c))
           // ++ is by-name: the marks build AFTER `main` is exhausted
           main ++ lastMs.entrySet().iterator().asScala.map { e =>
-            val (b, ms) = e.getValue
-            val hostMs = math.round(
-              1000.0 / (if (hostRpsW.isEmpty) rps else hostRpsW.getOrElse(e.getKey, rps)))
+            val (b, ms, stamp) = e.getValue
+            val eff =
+              if (tablePaced) {
+                val base =
+                  if (stamp == null) rps else java.lang.Double.parseDouble(stamp)
+                if (hostRpsW.isEmpty) base
+                else math.min(base, hostRpsW.getOrElse(e.getKey, Double.MaxValue))
+              } else if (hostRpsW.isEmpty) rps
+              else hostRpsW.getOrElse(e.getKey, rps)
+            val hostMs = math.round(1000.0 / eff)
             (b, WaveCore.paceMark(e.getKey, b, ms + hostMs))
           }
         }
@@ -1685,6 +1787,7 @@ class WaveEngine(
       flushLineage(wave, lineageBuf)
     }
     val totalSeen = state.map(_._2.count).reduce(_ + _)
+    hostRpsRdd.foreach(_.unpersist(blocking = false))
     val elapsed = System.currentTimeMillis() - t0
     CrawlRunResult(wave - startWave, totalFetched, totalDeduped, totalSeen, elapsed)
   }

@@ -328,11 +328,15 @@ object Ann {
     * `approx` entirely scores 0 — an index that returns nothing must
     * not be graded only on the queries it answered.
     *
-    * Output: one row per query in `exact` — (queryCol, n_hits, recall)
-    * with recall = |approx ∩ exact| / k rounded to 6 — plus mean over
-    * queries via [[recallSummary]]. Scale: one equi-join on (query,
-    * neighbor) — both sides are O(queries·k) fixed-width rows — and one
-    * combinable count. */
+    * Output: one row per query in `exact` — the exact side DEFINES the
+    * graded query set (a query only the approx index invented has no
+    * ground truth to grade against) — (queryCol, n_hits, recall) with
+    * recall = |approx ∩ exact| / min(k, n_exact) rounded to 6: when the
+    * ground truth supplies fewer than k neighbors (corpus edge, filtered
+    * queries), a perfect index still scores 1.0 instead of being capped
+    * at n_exact/k. Mean over queries via [[recallSummary]]. Scale: one
+    * equi-join on (query, neighbor) — both sides are O(queries·k)
+    * fixed-width rows — and one combinable count. */
   def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
       neighborCol: String, k: Int): DataFrame = {
     require(k > 0, s"k=$k")
@@ -340,11 +344,12 @@ object Ann {
     val e = exact.select(col(queryCol), col(neighborCol)).distinct()
     val hits = e.join(a, Seq(queryCol, neighborCol), "left_semi")
       .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hits"))
-    e.select(col(queryCol)).distinct()
+    e.groupBy(col(queryCol)).agg(count(lit(1)).as("__n_exact"))
       .join(hits, Seq(queryCol), "left")
       .select(col(queryCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / k.toDouble, 6).as("recall"))
+        round(coalesce(col("n_hits"), lit(0L)) /
+          least(lit(k.toLong), col("__n_exact")).cast("double"), 6).as("recall"))
   }
 
   /** O(1)-row rollup of [[recallAtK]]: (n_queries, mean_recall). */

@@ -35,15 +35,32 @@ import org.apache.spark.sql.functions._
 object SpanDiff {
 
   /** Sort by offset, drop offset: the comparable (kind, text, media_ref)
-    * sequence the invariant speaks about. */
-  private def comparable(spans: Column): Column =
+    * sequence the invariant speaks about. Spans sharing an offset
+    * tie-break on (kind, text, media_ref), nulls first — array_sort
+    * gives no stability guarantee for compare-equal elements across
+    * engines/versions, so an offset-only comparator would make the
+    * verdict for duplicate-offset documents nondeterministic. */
+  private def comparable(spans: Column): Column = {
+    // null-safe three-way compare of one struct field (nulls sort first)
+    def cmp(a: Column, b: Column, f: String): Column = {
+      val (x, y) = (a.getField(f), b.getField(f))
+      when(x.isNull && y.isNotNull, -1)
+        .when(x.isNotNull && y.isNull, 1)
+        .when(x < y, -1).when(x > y, 1).otherwise(0)
+    }
     transform(
-      array_sort(spans, (a, b) =>
-        when(a.getField("offset") < b.getField("offset"), -1)
-          .when(a.getField("offset") > b.getField("offset"), 1)
-          .otherwise(0)),
+      array_sort(spans, (a, b) => {
+        val byOffset = cmp(a, b, "offset")
+        val byKind = cmp(a, b, "kind")
+        val byText = cmp(a, b, "text")
+        when(byOffset =!= 0, byOffset)
+          .when(byKind =!= 0, byKind)
+          .when(byText =!= 0, byText)
+          .otherwise(cmp(a, b, "media_ref"))
+      }),
       x => struct(x.getField("kind").as("kind"), x.getField("text").as("text"),
         x.getField("media_ref").as("media_ref")))
+  }
 
   def audit(left: DataFrame, right: DataFrame, idCol: String,
       spansCol: String = "spans"): DataFrame = {

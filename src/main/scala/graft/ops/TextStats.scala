@@ -120,8 +120,12 @@ object TextStats {
         .otherwise(0L)).as(s"${lang}_hits")
     }
     val counts = Seq(
-      // a text span contributes one row per token: count it at token 0
-      sum(when(col("kind") === "text" && col("pos") === 0, 1L).otherwise(0L))
+      // a text span contributes one row per token: count it at token 0.
+      // A NULL-text text span still yields exactly one posexplode_outer
+      // row — with a null pos — so the isNull arm attributes it here
+      // instead of silently dropping it from both counters
+      sum(when(col("kind") === "text" &&
+          (col("pos") === 0 || col("pos").isNull), 1L).otherwise(0L))
         .as("n_text_spans"),
       // a non-text span contributes exactly its one null-token row
       sum(when(col("kind") =!= "text", 1L).otherwise(0L)).as("n_media_spans"))

@@ -41,7 +41,14 @@ object Throttle {
   /** Per-host observed service latency from a realtime crawl's fetched
     * table: (host, n_obs, n_ok, avg_latency_ms). Cache hits are excluded
     * (their "latency" is a local read, and AutoThrottle must pace the
-    * SERVER, not the cache). */
+    * SERVER, not the cache).
+    *
+    * CONTRACT: feed this REALTIME fetched tables only. The
+    * `stored >= fetched` filter below is a best-effort guard, not a mode
+    * detector — a simulated table's early-slot rows can carry planned
+    * stamps at/near the wave's wall-clock start, pass the filter, and
+    * contribute wall-minus-plan garbage as "latency". Simulated runs
+    * have no service latency to observe; don't pace from them. */
   def observedLatencies(fetched: DataFrame): DataFrame =
     fetched
       .filter(!col("from_cache"))
@@ -89,10 +96,21 @@ object Throttle {
   /** Driver-side glue for the next crawl: (host → rps) from a delay
     * table. O(hosts) collect — the same cardinality `CrawlConfig.hostRps`
     * itself is; the engine keeps the slower of this and any robots
-    * Crawl-delay per host. */
+    * Crawl-delay per host. Right for ≤10^4 hosts; at frontier host
+    * cardinality use [[rpsTable]] + `CrawlConfig.hostRpsTable` — no
+    * collect, no driver map, no fat task closure. */
   def rpsOverrides(delays: DataFrame): Map[String, Double] =
     delays.select(col("host"), col("delay_ms")).collect()
       .map(r => r.getString(0) -> 1000.0 / math.max(1L, r.getLong(1))).toMap
+
+  /** The table-valued twin of [[rpsOverrides]]: (host, rps) as a
+    * DataFrame for `CrawlConfig.hostRpsTable`. Nothing is collected —
+    * the engine bucket-partitions this plane with the frontier's own
+    * partitioner and stamps rates per partition, so a 10^7-host delay
+    * table costs each task only ITS buckets' hosts. */
+  def rpsTable(delays: DataFrame): DataFrame =
+    delays.select(col("host"),
+      (lit(1000.0) / greatest(lit(1L), col("delay_ms"))).as("rps"))
 
   /** Per-host crawl health rollup — the dashboard row a crawl run logs
     * per host: fetch/ok/cache counts, ok rate, and the service-latency

@@ -436,8 +436,8 @@ object QueriesG {
              |  FROM e JOIN a ON e.qid = a.qid AND e.nid = a.nid
              |  GROUP BY e.qid)
              |SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
-             |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
-             |FROM (SELECT DISTINCT qid FROM e) q
+             |  round(coalesce(h.n_hits, 0) / least(10, q.n_exact), 6) AS recall
+             |FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM e GROUP BY qid) q
              |LEFT JOIN hits h ON q.qid = h.qid
              |ORDER BY q.qid""".stripMargin),
       "ANN recall@k evaluation (set overlap vs exact, absent queries score 0) == SQL replay"),

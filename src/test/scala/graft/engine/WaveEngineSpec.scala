@@ -202,6 +202,67 @@ class WaveEngineSpec extends AnyFunSuite {
     assert(perWave.size >= 3) // the overflow actually deferred across waves
   }
 
+  test("hostRpsTable: stall cap, wave budget and pace marks match the map path exactly") {
+    // The SAME crawl as the maxHostWaveStallSec test, but the per-host
+    // rate arrives as a (host, rps) DataFrame instead of a driver map:
+    // row-stamped rates must drive the budget (4/wave), the deferral
+    // across waves, and the per-fetch spacing identically.
+    val site = SyntheticSite(nHosts = 1, basePagesPerHost = 12, branching = 1, hotFactor = 1)
+    val host = graft.urls.UrlCanon.hostOf(
+      graft.urls.UrlCanon.canonicalize(site.pageUrl(0, 0)))
+    import spark.implicits._
+    val plane = Seq((host, 20.0)).toDF("host", "rps")
+    val cfg = CrawlConfig(checkpointDir = SparkTestSession.tmpDir("stallcapT"),
+      hostBuckets = 2, fetchPartitions = 2,
+      politenessRps = 100.0, realtime = true, maxPerHostPerWave = Int.MaxValue,
+      hostRpsTable = Some(plane), maxHostWaveStallSec = 0.2)
+    val engine = new WaveEngine(spark, site, parsers, cfg)
+    engine.run((0 until 12).map(i => SeedSpec(site.pageUrl(0, i))))
+    val rows = engine.fetchedTable()
+      .select($"wave", $"fetched_at_ms").as[(Int, Long)].collect()
+    assert(rows.length >= 12)
+    val perWave = rows.map(_._1).groupBy(identity).view.mapValues(_.length).toMap
+    assert(perWave.values.forall(_ <= 4), s"wave budget exceeded: $perWave")
+    assert(perWave.size >= 3)
+    // per-fetch spacing at the table rate (50 ms), incl. wave boundaries
+    // (pace marks must carry the table rate, not the global 100 rps)
+    val ts = rows.map(_._2).sorted
+    ts.zip(ts.tail).foreach { case (a, b) =>
+      assert(b - a >= 49L, s"fetches ${b - a}ms apart (< 1/20rps)")
+    }
+  }
+
+  test("hostRpsTable: simulated planned stamps are identical to the hostRps map path") {
+    // Map path and table path must be semantically interchangeable: the
+    // same per-host rates produce byte-identical planned fetch stamps,
+    // metrics, and seen sets in simulated mode.
+    val site = SyntheticSite(nHosts = 4, basePagesPerHost = 6, branching = 2, hotFactor = 2)
+    val hosts = (0 until 4).map(h => graft.urls.UrlCanon.hostOf(
+      graft.urls.UrlCanon.canonicalize(site.pageUrl(h, 0))))
+    val rates = hosts.zipWithIndex.map { case (h, i) => h -> (0.5 + i * 0.75) }.toMap
+    import spark.implicits._
+    def crawl(tag: String, mk: CrawlConfig => CrawlConfig) = {
+      val cfg = mk(CrawlConfig(checkpointDir = SparkTestSession.tmpDir(tag),
+        hostBuckets = 4, fetchPartitions = 2, politenessRps = 2.0))
+      val e = new WaveEngine(spark, site, parsers, cfg)
+      val res = e.run((0 until 4).map(h => SeedSpec(site.pageUrl(h, 0))))
+      val raw = e.fetchedTable()
+        .select($"canonical", $"wave", $"slot", $"fetched_at_ms")
+        .as[(String, Int, Int, Long)].collect().sortBy(_._1).toSeq
+      // planned stamps are offsets from the run's own wave-0 wall-clock
+      // start; normalize so the two runs compare on pacing, not on when
+      // each happened to start
+      val t0 = raw.map(_._4).min
+      (res, raw.map { case (c, w, s, t) => (c, w, s, t - t0) })
+    }
+    val (resM, stampsM) = crawl("eqmap", _.copy(hostRps = rates))
+    val (resT, stampsT) = crawl("eqtab",
+      _.copy(hostRpsTable = Some(rates.toSeq.toDF("host", "rps"))))
+    assert(resM.fetched == resT.fetched && resM.deduped == resT.deduped &&
+      resM.seen == resT.seen)
+    assert(stampsM == stampsT) // planned politeness stamps byte-identical
+  }
+
   test("realtime politeness: same-host spacing >= 1/rps holds ACROSS wave boundaries") {
     // budget 1/host/wave → every same-host gap is a wave-boundary gap.
     // Without carried per-host pace state, wave W+1's slot-0 restarts at

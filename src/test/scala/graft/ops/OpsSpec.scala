@@ -234,12 +234,14 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(x => x.getAs[Long]("qid") ->
         ((x.getAs[Long]("n_hits"), x.getAs[Double]("recall")))).toMap
     assert(r(1L) == ((2L, 0.666667)))
-    assert(r(2L) == ((1L, 0.333333)))
+    // qid 2 has only 2 exact neighbors: denominator is min(k, n_exact),
+    // so a perfect index could still reach 1.0 (here 1 of 2 found)
+    assert(r(2L) == ((1L, 0.5)))
     assert(r(3L) == ((0L, 0.0)))
     val sum = Ann.recallSummary(Ann.recallAtK(approx, exact, "qid", "nid", 3))
       .collect().head
     assert(sum.getAs[Long]("n_queries") == 3L)
-    assert(sum.getAs[Double]("mean_recall") == 0.333333)
+    assert(sum.getAs[Double]("mean_recall") == 0.388889)
   }
 
   test("interleaved lang profile: media-aware counts, tie-break, und") {

@@ -60,6 +60,24 @@ class SpanDiffSpec extends AnyFunSuite {
     assert(v == "match")
   }
 
+  test("audit: duplicate offsets tie-break on content — verdict is deterministic") {
+    // two spans share offset 0; emission order differs between sides.
+    // With an offset-only comparator the sorted sequence would depend on
+    // array_sort's (unspecified) stability; the content tie-break pins
+    // one order, so equal SETS at one offset always verdict `match`.
+    val left = tbl(1L -> Seq(("text", "b", null, 0L), ("text", "a", null, 0L),
+      ("media", null, "m1", 0L)))
+    val right = tbl(1L -> Seq(("media", null, "m1", 0L), ("text", "a", null, 0L),
+      ("text", "b", null, 0L)))
+    val v = SpanDiff.audit(left, right, "doc_id").collect().head.getAs[String]("verdict")
+    assert(v == "match")
+    // and genuinely different content at the shared offset still differs
+    val right2 = tbl(1L -> Seq(("text", "b", null, 0L), ("text", "c", null, 0L),
+      ("media", null, "m1", 0L)))
+    val v2 = SpanDiff.audit(left, right2, "doc_id").collect().head.getAs[String]("verdict")
+    assert(v2 == "mismatch")
+  }
+
   test("audit: null media_ref equals null media_ref, differs from a value") {
     val left = tbl(1L -> Seq(("media", "t", null, 0L)))
     val right = tbl(1L -> Seq(("media", "t", "ref", 0L)))

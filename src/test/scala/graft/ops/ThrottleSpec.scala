@@ -145,4 +145,39 @@ class ThrottleSpec extends AnyFunSuite {
       assert(b - a >= newDelay - 1, s"spacing ${b - a}ms under adapted delay ${newDelay}ms")
     }
   }
+
+  test("e2e: adapted pace honored through the TABLE path at 10^5-host cardinality") {
+    // Same feedback loop as the map-path e2e, but the delay plane reaches
+    // the engine as a (host, rps) DataFrame (CrawlConfig.hostRpsTable) —
+    // padded with 10^5 synthetic host rows to pin the scale posture:
+    // cfg.hostRps stays EMPTY (no driver map of any size), tasks see only
+    // their buckets' hosts via the co-partitioned plane, and the crawl
+    // still paces the one real host from its adapted delay.
+    val site = SyntheticSite(nHosts = 1, basePagesPerHost = 5, branching = 1, hotFactor = 1)
+    val slow = SlowFetcher(site, sleepMs = 40L)
+    val parsers = Map("follow_links" -> (FollowAllLinks: graft.engine.PageParser))
+    val cfg1 = CrawlConfig(checkpointDir = SparkTestSession.tmpDir("thrt1"),
+      hostBuckets = 2, fetchPartitions = 2, politenessRps = 50.0, realtime = true)
+    val e1 = new WaveEngine(spark, slow, parsers, cfg1)
+    e1.run((0 until 5).map(i => SeedSpec(site.pageUrl(0, i))))
+    val adapted = Throttle.adaptiveHostDelays(e1.fetchedTable(), delays(),
+      startDelayMs = 20L, targetConcurrency = 1.0, minDelayMs = 1L, maxDelayMs = 60000L)
+    val newDelay = adapted.collect().head.getAs[Long]("delay_ms")
+    assert(newDelay >= 27L)
+
+    val filler = spark.range(100000).select(
+      concat(lit("filler-"), $"id").as("host"), lit(5.0).as("rps"))
+    val plane = Throttle.rpsTable(adapted).union(filler)
+    val cfg2 = CrawlConfig(checkpointDir = SparkTestSession.tmpDir("thrt2"),
+      hostBuckets = 2, fetchPartitions = 2, politenessRps = 1000.0, realtime = true,
+      hostRpsTable = Some(plane))
+    assert(cfg2.hostRps.isEmpty) // the whole point: no driver-resident map
+    val e2 = new WaveEngine(spark, slow, parsers, cfg2)
+    e2.run((0 until 5).map(i => SeedSpec(site.pageUrl(0, i))))
+    val ts = e2.fetchedTable().select($"fetched_at_ms").as[Long].collect().sorted
+    assert(ts.length == 5)
+    ts.zip(ts.tail).foreach { case (a, b) =>
+      assert(b - a >= newDelay - 1, s"spacing ${b - a}ms under adapted delay ${newDelay}ms")
+    }
+  }
 }
