@@ -86,7 +86,12 @@ object MinutesPipeline {
       val topics = Topics.extractTopics(firstSpeech)
       val speakers = ScrapeFns.deduplicate(recs.drop(1).map(_.getAs[String]("speaker")))
       Minutes(
-        id = ScrapeFns.minutesId(name, date),
+        // CROSS-FAMILY ID CONTRACT: every producer/consumer of a minutes
+        // id (TV pages, vrsdd gate, shugiin minutes-news gate — all via
+        // "yyyy-MM-dd 00:00:00") must build it from the same datetime
+        // string, or the K4 existence gates can never match API-built
+        // minutes. The raw API `date` here is date-only; canonicalize.
+        id = ScrapeFns.minutesId(name, date + " 00:00:00"),
         name = name,
         start_date_time = java.sql.Timestamp.valueOf(date + " 00:00:00"),
         ndl_min_id = Option(row.getAs[String]("issue_id")),
@@ -130,7 +135,7 @@ object MinutesPipeline {
     val speechRows = meetings.flatMap { row =>
       val name = row.getAs[String]("name")
       val date = row.getAs[String]("date")
-      val mid = ScrapeFns.minutesId(name, date)
+      val mid = ScrapeFns.minutesId(name, date + " 00:00:00") // see id contract above
       val recs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("recs"))
       recs.drop(1).map { r =>
         val speech = r.getAs[String]("speech")

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
  * pipelines: media as opaque `binary` columns + typed metadata, processed
  * in partition-sized batches.
  *
- * The actual codec work is STUBBED — image/audio libraries are not in
- * this container — behind `MediaDecoder`: `FakeDecoder` produces
- * deterministic features from the bytes so the Spark-side plumbing
- * (schema, batching, partitioning, feature join-back) is real and tested;
- * a production deployment swaps in a JNI/Java codec without touching the
- * pipeline.
+ * Codec boundary: IMAGE decode is REAL ([[Multimodal.ImageIoDecoder]] —
+ * `javax.imageio` ships in every JDK, so JPEG/PNG/GIF/BMP → grayscale
+ * grid → dHash runs on actual pixels with zero new dependencies). Audio
+ * and video codecs are not in the JDK and stay STUBBED behind
+ * `MediaDecoder`: `FakeDecoder` produces deterministic features from the
+ * bytes so the Spark-side plumbing (schema, batching, partitioning,
+ * feature join-back) is real and tested; a production deployment swaps
+ * in a JNI/Java codec without touching the pipeline.
  *
  * Scale notes: decode is the expensive stage, so it runs once per
  * partition batch via `mapPartitions` (amortizes model/codec init, the
@@ -110,6 +112,83 @@ object Multimodal {
     * grayscale-grid resample is the stubbed codec stage (same boundary
     * as [[MediaDecoder]]); everything after the grid is real. */
   final case class GridRow(id: Long, media_ref: String, bytes: Array[Byte])
+
+  /** REAL image decode for the dHash plane — the one codec stage the JDK
+    * already ships: `javax.imageio` reads JPEG/PNG/GIF/BMP with zero new
+    * dependencies, so image near-dup does not need the [[FakeDecoder]]
+    * stub (which remains the deterministic oracle/test seam, and the
+    * boundary for audio/video codecs the JDK lacks).
+    *
+    * Grid semantics: BT.601 integer luma (299R + 587G + 114B) / 1000,
+    * area-averaged per cell — each of the rows×(cols+1) cells averages
+    * its full source-pixel block, the classic box-filter downsample
+    * dHash uses (gradient DIRECTION survives resampling, brightness and
+    * contrast shifts, and mild recompression). Returns None for
+    * undecodable payloads (truncated/foreign formats) — callers drop or
+    * quarantine, never crash the partition. */
+  object ImageIoDecoder extends Serializable {
+    def grayscaleGrid(bytes: Array[Byte], rows: Int = 8,
+        cols: Int = 8): Option[Array[Byte]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // one bulk RGB grab (TYPE_INT_ARGB layout regardless of the
+        // source raster) — per-pixel getRGB would re-convert per call
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val gw = cols + 1
+        val out = new Array[Byte](rows * gw)
+        var r = 0
+        while (r < rows) {
+          val y0 = (r.toLong * h / rows).toInt
+          val y1 = math.max(y0 + 1, ((r + 1).toLong * h / rows).toInt)
+          var c = 0
+          while (c < gw) {
+            val x0 = (c.toLong * w / gw).toInt
+            val x1 = math.max(x0 + 1, ((c + 1).toLong * w / gw).toInt)
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              val base = y * w
+              while (x < x1) {
+                val p = rgb(base + x)
+                sum += ((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587 +
+                  (p & 0xFF) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            out(r * gw + c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toByte
+            c += 1
+          }
+          r += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** Decoded-grid plane from RAW image payloads via [[ImageIoDecoder]]:
+    * (idCol, refCol, bytesCol) rows → [[GridRow]]s ready for [[dhash64]].
+    * Partition-batched like [[extractFeatures]] (decode is the expensive
+    * stage; payloads die in their partition — only 72-byte grids
+    * survive). Undecodable payloads are dropped; diff the input/output
+    * counts for the quarantine metric. */
+  def imageGrids(spark: SparkSession, media: DataFrame, idCol: String,
+      refCol: String, bytesCol: String, rows: Int = 8,
+      cols: Int = 8): Dataset[GridRow] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(refCol), col(bytesCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, ref, bytes) =>
+        ImageIoDecoder.grayscaleGrid(bytes, rows, cols)
+          .map(g => GridRow(id, ref, g))
+      })
+  }
 
   /** Difference hash (dHash, Krawetz 2013 — the standard cheap image
     * near-dup fingerprint): bit (r*cols + c) is set iff
