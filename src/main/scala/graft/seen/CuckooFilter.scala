@@ -36,10 +36,24 @@ final class CuckooFilter(requestedCapacity: Int) extends Serializable {
     * (index << 16 | fp). Bounded and tiny below ~95% load; its growth
     * signals the shard needs resizing. */
   private var stash: scala.collection.mutable.HashSet[Long] = null
+  /** Overflow level: a 2×-capacity filter chained when THIS level
+    * saturates (≥95% load). A partial-key cuckoo filter cannot rebuild
+    * into a bigger table (the table stores fingerprints, not keys), so
+    * graceful growth is a chain: inserts past the soft cap go to the
+    * next level, `contains` probes every level. Growth points depend
+    * only on the insert sequence — determinism (and byte-equal
+    * checkpoint/resume) is preserved. Without this, every insert past
+    * capacity burned the full MaxKicks eviction chain before stashing:
+    * the 10×-frontier stress read 6.8× per-event cost from exactly that
+    * term when a shard outgrew its configured capacity. */
+  private var next: CuckooFilter = null
+  /** 95% of slots: beyond this, kick chains thrash (and mostly fail) —
+    * new keys go to the next level instead. */
+  private val softCap: Long = (numBuckets.toLong * BucketSize * 95L) / 100L
 
   private def stashKey(i: Int, fp: Short): Long = (i.toLong << 16) | (fp & 0xFFFFL)
 
-  def size: Long = count
+  def size: Long = count + (if (next == null) 0L else next.size)
 
   private def fingerprint(key: Long): Short = {
     val fp = ((key >>> 48) ^ (key >>> 32)).toInt & 0xFFFF
@@ -74,13 +88,23 @@ final class CuckooFilter(requestedCapacity: Int) extends Serializable {
     val i1 = index1(key)
     val i2 = altIndex(i1, fp)
     if (bucketHas(i1, fp) || bucketHas(i2, fp)) return true
-    stash != null && (stash.contains(stashKey(i1, fp)) || stash.contains(stashKey(i2, fp)))
+    if (stash != null &&
+      (stash.contains(stashKey(i1, fp)) || stash.contains(stashKey(i2, fp)))) return true
+    next != null && next.contains(key)
   }
 
   /** Insert; idempotent for keys already present (checked first, so a
-    * re-inserted key never double-occupies slots). */
+    * re-inserted key never double-occupies slots). O(1) amortized at ANY
+    * load: a saturated level forwards to its (2×) overflow level instead
+    * of thrashing the kick chain. */
   def insert(key: Long): Unit = {
     if (contains(key)) return
+    if (count >= softCap) {
+      if (next == null)
+        next = new CuckooFilter(numBuckets * BucketSize * 2)
+      next.insert(key)
+      return
+    }
     val fp = fingerprint(key)
     val i1 = index1(key)
     val i2 = altIndex(i1, fp)

@@ -55,4 +55,35 @@ class CuckooFilterSpec extends AnyFunSuite {
     keys.foreach(f.insert)
     assert(keys.forall(f.contains))
   }
+
+  test("20x-capacity overload: chained growth keeps inserts O(1), not O(MaxKicks)") {
+    // a shard that outgrows its configured capacity must degrade to the
+    // overflow chain (the 10x-frontier lesson), not thrash kick chains:
+    // 20x capacity used to cost ~MaxKicks evictions PER INSERT past load
+    val rnd = new Random(7)
+    val keys = Seq.fill(160000)(rnd.nextLong())
+    val f = new CuckooFilter(8192)
+    val t0 = System.nanoTime()
+    keys.foreach(f.insert)
+    val insertMs = (System.nanoTime() - t0) / 1000000L
+    assert(keys.forall(f.contains)) // no false negatives at any level
+    // size is the filter's view: a false-positive `contains` absorbs an
+    // insert (idempotence check), so allow the FP-rate-sized shortfall
+    val distinct = keys.distinct.size.toLong
+    assert(f.size <= distinct && f.size >= (distinct * 999L) / 1000L)
+    // pre-fix this took ~10s (500-kick chains); chained growth is ~50ms.
+    // generous bound for CI noise:
+    assert(insertMs < 2000, s"160k inserts into an 8k filter took ${insertMs}ms")
+    // determinism survives growth: same inserts -> same bytes
+    val g = new CuckooFilter(8192)
+    keys.foreach(g.insert)
+    assert(java.util.Arrays.equals(f.serialized, g.serialized))
+    // serialization round-trips the whole chain
+    val h = CuckooFilter.deserialize(f.serialized)
+    assert(keys.forall(h.contains) && h.size == f.size)
+    // false-positive rate stays filter-like, not set-like degenerate
+    val fresh = Seq.fill(20000)(rnd.nextLong()).filterNot(keys.contains)
+    val fp = fresh.count(f.contains).toDouble / fresh.size
+    assert(fp < 0.05, s"false-positive rate $fp")
+  }
 }
