@@ -652,6 +652,82 @@ class PlanSpec extends AnyFunSuite {
     assert(names.count(_.contains("Join")) <= 1, names.distinct)
   }
 
+  test("BPE training: one Spark job total — the word-plane collect — none per merge") {
+    // the r4 shape scheduled ~2 jobs per merge (argmax collect + plane
+    // re-materialization); the r5 trainer collects the plane once and
+    // trains driver-side, so job count is a CONSTANT in numMerges
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val plane = (0 until 3000).map { i =>
+      val rnd = new scala.util.Random(i * 40503L)
+      ((0 until 3 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        + "x" + i, 1L + 30000L / (i + 1))
+    }.toDF("word", "cnt")
+    plane.cache().count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsFor(n: Int): Int = {
+      spark.sparkContext.addSparkListener(l)
+      jobs.set(0)
+      graft.ops.Bpe.train(plane, n)
+      Thread.sleep(800)
+      spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+    val (j10, j300) = (jobsFor(10), jobsFor(300))
+    assert(j10 == j300, s"jobs scale with merges: $j10 @10 vs $j300 @300")
+    assert(j300 <= 2, s"training must cost only the plane collect, got $j300")
+    plane.unpersist()
+  }
+
+  test("table-paced crawl: plan structure is invariant in the rate table's host cardinality") {
+    // CrawlConfig.hostRpsTable must reach tasks via the bucket-co-located
+    // rate plane (one upfront partitionBy, then zipPartitions per wave) —
+    // never via a driver map in task closures. The observable pin: the
+    // crawl's STAGE COUNT is identical for a 16-host and a 50,000-host
+    // rate table (an O(hosts) driver structure would not change stages
+    // either, but a per-wave join/shuffle of the table would), and crawl
+    // results are byte-identical to the small-table run.
+    import graft.engine._
+    import graft.fetch.SyntheticSite
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val site = SyntheticSite(nHosts = 3, basePagesPerHost = 4, branching = 2, hotFactor = 2)
+    val parsers: Map[String, PageParser] = Map("follow_links" -> FollowAllLinks)
+    val realHosts = (0 until 3).map(h => graft.urls.UrlCanon.hostOf(
+      graft.urls.UrlCanon.canonicalize(site.pageUrl(h, 0))))
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    }
+    def crawl(tag: String, fillerHosts: Int): (Int, Long, Long) = {
+      val filler = spark.range(fillerHosts).select(
+        concat(lit("filler-"), col("id")).as("host"), lit(4.0).as("rps"))
+      val plane = realHosts.map(h => (h, 2.0)).toDF("host", "rps").union(filler)
+      val cfg = CrawlConfig(checkpointDir = graft.SparkTestSession.tmpDir(tag),
+        hostBuckets = 4, fetchPartitions = 2, politenessRps = 8.0,
+        hostRpsTable = Some(plane))
+      spark.sparkContext.addSparkListener(l)
+      stages.set(0)
+      val engine = new WaveEngine(spark, site, parsers, cfg)
+      val res = engine.run((0 until 3).map(h => SeedSpec(site.pageUrl(h, 0))))
+      Thread.sleep(800)
+      spark.sparkContext.removeSparkListener(l)
+      (stages.get(), res.fetched, res.seen)
+    }
+    val (stagesSmall, fetchedSmall, seenSmall) = crawl("rate-small", 16)
+    val (stagesBig, fetchedBig, seenBig) = crawl("rate-big", 50000)
+    assert(fetchedSmall == fetchedBig && seenSmall == seenBig)
+    assert(stagesSmall == stagesBig,
+      s"stage count must not depend on rate-table size: $stagesSmall vs $stagesBig")
+  }
+
   test("interleaved lang profile: one combinable aggregate exchange, no join, span text dies at its scan") {
     import org.apache.spark.sql.functions._
     val spans = docs
