@@ -71,6 +71,39 @@ object SuffixArray {
         ascii(col("ch")).cast("long").as("cp"))
   }
 
+  /** All W/8 covering packs of every suffix window in ONE map-side-
+    * combinable groupBy: (gpos, w0..w{nw-1}) where wj is the base-256
+    * pack of code points [gpos+8j, gpos+8j+8) of S (width `window` when
+    * window < 8), 0-filled past the corpus end. 0-pad bytes sort below
+    * the sentinel, so lexicographic order on (w0..w{nw-1}) IS memcmp on
+    * the 0-padded W-char window (shorter suffix first); and since a pack
+    * whose window start is inside the corpus always has a first byte
+    * ≥ 1, an all-zero pack unambiguously means "suffix exhausted".
+    *
+    * Each char row emits one (window-start, slot, byte-weight) term per
+    * window position covering it — a W× map-side explode that the
+    * partial aggregation collapses back to one row per gpos BEFORE the
+    * exchange, so the one shuffle carries exactly (gpos, nw longs) rows:
+    * fewer bytes and one exchange fewer than building 8-char packs first
+    * and assembling windows from them in a second pass. */
+  private def packedWindows(chars: DataFrame, window: Int): DataFrame = {
+    val b = math.min(8, window) // pack width (window itself below 8)
+    val nw = (window + b - 1) / b
+    val terms = array((0 until window).map { off =>
+      struct(lit(off.toLong).as("o"), lit(off / b).as("j"),
+        lit(1L << (8 * (b - 1 - off % b))).as("m"))
+    }: _*)
+    val aggs = (0 until nw).map { j =>
+      coalesce(sum(when(col("j") === j, col("term"))), lit(0L)).as(s"w$j")
+    }
+    chars.select(col("gpos"), col("cp"), explode(terms).as("t"))
+      .select((col("gpos") - col("t.o")).as("gpos"), col("t.j").as("j"),
+        (col("cp") * col("t.m")).as("term"))
+      .filter(col("gpos") >= 0)
+      .groupBy(col("gpos"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Base-256 pack of the `b` ≤ 8 code points at [gpos, gpos+b) of S:
     * (gpos, r) where r compares as memcmp on the b-char window,
     * 0-padded past the corpus end (the pad sorts below the sentinel:
@@ -151,12 +184,14 @@ object SuffixArray {
     }
   }
 
-  /** Global row_number over (r1, r2, gpos) order — the final SA rank in
-    * one range exchange (same two-level idiom as [[denseRankPairs]],
-    * with plain counts for offsets since row numbers need no dedup). */
-  private def rowNumberByPairPos(df: DataFrame, nParts: Int): DataFrame = {
+  /** Global 0-based row_number over `keys` order (keys must be a total
+    * order) — ONE range exchange + the two-level offset idiom of
+    * [[denseRankPairs]] with plain counts (row numbers need no dedup).
+    * All input columns are kept alongside the new `sa_rank`. */
+  private def globalRowNumber(df: DataFrame, keys: Seq[Column],
+      nParts: Int): DataFrame = {
     val part = df
-      .repartitionByRange(nParts, col("r1"), col("r2"), col("gpos"))
+      .repartitionByRange(nParts, keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val partials = part.groupBy(col("__pid"))
@@ -167,13 +202,18 @@ object SuffixArray {
       if (partials.isEmpty) map(lit(0), lit(0L))
       else map(partials.map(_.getAs[Int]("__pid")).zip(cum.init)
         .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
-    val w = Window.partitionBy(col("__pid"))
-      .orderBy(col("r1"), col("r2"), col("gpos"))
+    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
     part
       .withColumn("sa_rank", (row_number().over(w) - 1).cast("long") +
         element_at(offsetMap, col("__pid")))
-      .select(col("sa_rank"), col("gpos"))
+      .drop("__pid")
   }
+
+  /** Global row_number over (r1, r2, gpos) order — the final SA rank in
+    * one range exchange. */
+  private def rowNumberByPairPos(df: DataFrame, nParts: Int): DataFrame =
+    globalRowNumber(df, Seq(col("r1"), col("r2"), col("gpos")), nParts)
+      .select(col("sa_rank"), col("gpos"))
 
   /** The W-bounded suffix array of `chars` (from [[charTable]]):
     * (sa_rank: long 0-based, gpos). Order = (first `window` code points
@@ -184,10 +224,27 @@ object SuffixArray {
       nParts: Int = 32): DataFrame = {
     require(window >= 2 && (window & (window - 1)) == 0,
       s"window must be a power of two >= 2, got $window")
-    val b = math.min(8, window)
-    // pin the base: the first ladder round reads it twice (self + shifted)
-    val base = packedBase(chars, b).localCheckpoint(true)
-    saFromBase(base, b, window, nParts)
+    if (window <= 64) {
+      // direct packed-window sort: at W ≤ 64 the whole W-char window fits
+      // W/8 ≤ 8 longs, so the suffix order is ONE global row_number over
+      // (w0..w{nw-1}, gpos) — the doubling ladder's log2(W/8) extra
+      // rounds (each a hash self-join + range exchange + driver offset
+      // round-trip) buy nothing when the full key is one cache line.
+      // Measured at bench scale: 3.9 s → ~1.5 s for q85 (see
+      // OPTIMIZATION_r06.md); at 100 TB the same trade holds — one
+      // exchange of (gpos, W/8 longs) rows vs three exchanges plus three
+      // joins of (gpos, 2-long) rows.
+      val nw = (window + math.min(8, window) - 1) / math.min(8, window)
+      val pw = packedWindows(chars, window).localCheckpoint(true)
+      globalRowNumber(pw,
+          (0 until nw).map(j => col(s"w$j")) :+ col("gpos"), nParts)
+        .select(col("sa_rank"), col("gpos"))
+    } else {
+      val b = 8
+      // pin the base: the first ladder round reads it twice (self + shifted)
+      val base = packedBase(chars, b).localCheckpoint(true)
+      saFromBase(base, b, window, nParts)
+    }
   }
 
   /** Convenience: documents straight to the bounded suffix array. */
@@ -218,40 +275,37 @@ object SuffixArray {
     require(window >= 8 && (window & (window - 1)) == 0,
       s"window must be a power of two >= 8, got $window")
     val chars = charTable(docs, idCol, textCol, nParts)
-    val base = packedBase(chars, 8).localCheckpoint(true)
-    // pin: read twice by the adjacent-pair self-join
-    val sa = saFromBase(base, 8, window, nParts).localCheckpoint(true)
     val nw = window / 8
-    // per-position covering packs [pk(g), pk(g+8), ..]; trailing entries
-    // missing once g+8j passes the corpus end
-    val emits = array((0 until nw).map(j => lit(j.toLong)): _*)
-    val pkArr = base
-      .select(col("gpos"), col("r"), explode(emits).as("j"))
-      .select((col("gpos") - col("j") * 8).as("gpos"), col("j"), col("r"))
-      .filter(col("gpos") >= 0)
-      .groupBy(col("gpos"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("r")))),
-        s => s.getField("r")).as("pks"))
+    // ONE pack table serves both the suffix SORT and the LCP compare:
+    // the W/8 covering packs per position are the sort key AND the
+    // byte material the LCP XOR-chain reads, so ranking keeps them
+    // attached (globalRowNumber preserves its input columns) and the
+    // old separate pack-array build + its two re-attach joins vanish.
+    // A fully-0 pack means "suffix exhausted here" (a real pack's first
+    // byte is a code point ≥ 1): XOR against a real pack differs at its
+    // first byte — 0 further common bytes, exactly the old null
+    // semantics — and two suffixes can never exhaust at the same pack
+    // with all earlier packs equal (equal 0-pad tails would force equal
+    // suffix lengths, i.e. the same position).
+    val pw = packedWindows(chars, window).localCheckpoint(true)
+    // pin: read twice by the adjacent-pair self-join
+    val sa = globalRowNumber(pw,
+        (0 until nw).map(j => col(s"w$j")) :+ col("gpos"), nParts)
+      .localCheckpoint(true)
     val pairs = sa
-      .join(sa.select((col("sa_rank") - 1).as("sa_rank"),
-        col("gpos").as("next_gpos")), Seq("sa_rank"))
-      .join(pkArr.select(col("gpos"), col("pks").as("a_pks")), Seq("gpos"))
-      .join(pkArr.select(col("gpos").as("next_gpos"), col("pks").as("b_pks")),
-        Seq("next_gpos"))
+      .join(sa.select(Seq((col("sa_rank") - 1).as("sa_rank"),
+        col("gpos").as("next_gpos")) ++
+        (0 until nw).map(j => col(s"w$j").as(s"b$j")): _*), Seq("sa_rank"))
     // common bytes of two packs: position of the top non-zero XOR byte
-    def commonBytes(a: Column, b: Column): Column =
-      when(a.isNull || b.isNull, lit(0L)).otherwise {
-        val x = a.bitwiseXOR(b)
-        (0 until 8).foldRight(lit(8L): Column) { (i, rest) =>
-          when(shiftrightunsigned(x, 8 * (7 - i)) =!= 0, lit(i.toLong))
-            .otherwise(rest)
-        }
+    def commonBytes(a: Column, b: Column): Column = {
+      val x = a.bitwiseXOR(b)
+      (0 until 8).foldRight(lit(8L): Column) { (i, rest) =>
+        when(shiftrightunsigned(x, 8 * (7 - i)) =!= 0, lit(i.toLong))
+          .otherwise(rest)
       }
+    }
     val lcp = (0 until nw).foldRight(lit(window.toLong): Column) { (j, rest) =>
-      // try_element_at: tail positions carry fewer than W/8 packs, and a
-      // missing pack must read as null (exhausted suffix), not ANSI-error
-      val c = commonBytes(try_element_at(col("a_pks"), lit(j + 1)),
-        try_element_at(col("b_pks"), lit(j + 1)))
+      val c = commonBytes(col(s"w$j"), col(s"b$j"))
       when(c < 8, lit(8L * j) + c).otherwise(rest)
     }
     pairs.select(col("sa_rank"), col("gpos"), col("next_gpos"),
