@@ -45,6 +45,31 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("local fast path == distributed loop (forced via maxLocalEdges = 0)") {
+    val rnd = new Random(7)
+    for (trial <- 0 until 3) {
+      val edges = (0 until 60 + trial * 31).map { _ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+      }.filter(e => e._1 != e._2)
+      val df = edges.toDF("a", "b")
+      val fast = Cluster.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val loop = Cluster.connectedComponents(df, "a", "b", maxLocalEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == loop, s"trial $trial")
+      assert(fast == bruteComponents(edges), s"trial $trial vs brute")
+    }
+    // string ids: both paths agree, min = Spark/UTF8 binary order
+    val sEdges = Seq(("hb", "ha"), ("ha", "hc"), ("hz", "hy")).toDF("a", "b")
+    val sFast = Cluster.connectedComponents(sEdges, "a", "b")
+      .as[(String, String)].collect().toMap
+    val sLoop = Cluster.connectedComponents(sEdges, "a", "b", maxLocalEdges = 0)
+      .as[(String, String)].collect().toMap
+    assert(sFast == sLoop)
+    assert(sFast == Map("ha" -> "ha", "hb" -> "ha", "hc" -> "ha",
+      "hy" -> "hy", "hz" -> "hy"))
+  }
+
   test("chain graph (worst-case diameter) converges to one component") {
     // a 64-node path: label propagation would need 64 rounds; star-contraction
     // must finish well inside the maxIter=64 cap (O(log^2 n) rounds)
