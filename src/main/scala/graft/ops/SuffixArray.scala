@@ -62,8 +62,17 @@ object SuffixArray {
       .layout(docs.select(col(idCol), col(textCol)), idCol, textCol,
         seqLen = 1L, nParts = nParts, tokenCount = c => length(c) + 1)
       .select(col(idCol), col("start_tok"))
-    docs.select(col(idCol), col(textCol))
-      .join(offsets, Seq(idCol))
+    // spread the doc rows across the executors BEFORE the ~len× char
+    // explode (and the W× pack explode downstream): a small input — at
+    // bench scale ONE parquet file, one scan task — would otherwise run
+    // the whole super-linear map expansion on a single core (guide §2.5
+    // input skew). Gated on the actual partition count so a corpus that
+    // already scans wide is never shuffled down.
+    val joined = docs.select(col(idCol), col(textCol)).join(offsets, Seq(idCol))
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (joined.rdd.getNumPartitions < p) joined.repartition(p) else joined
+    spread
       .select(col("start_tok"),
         posexplode(split(concat(col(textCol), lit(Sentinel)), ""))
           .as(Seq("pos", "ch")))
@@ -343,17 +352,30 @@ object SuffixArray {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, nParts: Int = 32): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    // every in-doc L-gram start: (id, loc, gram), all map-side
-    val grams = docs.select(col(idCol), col(textCol))
+    // spread before the ~len× gram explode — same single-scan-task
+    // hazard (and gate) as [[charTable]]
+    val base = docs.select(col(idCol), col(textCol))
       .filter(length(col(textCol)) >= minLen)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spreadDocs =
+      if (base.rdd.getNumPartitions < p) base.repartition(p) else base
+    // every in-doc L-gram start: (id, loc, gram), all map-side
+    val grams = spreadDocs
       .select(col(idCol), col(textCol),
         explode(sequence(lit(0L), length(col(textCol)).cast("long") - minLen))
           .as("loc"))
       .select(col(idCol), col("loc"),
         expr(s"substring($textCol, loc + 1, $minLen)").as("gram"))
-    // corpus-wide multiplicity: one exchange keyed by the gram itself
+    // corpus-wide multiplicity: one exchange keyed by the gram itself.
+    // The window partitions by (xxhash64(gram), gram) — semantically
+    // identical groups (the hash is a function of the gram), but the
+    // partition sort decides almost every comparison on the leading
+    // 8-byte hash instead of a 16+-char string compare, which is where
+    // the sort-based window aggregate spends its time (measured: the
+    // gram-count job was 2.0 s of this query's 2.8 s at sf0.1).
     val d = grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(xxhash64(col("gram")), col("gram"))))
       .filter(col("cnt") > 1)
       .select(col(idCol), col("loc"))
     // merge overlapping/adjacent [loc, loc+L) intervals per doc
