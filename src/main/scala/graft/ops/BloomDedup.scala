@@ -82,16 +82,19 @@ object BloomDedup {
       h1: Column => Column = xxhash64(_),
       h2: Column => Column = c => xxhash64(lit("bff"), c),
       compactOver: Int = 64): DataFrame = {
+    // eagerly pinned (lineage truncation): the gate runs ~6 actions over
+    // these two frames; with cache() each action re-analyzed the full
+    // paragraph-split subtree
     val hashed = pars
       .select(col(idCol), col("par_idx"), col("par"),
         h1(col("par")).as("h1"), h2(col("par")).as("h2"))
-      .cache()
+      .localCheckpoint(true)
     // one row per distinct paragraph: min-(doc,offset) witness + probes
     val perPar = hashed
       .groupBy(col("h1"), col("h2"))
       .agg(min(struct(col(idCol), col("par_idx"))).as("w"))
       .withColumn("ps", positions(col("h1"), col("h2"), cfg))
-      .cache()
+      .localCheckpoint(true)
     val index = new graft.sinks.SnapshotTable(spark, indexRoot)
     val withBloom =
       if (!index.exists) perPar.withColumn("dup_bloom", lit(false))
@@ -120,8 +123,6 @@ object BloomDedup {
         .select(explode(col("ps")).as("pos"), col("w").getField(idCol).as("witness_id")),
       "pos", col("witness_id"))
     index.compact(compactOver): Unit
-    hashed.unpersist(blocking = false)
-    perPar.unpersist(blocking = false)
     out
   }
 

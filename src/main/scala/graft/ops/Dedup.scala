@@ -340,9 +340,16 @@ object Dedup {
       replayStable: Boolean = false): DataFrame = {
     val hashed = batch.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
     // within-batch first-wins (min id per identical content)
+    // eager localCheckpoint, not cache: read by the bucket probe, the
+    // anti-join, and the output — and each of those is a separate ACTION
+    // whose full upstream plan (batch synthesis, hashing, groupBy) would
+    // otherwise be re-analyzed per action; truncating lineage here makes
+    // every downstream re-plan a trivial scan (measured: about half of
+    // the incremental-gate queries' wall time was driver planning gaps
+    // between 20-150 ms jobs)
     val firstWins = hashed.groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol))
-      .cache() // read for the bucket probe, the anti-join, and the output
+      .localCheckpoint(true)
     val index = new graft.sinks.SnapshotTable(spark, indexRoot)
     val novel =
       if (!index.exists) firstWins
@@ -372,7 +379,6 @@ object Dedup {
     // makes every probe union 10^4 parquet dirs per bucket. The no-op
     // path is one manifest read.
     index.compact(compactOver): Unit
-    firstWins.unpersist(blocking = false)
     out
   }
 
@@ -406,9 +412,11 @@ object Dedup {
       indexRoot: String,
       persistGate: DataFrame => Unit = _ => (),
       compactOver: Int = 64): DataFrame = {
+    // eager localCheckpoint, not cache — see dedupIncremental's
+    // firstWins note (lineage truncation for the multi-action gate)
     val keyed = banded
       .select(col(idCol), xxhash64(col("band"), col("bv")).as("band_key"))
-      .cache()
+      .localCheckpoint(true)
     val index = new graft.sinks.SnapshotTable(spark, indexRoot)
     val hitAgg =
       if (!index.exists)
@@ -435,7 +443,6 @@ object Dedup {
         .select(col("band_key"), col(idCol).as("witness_id")),
       "band_key", col("witness_id"))
     index.compact(compactOver): Unit // see dedupIncremental
-    keyed.unpersist(blocking = false)
     out
   }
 

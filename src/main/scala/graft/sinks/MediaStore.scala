@@ -50,7 +50,9 @@ object MediaStore {
         col("status") >= 200 && col("status") < 300 && col("media_bytes").isNotNull)
       .select(col("canonical"), col("url_hash"), col("wave"), col("seq"),
         col("media_type"), col("media_bytes"))
-      .cache()
+      // eagerly pinned: count + two insertIfAbsent consumers, each its own
+      // action — lineage truncation keeps re-planning trivial
+      .localCheckpoint(true)
     try {
       val n = media.count()
       if (n > 0) {
@@ -75,7 +77,7 @@ object MediaStore {
         refsTable(spark, root, nBuckets).compact(compactOver): Unit
       }
       n
-    } finally media.unpersist(blocking = false)
+    } finally ()
   }
 
   def blobsTable(spark: SparkSession, root: String, nBuckets: Int = 16): SnapshotTable =

@@ -175,10 +175,11 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     * ids are rewritten. `seqCol` (not stored) orders duplicate updates. */
   def merge(updates: DataFrame, idCol: String = "id",
       seqCol: Option[String] = None): Int = {
-    // cached: read once for the touched-bucket collect, again by the join
-    // and the commit write — without the cache the groupBy/max_by
-    // aggregation would re-shuffle the updates per consumer
-    val collapsed = collapse(updates, idCol, seqCol).cache()
+    // eager localCheckpoint: read once for the touched-bucket collect,
+    // again by the join and the commit write — and lineage truncation
+    // keeps each of those actions from re-analyzing the full collapse
+    // subtree (cache kept the data but re-planned the plan per action)
+    val collapsed = collapse(updates, idCol, seqCol).localCheckpoint(true)
     try {
       if (!exists) commit(collapsed, idCol, replaceTouched)
       else {
@@ -204,7 +205,7 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
           }
         commit(merged, idCol, replaceTouched)
       }
-    } finally collapsed.unpersist(blocking = false)
+    } finally ()
   }
 
   /** Bucket column for a first-commit through a non-merge op: prefer the
@@ -232,17 +233,16 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
         .select(bucketOf(col(m.bucketCol), m.nBuckets).as("b")).distinct()
         .collect().map(_.getLong(0).toInt)
       val paths = bucketPaths(m, touched)
-      // cached: the no-op probe (isEmpty) and the commit write must not
-      // each re-run the anti-join's bucket read
+      // eagerly pinned: the no-op probe (isEmpty) and the commit write
+      // must not each re-run (or even re-plan) the anti-join's bucket read
       val novel =
         (if (paths.isEmpty) fresh
-         else fresh.join(readPaths(paths), fresh.columns.toSeq, "left_anti")).cache()
-      try {
-        // a batch that adds nothing (a replay, or fully-known edges) must
-        // not burn a version + a write job + a bucket data dir
-        if (novel.isEmpty) currentVersion
-        else commit(novel, m.bucketCol, appendTouched)
-      } finally novel.unpersist(blocking = false)
+         else fresh.join(readPaths(paths), fresh.columns.toSeq, "left_anti"))
+          .localCheckpoint(true)
+      // a batch that adds nothing (a replay, or fully-known edges) must
+      // not burn a version + a write job + a bucket data dir
+      if (novel.isEmpty) currentVersion
+      else commit(novel, m.bucketCol, appendTouched)
     }
   }
 
@@ -263,7 +263,10 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     val one = rows.groupBy(col(keyCol))
       .agg(min_by(struct(payload.map(col): _*), ord).as("_p"))
       .select(col(keyCol) +: payload.map(c => col(s"_p.$c").as(c)): _*)
-      .cache() // read by the touched-bucket collect, the anti-join, and the commit
+      // eagerly pinned: read by the touched-bucket collect, the anti-join,
+      // and the commit — lineage truncation spares each action a full
+      // re-analysis of the batch subtree
+      .localCheckpoint(true)
     try {
       if (!exists) commit(one, keyCol, replaceTouched)
       else {
@@ -274,17 +277,16 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
           .select(bucketOf(col(keyCol), m.nBuckets).as("b")).distinct()
           .collect().map(_.getLong(0).toInt)
         val paths = bucketPaths(m, touched)
-        // cached for the same reason as mergeEdges: isEmpty + commit
+        // pinned for the same reason as mergeEdges: isEmpty + commit
         val novel =
           (if (paths.isEmpty) one
-           else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti")).cache()
-        try {
-          // idempotent replays re-offer only known keys: no version, no write
-          if (novel.isEmpty) currentVersion
-          else commit(novel, keyCol, appendTouched)
-        } finally novel.unpersist(blocking = false)
+           else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti"))
+            .localCheckpoint(true)
+        // idempotent replays re-offer only known keys: no version, no write
+        if (novel.isEmpty) currentVersion
+        else commit(novel, keyCol, appendTouched)
       }
-    } finally one.unpersist(blocking = false)
+    } finally ()
   }
 
   /** Compaction — the fast-append maintenance op (Iceberg's
