@@ -145,7 +145,10 @@ object BloomDedup {
     val rebuilt = verdicts.groupBy(id).agg(
       array_join(
         transform(
-          array_sort(collect_list(
+          // sort_array (native struct ordering), not array_sort: the
+          // default array_sort comparator is an interpreted lambda per
+          // comparison; (par_idx, par) natural order is the same order
+          sort_array(collect_list(
             when(col("verdict") === "kept", struct(col("par_idx"), col("par"))))),
           x => x.getField("par")),
         "\n").as("kept_text"),

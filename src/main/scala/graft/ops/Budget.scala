@@ -35,6 +35,28 @@ object Budget {
       textCol: String, budgetTokens: Long, nParts: Int = 32,
       tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens=$budgetTokens")
+    selectRanked(docs, idCol, scoreCol, textCol, nParts, tokenCount,
+      _ => budgetTokens)
+  }
+
+  /** [[selectByBudget]] with the budget given as a fraction
+    * `num/den` of the corpus's own total token count. The total falls
+    * out of the per-partition sums the prefix scan collects anyway, so
+    * a fractional budget costs ZERO extra passes — callers that first
+    * ran their own corpus-wide sum(token_count) aggregate just to
+    * compute `total * num / den` paid one full extra scan for a number
+    * this op already had. */
+  def selectByBudgetFraction(docs: DataFrame, idCol: String, scoreCol: String,
+      textCol: String, num: Long, den: Long, nParts: Int = 32,
+      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    require(num >= 0 && den > 0, s"fraction=$num/$den")
+    selectRanked(docs, idCol, scoreCol, textCol, nParts, tokenCount,
+      total => total * num / den)
+  }
+
+  private def selectRanked(docs: DataFrame, idCol: String, scoreCol: String,
+      textCol: String, nParts: Int, tokenCount: Column => Column,
+      budgetOf: Long => Long): DataFrame = {
     // 1. slim + range-partition by the rank key (see Packing.layout for
     // why localCheckpoint and not cache: offsets must pair with the ONE
     // materialized partitioning)
@@ -48,6 +70,7 @@ object Budget {
       .agg(sum(col("n_tokens")).as("s"))
       .collect()
       .sortBy(_.getAs[Int]("__pid"))
+    val budgetTokens = budgetOf(partials.map(_.getAs[Long]("s")).sum)
     val offsetMap =
       if (partials.isEmpty) map(lit(0), lit(0L))
       else map(partials.map(_.getAs[Int]("__pid"))

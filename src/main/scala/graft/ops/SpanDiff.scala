@@ -36,31 +36,23 @@ object SpanDiff {
 
   /** Sort by offset, drop offset: the comparable (kind, text, media_ref)
     * sequence the invariant speaks about. Spans sharing an offset
-    * tie-break on (kind, text, media_ref), nulls first — array_sort
-    * gives no stability guarantee for compare-equal elements across
-    * engines/versions, so an offset-only comparator would make the
-    * verdict for duplicate-offset documents nondeterministic. */
-  private def comparable(spans: Column): Column = {
-    // null-safe three-way compare of one struct field (nulls sort first)
-    def cmp(a: Column, b: Column, f: String): Column = {
-      val (x, y) = (a.getField(f), b.getField(f))
-      when(x.isNull && y.isNotNull, -1)
-        .when(x.isNotNull && y.isNull, 1)
-        .when(x < y, -1).when(x > y, 1).otherwise(0)
-    }
+    * tie-break on (kind, text, media_ref), nulls first — a sort that
+    * gave no total order for compare-equal elements would make the
+    * verdict for duplicate-offset documents nondeterministic.
+    *
+    * The sort key is the struct reordered to (offset, kind, text,
+    * media_ref) so `sort_array`'s NATIVE struct ordering (field by
+    * field, null fields first — exactly the tie-break above) does the
+    * comparing: the previous array_sort lambda comparator evaluated an
+    * interpreted 12-branch expression tree per comparison, the dominant
+    * per-row cost of the audit and a large codegen/planning tree besides. */
+  private def comparable(spans: Column): Column =
     transform(
-      array_sort(spans, (a, b) => {
-        val byOffset = cmp(a, b, "offset")
-        val byKind = cmp(a, b, "kind")
-        val byText = cmp(a, b, "text")
-        when(byOffset =!= 0, byOffset)
-          .when(byKind =!= 0, byKind)
-          .when(byText =!= 0, byText)
-          .otherwise(cmp(a, b, "media_ref"))
-      }),
+      sort_array(transform(spans, x =>
+        struct(x.getField("offset").as("offset"), x.getField("kind").as("kind"),
+          x.getField("text").as("text"), x.getField("media_ref").as("media_ref")))),
       x => struct(x.getField("kind").as("kind"), x.getField("text").as("text"),
         x.getField("media_ref").as("media_ref")))
-  }
 
   def audit(left: DataFrame, right: DataFrame, idCol: String,
       spansCol: String = "spans"): DataFrame = {
@@ -71,20 +63,22 @@ object SpanDiff {
         col(idCol),
         col("__l"), col("__r"),
         size(col("__l")).cast("long").as("n_left"),   // size(null) = -1, fixed below
-        size(col("__r")).cast("long").as("n_right"))
+        size(col("__r")).cast("long").as("n_right"),
+        // first differing 1-based index, evaluated ONCE (the verdict and
+        // first_diff both read it; inlining it twice doubled the one
+        // element-wise pass the audit makes over the span bodies)
+        array_position(zip_with(col("__l"), col("__r"), (a, b) => a <=> b),
+          lit(false)).as("__fd"))
       .select(
         col(idCol),
         when(col("__l").isNull, "right_only")
           .when(col("__r").isNull, "left_only")
-          .when(col("n_left") === col("n_right") &&
-            array_position(zip_with(col("__l"), col("__r"), (a, b) => a <=> b),
-              lit(false)) === 0L, "match")
+          .when(col("n_left") === col("n_right") && col("__fd") === 0L, "match")
           .otherwise("mismatch").as("verdict"),
         when(col("__l").isNull, lit(null).cast("long")).otherwise(col("n_left")).as("n_left"),
         when(col("__r").isNull, lit(null).cast("long")).otherwise(col("n_right")).as("n_right"),
         when(col("__l").isNull || col("__r").isNull, lit(null).cast("long"))
-          .otherwise(array_position(
-            zip_with(col("__l"), col("__r"), (a, b) => a <=> b), lit(false)))
+          .otherwise(col("__fd"))
           .as("first_diff"))
   }
 

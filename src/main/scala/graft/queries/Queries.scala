@@ -118,13 +118,22 @@ object Queries {
       "first-occurrence dedup via row_number (SURVEY R15)"),
 
     // order-sensitive grouped concat (SURVEY R12/R13 — speeches in order)
+    // Sort key packed as a 2-char string "<digit><flag>" instead of a
+    // struct: TPC-H pins l_linenumber to 1..7 (single digit) and
+    // l_returnflag to one non-digit char, so lexicographic string order
+    // IS (l_linenumber, l_returnflag) order, sort_array compares native
+    // UTF8 strings (the old array_sort default comparator + transform
+    // lambda were both interpreted per element — the dominant cost of
+    // this query), and translate() strips the order digits in one
+    // codegen'd pass over the already-concatenated result.
     "q05_ordered_concat" -> Q(
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(
-          concat_ws("", transform(
-            array_sort(collect_list(struct(col("l_linenumber"), col("l_returnflag")))),
-            x => x.getField("l_returnflag"))).as("flags"),
+          translate(
+            array_join(sort_array(collect_list(
+              concat(col("l_linenumber").cast("string"), col("l_returnflag")))), ""),
+            "1234567", "").as("flags"),
           count(lit(1)).cast("long").as("n_lines"))
         .orderBy(col("l_orderkey")),
       Some("""SELECT l_orderkey, string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS flags,

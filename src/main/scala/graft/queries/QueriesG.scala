@@ -305,13 +305,14 @@ object QueriesG {
     // ------------------------------------------------------------------
     "q104_budget_select" -> Q(
       (s, d) => {
+        // fraction form: budget = 2/5 of the corpus's total tokens,
+        // computed from the prefix scan's own per-partition sums — the
+        // old standalone sum(tokenCount) aggregate + collect cost one
+        // full extra pass over `documents` for the same number
         val docs = t(s, d, "documents")
-        val budget = docs
-          .select(sum(graft.ops.TextStats.tokenCount(col("text"))).as("t"))
-          .collect()(0).getAs[Long]("t") * 2 / 5
-        graft.ops.Budget.selectByBudget(
+        graft.ops.Budget.selectByBudgetFraction(
             docs.withColumn("score", (col("doc_id") * 37 % 101).cast("long")),
-            "doc_id", "score", "text", budget)
+            "doc_id", "score", "text", 2, 5)
           .orderBy(col("doc_id"))
       },
       Some("""WITH scored AS (

@@ -113,7 +113,8 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     * for append/deleteThenInsert payloads) hash a null key — they all
     * land in one well-defined bucket instead of failing analysis. */
   private def commit(df: DataFrame, bucketCol: String,
-      update: (Map[Int, Seq[Int]], Set[Int], Int) => Map[Int, Seq[Int]]): Int = {
+      update: (Map[Int, Seq[Int]], Set[Int], Int) => Map[Int, Seq[Int]],
+      noopIfEmpty: Boolean = false): Int = {
     val v = currentVersion + 1
     val prev = if (exists) readManifest(currentVersion)
       else Manifest(nBuckets, bucketCol, Map.empty)
@@ -134,6 +135,14 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     val written = Option(new java.io.File(s"$root/data/v$v").listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory)
       .map(_.getName.stripPrefix("_bucket=").toInt).toSet
+    // append-shaped callers (insertIfAbsent/mergeEdges) learn batch
+    // emptiness from the write itself instead of paying a separate
+    // isEmpty action (plus the lineage pin it needed): an empty write
+    // leaves no bucket dirs, so drop the empty v-dir and keep CURRENT.
+    if (noopIfEmpty && written.isEmpty) {
+      deleteRecursively(new java.io.File(s"$root/data/v$v"))
+      return currentVersion
+    }
     writeManifest(v, prev.copy(buckets = update(prev.buckets, written, v)))
     Files.createDirectories(Paths.get(root))
     Files.writeString(currentPath, v.toString,
@@ -233,16 +242,15 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
         .select(bucketOf(col(m.bucketCol), m.nBuckets).as("b")).distinct()
         .collect().map(_.getLong(0).toInt)
       val paths = bucketPaths(m, touched)
-      // eagerly pinned: the no-op probe (isEmpty) and the commit write
-      // must not each re-run (or even re-plan) the anti-join's bucket read
+      // single-consumer plan: the commit's write is the only action over
+      // the anti-join, and its empty case (a replay, or fully-known
+      // edges) is detected from the write output itself — no version, no
+      // bucket data dir, and two fewer jobs than a localCheckpoint +
+      // isEmpty probe
       val novel =
-        (if (paths.isEmpty) fresh
-         else fresh.join(readPaths(paths), fresh.columns.toSeq, "left_anti"))
-          .localCheckpoint(true)
-      // a batch that adds nothing (a replay, or fully-known edges) must
-      // not burn a version + a write job + a bucket data dir
-      if (novel.isEmpty) currentVersion
-      else commit(novel, m.bucketCol, appendTouched)
+        if (paths.isEmpty) fresh
+        else fresh.join(readPaths(paths), fresh.columns.toSeq, "left_anti")
+      commit(novel, m.bucketCol, appendTouched, noopIfEmpty = true)
     }
   }
 
@@ -277,14 +285,13 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
           .select(bucketOf(col(keyCol), m.nBuckets).as("b")).distinct()
           .collect().map(_.getLong(0).toInt)
         val paths = bucketPaths(m, touched)
-        // pinned for the same reason as mergeEdges: isEmpty + commit
+        // single-consumer plan (see mergeEdges): the commit write detects
+        // the idempotent-replay empty case itself — no version, no write,
+        // two fewer jobs than the old localCheckpoint + isEmpty probe
         val novel =
-          (if (paths.isEmpty) one
-           else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti"))
-            .localCheckpoint(true)
-        // idempotent replays re-offer only known keys: no version, no write
-        if (novel.isEmpty) currentVersion
-        else commit(novel, keyCol, appendTouched)
+          if (paths.isEmpty) one
+          else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti")
+        commit(novel, keyCol, appendTouched, noopIfEmpty = true)
       }
     } finally ()
   }
