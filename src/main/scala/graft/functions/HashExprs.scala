@@ -227,6 +227,34 @@ object HashImpl {
     sig
   }
 
+  /** MinHash signature over a shingle-hash array: m_k = min over shingles
+    * of pmod(pmod(h, P)·(2k+3) + (7k+11), P), P = 1000000007 — the exact
+    * integer sequence of the explode + pmod + groupBy(min ×k) composition
+    * it replaces ([[graft.ops.Dedup.minhashSignature]] round-1 form), ONE
+    * loop per document instead of a corpus-sized shingle exchange. Empty
+    * input → EMPTY array (callers drop those rows up front, matching the
+    * explode's row elimination; a null return would lie to codegen's
+    * nullIntolerant tracking). */
+  def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val P = 1000000007L
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val hp = java.lang.Math.floorMod(arr.getLong(i), P)
+      var k = 0
+      while (k < numHashes) {
+        val v = (hp * (2 * k + 3) + (7 * k + 11)) % P // operands ≥ 0: % = pmod
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Sequential-order dot product of two double arrays (fold order matches
     * aggregate(zip_with(...)) so doubles are bit-identical). Iterates over
     * the shorter length. */
@@ -374,6 +402,21 @@ case class SimHashPoly32Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash signature array of a shingle-hash array column (one pass per
+  * row; EMPTY array on an empty input — see HashImpl.minhashSig). */
+case class MinhashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpl.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.minhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
 /** Sign-LSH signature of an array<double> column (see HashImpl.signSignature). */
 case class SignSignatureExpr(child: Expression, planes: Int, table: Int)
     extends UnaryExpression {
@@ -417,6 +460,8 @@ object HashFns {
     ColumnBridge.column(PolyWindowHashes(ex(tokens), n))
   def xxWindowHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(XxWindowHashes(ex(tokens), n))
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinhashSigExpr(ex(shingleHashes), numHashes))
   def simhash64(tokens: Column): Column = ColumnBridge.column(SimHash64Expr(ex(tokens)))
   def simhashPoly32(tokens: Column): Column = ColumnBridge.column(SimHashPoly32Expr(ex(tokens)))
   def dotF64(a: Column, b: Column): Column = ColumnBridge.column(DotF64(ex(a), ex(b)))

@@ -44,16 +44,22 @@ object Dedup {
 
   private def $(s: String): Column = org.apache.spark.sql.functions.col(s)
 
-  /** MinHash signature columns m0..m{k-1} for a text column. */
+  /** MinHash signature columns m0..m{k-1} for a text column — ONE native
+    * pass per document (HashImpl.minhashSig: the same pmod permutation
+    * minima, bit-identical), where the round-1 form exploded every
+    * shingle and re-aggregated per doc: a corpus-sized (hash, id)
+    * exchange bought nothing, since the signature is a pure per-row
+    * function of the document. Rows with no shingles (fewer than 3
+    * tokens) are dropped by the cheap token-count predicate — pushable
+    * to the scan — exactly the rows the explode used to eliminate. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16): DataFrame = {
-    val P = 1000000007L // 30-bit prime: a_i*h+b stays far from Long overflow (ANSI mode)
-    val sh = df.select(col(idCol), explode(shingleHashes(col(textCol))).as("h"))
-      // map into [0, P) so the permutations stay positive
-      .withColumn("hp", pmod(col("h"), lit(P)))
-    val aggs = (0 until numHashes).map(i =>
-      min(pmod(col("hp") * (2 * i + 3) + (7 * i + 11), lit(P))).as(s"m$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = df
+      .filter(size(tokens(col(textCol))) >= 3)
+      .select(col(idCol), graft.functions.HashFns.minhashSig(
+        shingleHashes(col(textCol)), numHashes).as("__sig"))
+    sig.select(col(idCol) +:
+      (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs: signatures banded `bands` ways;

@@ -60,22 +60,43 @@ object QueriesB {
   private[queries] val MinhashPerms: Seq[(Long, Long)] =
     (0 until 8).map(i => (2L * i + 3L, 7L * i + 11L))
 
+  /** Native portable MinHash signature per document: (doc_id, __sig:
+    * array<long> of [[MinhashPerms]].size minima) — ONE codegen'd pass
+    * (HashImpl.minhashSig over the poly shingle hashes) instead of the
+    * old explode + groupBy(min×8), whose corpus-sized (hash, doc_id)
+    * exchange bought nothing for a pure per-row function. polyHash lands
+    * in [0, P), so minhashSig's pmod(h, P) prestep is the identity and
+    * the minima are bit-identical to min((h·a + b) % P). Documents with
+    * fewer than 3 tokens have no shingles — dropped by the cheap
+    * token-count predicate, exactly the rows the explode eliminated. */
+  private[queries] def minhashSigOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), HashFns.minhashSig(
+        HashFns.polyShingleHashes(col("ts"), 3), MinhashPerms.size).as("__sig"))
+
+  /** The q26/q54/q76 banding over [[minhashSigOf]]'s signature array:
+    * 4 bands × 2 rows, band value = m_{2b}·P + m_{2b+1}. */
+  private[queries] def minhashBandsOf(docs: DataFrame): DataFrame =
+    minhashSigOf(docs).select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          (element_at(col("__sig"), 2 * b + 1) * P +
+            element_at(col("__sig"), 2 * b + 2)).as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bv"))
+
   val defs: Map[String, Q] = Map(
 
     // --- MinHash signatures (training-data dedup, scale path) ----------
     "q25_minhash_sig" -> Q(
       (s, d) => {
-        val sh = shingleHashed(s, d)
-        val perms = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
-          min((col("h") * a + b) % P).as(s"m$i")
-        }
-        val sig = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
-        // flatten: (doc_id, perm, minhash)
-        val stacked = sig.select(col("doc_id"),
-          explode(array(MinhashPerms.indices.map(i =>
-            struct(lit(i).cast("long").as("perm"), col(s"m$i").as("minhash"))): _*)).as("p"))
-          .select(col("doc_id"), col("p.perm"), col("p.minhash"))
-        stacked.orderBy(col("doc_id"), col("perm"))
+        // native one-pass signature (minhashSigOf); posexplode's index IS
+        // the permutation number, so the stack needs no m_i columns
+        minhashSigOf(t(s, d, "documents"))
+          .select(col("doc_id"), posexplode(col("__sig")).as(Seq("perm", "minhash")))
+          .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
+          .orderBy(col("doc_id"), col("perm"))
       },
       Some {
         val sels = MinhashPerms.zipWithIndex
@@ -94,17 +115,8 @@ object QueriesB {
     // --- MinHash LSH banding → candidate pairs -------------------------
     "q26_minhash_lsh_pairs" -> Q(
       (s, d) => {
-        val sh = shingleHashed(s, d)
-        val perms = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
-          min((col("h") * a + b) % P).as(s"m$i")
-        }
-        val sig = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
-        // 4 bands x 2 rows: band value combines two minhashes
-        val bands = sig.select(col("doc_id"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("bv"))): _*)).as("x"))
-          .select(col("doc_id"), col("x.band"), col("x.bv"))
+        // native one-pass signatures + banding (minhashBandsOf)
+        val bands = minhashBandsOf(t(s, d, "documents"))
         bands.as("l").join(bands.as("r"),
             col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
               col("l.doc_id") < col("r.doc_id"))

@@ -725,20 +725,9 @@ object QueriesC {
     // banding, so the oracle pins the full gate dataflow.
     "q54_lsh_incremental" -> Q(
       (s, d) => {
-        val P = 1000000007L
-        def bandsOf(df: org.apache.spark.sql.DataFrame) = {
-          val sh = df.select(col("doc_id"),
-              explode(graft.functions.HashFns.polyShingleHashes(
-                split(trim(col("text")), "\\s+"), 3)).as("h"))
-          val perms = QueriesB.MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
-            min((col("h") * a + b) % P).as(s"m$i")
-          }
-          val sig = sh.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
-          sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
-              struct(lit(b).as("band"),
-                (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("bv"))): _*)).as("x"))
-            .select(col("doc_id"), col("x.band"), col("x.bv"))
-        }
+        // native one-pass signatures + banding (QueriesB.minhashBandsOf)
+        def bandsOf(df: org.apache.spark.sql.DataFrame) =
+          QueriesB.minhashBandsOf(df)
         val docs = t(s, d, "documents")
         val root = Queries.scratchDir("q54_lsh_inc")
         val b1 = docs.filter(col("doc_id") % 2 === 0)

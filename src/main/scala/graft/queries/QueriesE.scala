@@ -153,20 +153,11 @@ object QueriesE {
     // ------------------------------------------------------------------
     "q76_split_leakage" -> Q(
       (s, d) => {
-        val P = 1000000007L
         val assigned = graft.ops.Splits.assignSplit(
           t(s, d, "documents").select(col("doc_id")),
           "doc_id", Seq("train" -> 0.7, "eval" -> 0.3))
-        val sh = QueriesB.shingleHashed(s, d)
-        val perms = QueriesB.MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
-          min((col("h") * a + b) % P).as(s"m$i")
-        }
-        val sig = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
-        val bands = sig.select(col("doc_id"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              (col(s"m${2 * b}") * P + col(s"m${2 * b + 1}")).as("bv"))): _*)).as("x"))
-          .select(col("doc_id"), col("x.band"), col("x.bv"))
+        // native one-pass signatures + banding (QueriesB.minhashBandsOf)
+        val bands = QueriesB.minhashBandsOf(t(s, d, "documents"))
         def side(name: String) = bands.join(
           assigned.filter(col("split") === name).select(col("doc_id")), "doc_id")
         val leaks = graft.ops.Splits.leakPairsBanded(
