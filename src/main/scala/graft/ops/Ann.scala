@@ -174,7 +174,7 @@ object Ann {
             (-c.getField("cluster")).as("negc"),
             c.getField("cluster").as("cluster"))))
         .select(col(idCol),
-          explode(slice(reverse(array_sort(col("scored"))), 1, keep)).as("s"),
+          explode(slice(sort_array(col("scored"), asc = false), 1, keep)).as("s"),
           col("dv"), col("dn"))
         .select(col(idCol), col("s.cluster").as("cluster"), col("dv"), col("dn"))
     }
@@ -252,7 +252,7 @@ object Ann {
           .select(col("cluster"), posexplode(col("dv")).as(Seq("dim", "x")))
           .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
           .groupBy(col("cluster"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
             e => e.getField("m")).as("mv"))
           .collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap

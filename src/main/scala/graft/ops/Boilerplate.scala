@@ -44,7 +44,7 @@ object Boilerplate {
       .groupBy(col(idCol))
       .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")),
           "\n").as("clean_text"),
         count(lit(1)).as("n_kept"))

@@ -90,7 +90,7 @@ object Dsir {
       .select(col("id"), col("bucket"), (col("cnt") * col("w")).as("contrib"))
       .groupBy(col("id"))
       .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
+        transform(sort_array(collect_list(struct(col("bucket"), col("contrib")))),
           e => e.getField("contrib")),
         lit(0.0), (acc, x) => acc + x).as("weight"))
 

@@ -100,7 +100,7 @@ object Graph {
       .filter(col("rk") <= k)
       .groupBy("dst")
       .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("rk"), col("term")))),
+        transform(sort_array(collect_list(struct(col("rk"), col("term")))),
           x => x.getField("term"))).as("top_terms"))
     val inDeg = anchors
       .select(col(dstCol).as("dst"), col(srcCol).as("src")).distinct()

@@ -89,7 +89,7 @@ object Perplexity {
       .agg(
         sum(col("cnt")).as("n_scored"),
         aggregate(
-          transform(array_sort(collect_list(struct(col("pb"), col("cb"), col("c")))),
+          transform(sort_array(collect_list(struct(col("pb"), col("cb"), col("c")))),
             e => e.getField("c")),
           lit(0.0), (acc, x) => acc + x).as("s"))
       .select(col("id"), col("n_scored"),

@@ -109,7 +109,7 @@ object Pq {
           .groupBy(col("s"), col("code"), col("dim"))
           .agg(avg(col("x")).as("mu"))
           .groupBy(col("s"), col("code"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          .agg(transform(sort_array(collect_list(struct(col("dim"), col("mu")))),
             e => e.getField("mu")).as("mv"))
           .collect()
           .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap

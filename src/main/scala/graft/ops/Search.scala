@@ -90,7 +90,7 @@ object Search {
       .groupBy("doc_id")
       .agg(
         concat_ws(",", transform(
-          array_sort(collect_list(struct(col("rk"), col("term")))),
+          sort_array(collect_list(struct(col("rk"), col("term")))),
           x => x.getField("term"))).as("top_terms"),
         max(when(col("rk") === 1, col("score"))).as("top_score"))
   }

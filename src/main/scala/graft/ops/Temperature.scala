@@ -49,7 +49,7 @@ object Temperature {
     // nothing: the plane is strata-sized)
     val w = counts.agg(
       aggregate(
-        transform(array_sort(collect_list(struct(col(strataCol), col("__w")))),
+        transform(sort_array(collect_list(struct(col(strataCol), col("__w")))),
           e => e.getField("__w")),
         lit(0.0), (acc, x) => acc + x)).head().getDouble(0)
     val target = round(lit(totalDocs.toDouble) * col("__w") / lit(w))
