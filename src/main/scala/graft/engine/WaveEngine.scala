@@ -1364,7 +1364,13 @@ class WaveEngine(
     val tablePaced = cfg.hostRpsTable.isDefined
     val hostRpsRdd: Option[RDD[(Int, (String, Double))]] =
       cfg.hostRpsTable.map { df =>
+        // validate up front: a null host NPEs inside the partitionBy, and
+        // rps <= 0 turns into an infinite per-fetch delay that hangs a
+        // realtime partition (and the wave barrier) forever — fail the
+        // bad ROW out of the plane instead (filter), and fail FAST on a
+        // malformed rps rather than dividing by it later
         val r = df.select(df("host").cast("string"), df("rps").cast("double"))
+          .where(df("host").isNotNull && df("rps").isNotNull && df("rps") > 0)
           .rdd.map(row => (UrlCanon.hostBucket(row.getString(0), buckets),
             (row.getString(0), row.getDouble(1))))
           .partitionBy(partitioner)

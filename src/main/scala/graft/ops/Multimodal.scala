@@ -130,8 +130,12 @@ object Multimodal {
     def grayscaleGrid(bytes: Array[Byte], rows: Int = 8,
         cols: Int = 8): Option[Array[Byte]] = {
       val img =
+        // NonFatal, not just IOException: malformed payloads also surface
+        // as RuntimeExceptions from codec internals (IllegalArgument,
+        // CMMException from bad ICC profiles, ArrayIndexOutOfBounds) and
+        // must drop the payload, never crash the partition
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || img.getWidth == 0 || img.getHeight == 0) None
       else {
         val w = img.getWidth

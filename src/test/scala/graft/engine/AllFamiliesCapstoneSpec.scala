@@ -433,9 +433,14 @@ class AllFamiliesCapstoneSpec extends AnyFunSuite {
     val resolvedRows = resolved.collect()
     // keika 4/1 + sitsugi 4/1 resolve onto iss2; 4/15 and 4/8 have no minutes
     assert(resolvedRows.length == 2)
+    // two independent asserts (the old single expression nested the
+    // committee-name forall INSIDE the id predicate, so the id equality —
+    // the cross-family contract this capstone exists to prove — was never
+    // actually exercised; and the expected id used Timestamp.toString's
+    // trailing ".0", which no producer emits)
     assert(resolvedRows.forall(_.minutes_id ==
-      ScrapeFns.minutesId("参議院内閣委員会", "2021-04-01 00:00:00.0")
-      || resolvedRows.forall(r => r.committee_name == "参議院内閣委員会")))
+      ScrapeFns.minutesId("参議院内閣委員会", "2021-04-01 00:00:00")))
+    assert(resolvedRows.forall(_.committee_name == "参議院内閣委員会"))
     assert(audit.collect().count(_.n_matches == 0L) == 2)
     urls.merge(resolvedRows.map(r =>
       UrlEntity(ScrapeFns.urlId(r.url), r.url, r.url_title, "sangiin.go.jp",
