@@ -184,14 +184,16 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     * ids are rewritten. `seqCol` (not stored) orders duplicate updates. */
   def merge(updates: DataFrame, idCol: String = "id",
       seqCol: Option[String] = None): Int = {
-    // eager localCheckpoint: read once for the touched-bucket collect,
-    // again by the join and the commit write — and lineage truncation
-    // keeps each of those actions from re-analyzing the full collapse
-    // subtree (cache kept the data but re-planned the plan per action)
-    val collapsed = collapse(updates, idCol, seqCol).localCheckpoint(true)
+    val collapsed0 = collapse(updates, idCol, seqCol)
     try {
-      if (!exists) commit(collapsed, idCol, replaceTouched)
+      // first commit: the write is the collapse's ONLY consumer — no pin
+      if (!exists) commit(collapsed0, idCol, replaceTouched)
       else {
+        // eager localCheckpoint: read once for the touched-bucket collect,
+        // again by the join and the commit write — and lineage truncation
+        // keeps each of those actions from re-analyzing the full collapse
+        // subtree (cache kept the data but re-planned the plan per action)
+        val collapsed = collapsed0.localCheckpoint(true)
         val m = readManifest(currentVersion)
         val touched = collapsed
           .select(bucketOf(col(idCol), m.nBuckets).as("b")).distinct()
@@ -268,16 +270,17 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
   def insertIfAbsent(rows: DataFrame, keyCol: String, ord: Column): Int = {
     val payload = rows.columns.filter(_ != keyCol)
     require(payload.nonEmpty, s"insertIfAbsent needs payload columns beside '$keyCol'")
-    val one = rows.groupBy(col(keyCol))
+    val one0 = rows.groupBy(col(keyCol))
       .agg(min_by(struct(payload.map(col): _*), ord).as("_p"))
       .select(col(keyCol) +: payload.map(c => col(s"_p.$c").as(c)): _*)
-      // eagerly pinned: read by the touched-bucket collect, the anti-join,
-      // and the commit — lineage truncation spares each action a full
-      // re-analysis of the batch subtree
-      .localCheckpoint(true)
     try {
-      if (!exists) commit(one, keyCol, replaceTouched)
+      // first commit: the write is the batch's ONLY consumer — no pin
+      if (!exists) commit(one0, keyCol, replaceTouched)
       else {
+        // eagerly pinned: read by the touched-bucket collect, the
+        // anti-join, and the commit — lineage truncation spares each
+        // action a full re-analysis of the batch subtree
+        val one = one0.localCheckpoint(true)
         val m = readManifest(currentVersion)
         require(m.bucketCol == keyCol,
           s"table $root is bucketed by '${m.bucketCol}', not '$keyCol'")
