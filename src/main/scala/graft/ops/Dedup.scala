@@ -85,15 +85,24 @@ object Dedup {
   }
 
   /** Exact word-shingle Jaccard for given pairs (verification stage after
-    * LSH candidate generation). */
+    * LSH candidate generation). The pair set is pinned ONCE (eager
+    * localCheckpoint — it is consumed three times below: two candidate-id
+    * filters and the join itself, and near-dup candidates are tiny next
+    * to the corpus), then each shingle side is pre-filtered to candidate
+    * docs BEFORE shingle hashing — verifying k pairs must cost O(k)
+    * shingle passes, not two full corpus hash scans (guide §8: decide
+    * with small rows, touch the heavy bytes only for survivors). */
   def jaccardFor(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("sh"))
-    pairs
-      .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    val p = pairs.localCheckpoint(true)
+    def side(c: String) = df
+      .join(p.select(col(c).as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as(c), shingleHashes(col(textCol)).as(s"sh_$c"))
+    p
+      .join(side("doc_a"), "doc_a")
+      .join(side("doc_b"), "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        size(array_intersect(col("sh_doc_a"), col("sh_doc_b"))).cast("double") /
+          size(array_union(col("sh_doc_a"), col("sh_doc_b"))).cast("double"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
