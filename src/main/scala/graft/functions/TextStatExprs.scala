@@ -32,6 +32,25 @@ object TextStatImpl {
   private def r4(x: Double): Double =
     JBigDecimal.valueOf(x).setScale(4, RoundingMode.HALF_UP).doubleValue()
 
+  /** See [[TokenCountExpr]]: size(split(trim(s), "\\s+")) as one
+    * allocation-free byte scan. */
+  def tokenCountFast(s: UTF8String): Long = {
+    val t = s.trim() // ASCII space 0x20 only — Spark trim semantics
+    val n = t.numBytes()
+    if (n == 0) return 1L // split("") = [""]
+    var runs = 0L
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val c = t.getByte(i)
+      val ws = c == 32 || c == 9 || c == 10 || c == 11 || c == 12 || c == 13
+      if (ws) { if (!inRun) { runs += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    runs + 1L
+  }
+
   private def codePoints(s: String): Long = s.codePointCount(0, s.length).toLong
 
   /** (dup_line_frac, dup_line_char_frac, top_bigram_frac, dup_trigram_frac) */
@@ -100,6 +119,27 @@ object TextStatImpl {
 
 /** struct(dup_line_frac, dup_line_char_frac, top_bigram_frac,
   * dup_trigram_frac) over a text column — one linear pass per row. */
+/** Whitespace-token count of a string — EXACTLY
+  * size(split(trim(text), "\\s+")) under Spark semantics (trim strips
+  * ASCII space 0x20 only; java-regex \s is the 6 ASCII whitespace chars;
+  * split keeps boundary empties, so count = maximal-\s-run count + 1,
+  * with the empty trimmed string counting 1), but as ONE byte scan with
+  * zero allocation — the old form materialized the whole token ARRAY per
+  * row everywhere only a count was needed (Budget/Packing prefix scans,
+  * q20/q96-style stats). ASCII byte compares are UTF-8 safe
+  * (continuation bytes are >= 0x80). */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_count_fast"
+  protected override def nullSafeEval(input: Any): Any =
+    TextStatImpl.tokenCountFast(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatImpl.tokenCountFast($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
+    copy(child = newChild)
+}
+
 case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = RepetitionStatsExpr.schema
   override def nullIntolerant: Boolean = true
@@ -123,4 +163,6 @@ object RepetitionStatsExpr {
 object TextStatFns {
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text)))
+  def tokenCountFast(text: Column): Column =
+    ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(text)))
 }

@@ -55,7 +55,11 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16): DataFrame = {
     val sig = df
-      .filter(size(tokens(col(textCol))) >= 3)
+      // the <3-token gate runs on the native counting scan (tokenCount),
+      // not on size(split(...)): a split-based predicate pushes a SECOND
+      // whole-text split per row to the scan (§4.4 duplication in filter
+      // form) — the counter allocates nothing
+      .filter(TextStats.tokenCount(col(textCol)) >= 3)
       .select(col(idCol), graft.functions.HashFns.minhashSig(
         shingleHashes(col(textCol)), numHashes).as("__sig"))
     sig.select(col(idCol) +:

@@ -12,7 +12,11 @@ object TextStats {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** size(split(trim(text), "\\s+")) — computed by the native one-scan
+    * counter (TokenCountExpr, equality pinned in TextStatsSpec): the
+    * split form materialized the whole token array per row everywhere
+    * only the count was needed. */
+  def tokenCount(text: Column): Column = graft.functions.TextStatFns.tokenCountFast(text)
 
   /** BPE-ish subword count estimate: whitespace tokens plus an extra unit
     * per 4 chars of long tokens (the common len/4 heuristic). */

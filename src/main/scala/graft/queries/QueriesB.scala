@@ -71,10 +71,12 @@ object QueriesB {
     * token-count predicate, exactly the rows the explode eliminated. */
   private[queries] def minhashSigOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), toks.as("ts"))
-      .filter(size(col("ts")) >= 3)
+      // the <3-token gate runs on the native counting scan, not on
+      // size(split(...)) — an alias-substituted split predicate would
+      // push a SECOND whole-text split per row to the scan
+      .filter(graft.ops.TextStats.tokenCount(col("text")) >= 3)
       .select(col("doc_id"), HashFns.minhashSig(
-        HashFns.polyShingleHashes(col("ts"), 3), MinhashPerms.size).as("__sig"))
+        HashFns.polyShingleHashes(toks, 3), MinhashPerms.size).as("__sig"))
 
   /** The q26/q54/q76 banding over [[minhashSigOf]]'s signature array:
     * 4 bands × 2 rows, band value = m_{2b}·P + m_{2b+1}. */
