@@ -33,12 +33,76 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
+  /** Doc-count gate for the driver prefix-sum fast path: (id, n_tokens)
+    * pairs are 16 bytes, so 2^20 docs is ~16 MB of driver rows — the
+    * same bounded-driver-plane posture as Cluster's union-find gate. At
+    * corpus scale the gate never fires and the two-level distributed
+    * scan below is the path. */
+  private val MaxDriverDocs = 1 << 20
+
   /** `ord` must be a total order on rows (ties break nothing — equal keys
     * get an arbitrary but range-contiguous placement); default orders by
     * the id column. */
   def layout(docs: DataFrame, idCol: String, textCol: String, seqLen: Long,
-      nParts: Int = 32, tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+      nParts: Int = 32, tokenCount: Column => Column = TextStats.tokenCount,
+      maxDriverDocs: Int = MaxDriverDocs): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    // SIZE-GATED driver fast path: the layout's output is one SMALL
+    // fixed-width row per document (the text dies at the scan either
+    // way), so when the doc plane fits the driver comfortably AND the
+    // id is integral (driver sort order == Spark's), one limit-collect
+    // + an in-memory prefix sum replaces the range-sample job, the
+    // checkpoint materialization and the per-partition-totals collect —
+    // three driver barriers per call on a path q57/q85/q87/q95 all
+    // take. Over the gate (or a non-integral id) nothing changes.
+    val integralId = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integralId && maxDriverDocs > 0) {
+      val head = docs
+        .select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+        .limit(maxDriverDocs + 1).collect()
+      // null ids/token counts take the distributed path (its null
+      // propagation semantics are not worth re-implementing here)
+      if (head.length <= maxDriverDocs &&
+          !head.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val spark = docs.sparkSession
+        val sorted = head.sortBy(r => r.getAs[Number](0).longValue())
+        val out = new Array[org.apache.spark.sql.Row](sorted.length)
+        var start = 0L
+        var i = 0
+        while (i < sorted.length) {
+          val r = sorted(i)
+          val n = r.getAs[Number](1).longValue()
+          val end = start + n
+          val firstSeq = start / seqLen
+          // Scala Long division truncates toward zero — the same as SQL
+          // DIV, so the n = 0, start % seqLen == 0 corner ((end-1) DIV
+          // seqLen) matches the distributed expression exactly
+          val lastSeq = (end - 1) / seqLen
+          out(i) = org.apache.spark.sql.Row(
+            r.get(0), n, start, end, firstSeq, lastSeq, lastSeq - firstSeq + 1L)
+          start = end
+          i += 1
+        }
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          docs.schema(idCol),
+          StructField("n_tokens", LongType, nullable = false),
+          StructField("start_tok", LongType, nullable = false),
+          StructField("end_tok", LongType, nullable = false),
+          StructField("first_seq", LongType, nullable = false),
+          StructField("last_seq", LongType, nullable = false),
+          StructField("n_seqs", LongType, nullable = false)))
+        return spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(out: _*)), schema)
+      }
+      // over the gate: fall through to the distributed scan (the probe
+      // cost one bounded collect; corpus-scale callers pay it once)
+    }
     // 1. slim to (id, n_tokens), range-partition by the order key.
     // localCheckpoint (eager), NOT cache: the offsets below are computed
     // from ONE materialization of this range shuffle, and the returned

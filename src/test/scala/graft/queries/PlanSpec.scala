@@ -284,7 +284,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("packing layout: no text in any exchange, windows are partition-local") {
-    val p = executed(graft.ops.Packing.layout(docs, "doc_id", "text", 1024L, nParts = 8))
+    // pin the DISTRIBUTED path (gate forced off): at corpus scale this is
+    // the plan every layout call runs
+    val p = executed(graft.ops.Packing.layout(docs, "doc_id", "text", 1024L,
+      nParts = 8, maxDriverDocs = 0))
     val names = treeNames(p)
     // no exchange may carry text; the scan projects it away
     assert(shuffleCols(p).forall(!_.contains("text")), shuffleCols(p))
@@ -296,6 +299,19 @@ class PlanSpec extends AnyFunSuite {
     assert(ws.nonEmpty, names.distinct)
     assert(ws.forall(_.partitionSpec.nonEmpty),
       s"found a partition-less Window: ${names.distinct}")
+  }
+
+  test("packing layout under the doc-count gate: local plan, identical rows") {
+    // the size-gated driver prefix sum must produce EXACTLY the
+    // distributed scan's rows, from a plan with no exchange at all
+    val fast = graft.ops.Packing.layout(docs, "doc_id", "text", 1024L, nParts = 8)
+    val dist = graft.ops.Packing.layout(docs, "doc_id", "text", 1024L,
+      nParts = 8, maxDriverDocs = 0)
+    assert(treeNames(executed(fast)).forall(!_.contains("Exchange")),
+      treeNames(executed(fast)).distinct)
+    val k = fast.columns.map(org.apache.spark.sql.functions.col)
+    assert(fast.orderBy(k: _*).collect().toSeq ==
+      dist.select(k: _*).orderBy(k: _*).collect().toSeq)
   }
 
   test("SangiinPipeline dim joins broadcast the dims") {
