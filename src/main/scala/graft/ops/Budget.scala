@@ -33,10 +33,11 @@ object Budget {
     * auditable (the first dropped doc is the budget's witness). */
   def selectByBudget(docs: DataFrame, idCol: String, scoreCol: String,
       textCol: String, budgetTokens: Long, nParts: Int = 32,
-      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+      tokenCount: Column => Column = TextStats.tokenCount,
+      maxDriverDocs: Int = MaxDriverDocs): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens=$budgetTokens")
     selectRanked(docs, idCol, scoreCol, textCol, nParts, tokenCount,
-      _ => budgetTokens)
+      _ => budgetTokens, maxDriverDocs)
   }
 
   /** [[selectByBudget]] with the budget given as a fraction
@@ -48,15 +49,64 @@ object Budget {
     * this op already had. */
   def selectByBudgetFraction(docs: DataFrame, idCol: String, scoreCol: String,
       textCol: String, num: Long, den: Long, nParts: Int = 32,
-      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+      tokenCount: Column => Column = TextStats.tokenCount,
+      maxDriverDocs: Int = MaxDriverDocs): DataFrame = {
     require(num >= 0 && den > 0, s"fraction=$num/$den")
     selectRanked(docs, idCol, scoreCol, textCol, nParts, tokenCount,
-      total => total * num / den)
+      total => total * num / den, maxDriverDocs)
   }
+
+  /** Doc-count gate for the driver fast path (same bounded-driver-plane
+    * posture as Packing.layout's: ~24 bytes/doc of rank metadata). */
+  private val MaxDriverDocs = 1 << 20
 
   private def selectRanked(docs: DataFrame, idCol: String, scoreCol: String,
       textCol: String, nParts: Int, tokenCount: Column => Column,
-      budgetOf: Long => Long): DataFrame = {
+      budgetOf: Long => Long, maxDriverDocs: Int): DataFrame = {
+    // SIZE-GATED driver fast path (see Packing.layout): the ranked
+    // ledger is one fixed-width row per doc, so under the gate one
+    // limit-collect + an in-memory (score DESC, id) sort + prefix sum
+    // replaces the range-sample job, the checkpoint materialization and
+    // the partials collect. Integral id+score only (driver sort order ==
+    // Spark's); nulls or over-gate fall through unchanged.
+    val integral = Seq(idCol, scoreCol).forall(c =>
+      docs.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      })
+    if (integral && maxDriverDocs > 0) {
+      val head = docs
+        .select(col(idCol), col(scoreCol), tokenCount(col(textCol)).as("n_tokens"))
+        .limit(maxDriverDocs + 1).collect()
+      if (head.length <= maxDriverDocs &&
+          !head.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
+        val spark = docs.sparkSession
+        val sorted = head.sortBy(r =>
+          (r.getAs[Number](1).longValue(), r.getAs[Number](0).longValue()))(
+          Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long))
+        val budget = budgetOf(sorted.iterator.map(_.getAs[Number](2).longValue()).sum)
+        val out = new Array[org.apache.spark.sql.Row](sorted.length)
+        var cum = 0L
+        var i = 0
+        while (i < sorted.length) {
+          val r = sorted(i)
+          cum += r.getAs[Number](2).longValue()
+          out(i) = org.apache.spark.sql.Row(r.get(0), r.get(1),
+            r.getAs[Number](2).longValue(), cum, cum <= budget)
+          i += 1
+        }
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          docs.schema(idCol), docs.schema(scoreCol),
+          StructField("n_tokens", LongType, nullable = false),
+          StructField("cum_tokens", LongType, nullable = false),
+          StructField("kept", BooleanType, nullable = false)))
+        return spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(out: _*)), schema)
+      }
+    }
     // 1. slim + range-partition by the rank key (see Packing.layout for
     // why localCheckpoint and not cache: offsets must pair with the ONE
     // materialized partitioning)

@@ -635,9 +635,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("budget select: windows are partition-local, post-checkpoint exchange is fixed-width") {
     import org.apache.spark.sql.functions._
+    // distributed path pinned (gate forced off) — the corpus-scale plan
     val p = executed(graft.ops.Budget.selectByBudget(
       docs.withColumn("score", (col("doc_id") * 37 % 101).cast("long")),
-      "doc_id", "score", "text", budgetTokens = 1000L, nParts = 8))
+      "doc_id", "score", "text", budgetTokens = 1000L, nParts = 8,
+      maxDriverDocs = 0))
     val ws = collectNodes(p).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
@@ -652,6 +654,21 @@ class PlanSpec extends AnyFunSuite {
     assert(sc.size <= 1, sc)
     assert(sc.forall(cols => cols.toSet.subsetOf(
       Set("doc_id", "score", "n_tokens", "__pid"))), sc)
+  }
+
+  test("budget select under the doc-count gate: local plan, identical rows") {
+    import org.apache.spark.sql.functions._
+    val scored = docs.withColumn("score", (col("doc_id") * 37 % 101).cast("long"))
+    val fast = graft.ops.Budget.selectByBudget(
+      scored, "doc_id", "score", "text", budgetTokens = 1000L, nParts = 8)
+    val dist = graft.ops.Budget.selectByBudget(
+      scored, "doc_id", "score", "text", budgetTokens = 1000L, nParts = 8,
+      maxDriverDocs = 0)
+    assert(treeNames(executed(fast)).forall(!_.contains("Exchange")),
+      treeNames(executed(fast)).distinct)
+    val k = fast.columns.map(col)
+    assert(fast.orderBy(col("doc_id")).collect().toSeq ==
+      dist.select(k: _*).orderBy(col("doc_id")).collect().toSeq)
   }
 
   test("curation funnel: bodies never shuffle — every exchange is metrics-width") {
