@@ -53,9 +53,54 @@ object Shard {
     * shardSize, pos_in_shard = ordinal MOD shardSize. Ordering is total
     * (perm_key is injective on distinct ids), so the layout is a pure
     * function of (ids, a, b, p, shardSize). */
+  /** Doc-count gate for the driver fast path (same bounded-driver-plane
+    * posture as Packing.layout's: 16 bytes/doc of (id, key) metadata). */
+  private val MaxDriverDocs = 1 << 20
+
   def globalShuffleLayout(docs: DataFrame, idCol: String, a: Long, b: Long,
-      p: Long, shardSize: Long, nParts: Int = 32): DataFrame = {
+      p: Long, shardSize: Long, nParts: Int = 32,
+      maxDriverDocs: Int = MaxDriverDocs): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    // SIZE-GATED driver fast path (see Packing.layout): the layout is
+    // one fixed-width row per doc, so under the gate one limit-collect
+    // + in-memory sort by the (injective) permuted key replaces the
+    // range-sample job, the checkpoint materialization and the
+    // per-partition-counts collect. Over the gate (or null ids) the
+    // distributed scan below is unchanged.
+    val integralId = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integralId && maxDriverDocs > 0) {
+      val head = docs
+        .select(col(idCol), permKey(col(idCol), a, b, p).as("perm_key"))
+        .limit(maxDriverDocs + 1).collect()
+      if (head.length <= maxDriverDocs &&
+          !head.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val spark = docs.sparkSession
+        val sorted = head.sortBy(_.getLong(1))
+        val out = new Array[org.apache.spark.sql.Row](sorted.length)
+        var i = 0
+        while (i < sorted.length) {
+          val r = sorted(i)
+          val ord = i.toLong
+          out(i) = org.apache.spark.sql.Row(
+            r.get(0), r.getLong(1), ord, ord / shardSize, ord % shardSize)
+          i += 1
+        }
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          docs.schema(idCol),
+          StructField("perm_key", LongType, nullable = false),
+          StructField("ordinal", LongType, nullable = false),
+          StructField("shard", LongType, nullable = false),
+          StructField("pos_in_shard", LongType, nullable = false)))
+        return spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(out: _*)), schema)
+      }
+    }
     // 1. slim to (id, perm_key), range-partition by the permuted key.
     // localCheckpoint (eager), NOT cache: the offsets below are computed
     // from ONE materialization of this range shuffle; a re-run

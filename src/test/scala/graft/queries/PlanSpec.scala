@@ -612,9 +612,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("global shuffle layout: ordinal window is partition-local, no shuffle past the pinned range exchange") {
+    // distributed path pinned (gate forced off) — the corpus-scale plan
     val p = executed(graft.ops.Shard.globalShuffleLayout(
       docs, "doc_id", a = 73L, b = 11L, p = 1000003L, shardSize = 16L,
-      nParts = 8))
+      nParts = 8, maxDriverDocs = 0))
     val ws = collectNodes(p).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
