@@ -1364,15 +1364,24 @@ class WaveEngine(
     val tablePaced = cfg.hostRpsTable.isDefined
     val hostRpsRdd: Option[RDD[(Int, (String, Double))]] =
       cfg.hostRpsTable.map { df =>
-        // validate up front: a null host NPEs inside the partitionBy, and
-        // rps <= 0 turns into an infinite per-fetch delay that hangs a
-        // realtime partition (and the wave barrier) forever — fail the
-        // bad ROW out of the plane instead (filter), and fail FAST on a
-        // malformed rps rather than dividing by it later
+        // validate up front, FAIL-FAST: a null host NPEs inside the
+        // partitionBy, and rps <= 0 turns into an infinite per-fetch
+        // delay that hangs a realtime partition (and the wave barrier)
+        // forever. Silently FILTERING a bad row would be worse than
+        // failing — a host whose rps was mistyped to 0/negative would
+        // fall back to the DEFAULT (faster) pacing, a politeness
+        // violation the operator never sees; a malformed plane aborts
+        // the crawl with a row-precise message instead.
         val r = df.select(df("host").cast("string"), df("rps").cast("double"))
-          .where(df("host").isNotNull && df("rps").isNotNull && df("rps") > 0)
-          .rdd.map(row => (UrlCanon.hostBucket(row.getString(0), buckets),
-            (row.getString(0), row.getDouble(1))))
+          .rdd.map { row =>
+            require(!row.isNullAt(0),
+              "hostRpsTable row with null host")
+            require(!row.isNullAt(1) && row.getDouble(1) > 0,
+              s"hostRpsTable row for host '${row.getString(0)}' has " +
+                s"invalid rps ${if (row.isNullAt(1)) "null" else row.getDouble(1)} (must be > 0)")
+            (UrlCanon.hostBucket(row.getString(0), buckets),
+              (row.getString(0), row.getDouble(1)))
+          }
           .partitionBy(partitioner)
           .persist(StorageLevel.MEMORY_AND_DISK)
         r.count() // materialize once, ahead of the first wave

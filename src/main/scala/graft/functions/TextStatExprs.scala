@@ -163,6 +163,10 @@ object RepetitionStatsExpr {
 object TextStatFns {
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text)))
+  // the .cast("string") preserves the coercion the size(split(trim(...)))
+  // form performed implicitly on non-string inputs (a redundant cast on
+  // an already-string column is elided by the optimizer); without it a
+  // non-string column would ClassCastException at execution
   def tokenCountFast(text: Column): Column =
-    ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(text)))
+    ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(text.cast("string"))))
 }

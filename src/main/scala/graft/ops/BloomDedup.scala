@@ -123,6 +123,11 @@ object BloomDedup {
         .select(explode(col("ps")).as("pos"), col("w").getField(idCol).as("witness_id")),
       "pos", col("witness_id"))
     index.compact(compactOver): Unit
+    // the verdict frame is pinned on its own; the working pins are fully
+    // consumed — release them so a per-batch loop does not accumulate
+    // one paragraph plane per gate call until driver GC
+    hashed.unpersist(blocking = false)
+    perPar.unpersist(blocking = false)
     out
   }
 

@@ -76,10 +76,19 @@ object Budget {
              org.apache.spark.sql.types.ShortType => true
         case _ => false
       })
-    if (integral && maxDriverDocs > 0) {
-      val head = docs
-        .select(col(idCol), col(scoreCol), tokenCount(col(textCol)).as("n_tokens"))
-        .limit(maxDriverDocs + 1).collect()
+    // see Packing.layout: the output schema must not change with corpus
+    // size, so the count type must be integral and the fast path
+    // re-emits the collected n_tokens value and field verbatim
+    lazy val proj = docs
+      .select(col(idCol), col(scoreCol), tokenCount(col(textCol)).as("n_tokens"))
+    lazy val integralCount = proj.schema("n_tokens").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integral && maxDriverDocs > 0 && integralCount) {
+      val head = proj.limit(maxDriverDocs + 1).collect()
       if (head.length <= maxDriverDocs &&
           !head.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
         val spark = docs.sparkSession
@@ -94,13 +103,13 @@ object Budget {
           val r = sorted(i)
           cum += r.getAs[Number](2).longValue()
           out(i) = org.apache.spark.sql.Row(r.get(0), r.get(1),
-            r.getAs[Number](2).longValue(), cum, cum <= budget)
+            r.get(2), cum, cum <= budget)
           i += 1
         }
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(
-          docs.schema(idCol), docs.schema(scoreCol),
-          StructField("n_tokens", LongType, nullable = false),
+          proj.schema(idCol), proj.schema(scoreCol),
+          proj.schema("n_tokens"),
           StructField("cum_tokens", LongType, nullable = false),
           StructField("kept", BooleanType, nullable = false)))
         return spark.createDataFrame(

@@ -398,6 +398,9 @@ object Dedup {
     // makes every probe union 10^4 parquet dirs per bucket. The no-op
     // path is one manifest read.
     index.compact(compactOver): Unit
+    // firstWins is fully consumed (out is pinned on its own) — release
+    // it so a per-batch ingestion loop does not accumulate pins
+    firstWins.unpersist(blocking = false)
     out
   }
 
@@ -462,6 +465,8 @@ object Dedup {
         .select(col("band_key"), col(idCol).as("witness_id")),
       "band_key", col("witness_id"))
     index.compact(compactOver): Unit // see dedupIncremental
+    // keyed is fully consumed (the gate verdict is pinned on its own)
+    keyed.unpersist(blocking = false)
     out
   }
 

@@ -61,10 +61,20 @@ object Packing {
            org.apache.spark.sql.types.ShortType => true
       case _ => false
     }
-    if (integralId && maxDriverDocs > 0) {
-      val head = docs
-        .select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
-        .limit(maxDriverDocs + 1).collect()
+    // n_tokens keeps the tokenCount expression's OWN type (charTable
+    // passes length+1 = int): the output schema must not change with
+    // corpus size, so the gate also requires an integral count type and
+    // the fast path re-emits the collected value and field verbatim
+    lazy val proj = docs
+      .select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+    lazy val integralCount = proj.schema("n_tokens").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integralId && maxDriverDocs > 0 && integralCount) {
+      val head = proj.limit(maxDriverDocs + 1).collect()
       // null ids/token counts take the distributed path (its null
       // propagation semantics are not worth re-implementing here)
       if (head.length <= maxDriverDocs &&
@@ -84,14 +94,14 @@ object Packing {
           // seqLen) matches the distributed expression exactly
           val lastSeq = (end - 1) / seqLen
           out(i) = org.apache.spark.sql.Row(
-            r.get(0), n, start, end, firstSeq, lastSeq, lastSeq - firstSeq + 1L)
+            r.get(0), r.get(1), start, end, firstSeq, lastSeq, lastSeq - firstSeq + 1L)
           start = end
           i += 1
         }
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(
-          docs.schema(idCol),
-          StructField("n_tokens", LongType, nullable = false),
+          proj.schema(idCol),
+          proj.schema("n_tokens"),
           StructField("start_tok", LongType, nullable = false),
           StructField("end_tok", LongType, nullable = false),
           StructField("first_seq", LongType, nullable = false),

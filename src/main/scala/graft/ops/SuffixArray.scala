@@ -66,12 +66,19 @@ object SuffixArray {
     // explode (and the W× pack explode downstream): a small input — at
     // bench scale ONE parquet file, one scan task — would otherwise run
     // the whole super-linear map expansion on a single core (guide §2.5
-    // input skew). Gated on the actual partition count so a corpus that
-    // already scans wide is never shuffled down.
+    // input skew). The width probe reads the DOC SCAN's partition count,
+    // not the join's: under AQE, `.rdd` on a plan containing exchanges
+    // MATERIALIZES its shuffle stages (AdaptiveSparkPlanExec finalizes
+    // the plan by running query stages), so probing `joined.rdd` would
+    // execute the offsets-join shuffle once for the probe and again for
+    // the real query — the scan-only probe builds a FileScanRDD without
+    // running anything, and the scan's width is the signal the gate
+    // actually wants.
     val joined = docs.select(col(idCol), col(textCol)).join(offsets, Seq(idCol))
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
-      if (joined.rdd.getNumPartitions < p) joined.repartition(p) else joined
+      if (docs.select(col(idCol)).rdd.getNumPartitions < p) joined.repartition(p)
+      else joined
     spread
       .select(col("start_tok"),
         posexplode(split(concat(col(textCol), lit(Sentinel)), ""))

@@ -77,7 +77,10 @@ object MediaStore {
         refsTable(spark, root, nBuckets).compact(compactOver): Unit
       }
       n
-    } finally ()
+    } finally
+      // fully consumed above — without the release, a per-wave crawl
+      // loop pins one batch of media blocks per wave until driver GC
+      media.unpersist(blocking = false): Unit
   }
 
   def blobsTable(spark: SparkSession, root: String, nBuckets: Int = 16): SnapshotTable =

@@ -192,8 +192,10 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
         // eager localCheckpoint: read once for the touched-bucket collect,
         // again by the join and the commit write — and lineage truncation
         // keeps each of those actions from re-analyzing the full collapse
-        // subtree (cache kept the data but re-planned the plan per action)
+        // subtree (cache kept the data but re-planned the plan per action).
+        // Fully consumed by the commit below; released in the finally.
         val collapsed = collapsed0.localCheckpoint(true)
+        try {
         val m = readManifest(currentVersion)
         val touched = collapsed
           .select(bucketOf(col(idCol), m.nBuckets).as("b")).distinct()
@@ -215,6 +217,7 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
                   allCols.map(x => coalesce(col(s"u.$x"), col(s"c.$x")).as(x)): _*)
           }
         commit(merged, idCol, replaceTouched)
+        } finally collapsed.unpersist(blocking = false)
       }
     } finally ()
   }
@@ -279,8 +282,10 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
       else {
         // eagerly pinned: read by the touched-bucket collect, the
         // anti-join, and the commit — lineage truncation spares each
-        // action a full re-analysis of the batch subtree
+        // action a full re-analysis of the batch subtree. Fully consumed
+        // by the commit below; released in the finally.
         val one = one0.localCheckpoint(true)
+        try {
         val m = readManifest(currentVersion)
         require(m.bucketCol == keyCol,
           s"table $root is bucketed by '${m.bucketCol}', not '$keyCol'")
@@ -295,6 +300,7 @@ class SnapshotTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
           if (paths.isEmpty) one
           else one.join(readPaths(paths).select(col(keyCol)), Seq(keyCol), "left_anti")
         commit(novel, keyCol, appendTouched, noopIfEmpty = true)
+        } finally one.unpersist(blocking = false)
       }
     } finally ()
   }
